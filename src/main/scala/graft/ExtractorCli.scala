@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.config.ExtractionConfig
+import graft.xml.XmlExtraction
+
+/**
+ * Command-line entry point with the reference driver's contract
+ * (`XmlExtractor.java:178-212`): `ExtractorCli <inPath> <outPath> <configFile>`.
+ *
+ * `inPath` may be a directory/glob of XML documents or a SequenceFile
+ * (`--seq` flag) in the reference's `Text uuid -> Text xml` layout.
+ */
+object ExtractorCli {
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    if (positional.length != 3) {
+      System.err.println("Usage: ExtractorCli [--seq] <in path> <out path> <config>")
+      sys.exit(2)
+    }
+    val Array(inPath, outPath, configFile) = positional
+    val config = ExtractionConfig.fromFile(configFile)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .appName("graft-extract")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val corpus =
+        if (flags.contains("--seq")) XmlExtraction.corpusFromSequenceFile(spark, inPath)
+        else XmlExtraction.corpusFromXmlFiles(spark, inPath)
+      XmlExtraction.run(corpus, config).write.mode("overwrite").text(outPath)
+    } finally spark.stop()
+  }
+}
