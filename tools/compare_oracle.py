@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet dump produced by graft.Verify,
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
+sf directory's tables, and compares: row count, sorted column names, and
+values (rows sorted by all columns, columns sorted by name).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # string with enough digits; values are pre-rounded in-query
+        return f"{v:.6f}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def normalize(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [names[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            tbl = ds.dataset(f"{out_dir}/{name}").to_table()
+            got_names = tbl.column_names
+            got_rows = [tuple(row[c] for c in got_names) for row in tbl.to_pylist()]
+            cur = con.execute(sql)
+            exp_names = [c[0] for c in cur.description]
+            exp_rows = cur.fetchall()
+            gn, gr = normalize(got_names, got_rows)
+            en, er = normalize(exp_names, exp_rows)
+            if gn != en:
+                print(f"FAIL {name}: columns {gn} != {en}")
+                failed.append(name)
+            elif len(gr) != len(er):
+                print(f"FAIL {name}: rows {len(gr)} != {len(er)}")
+                failed.append(name)
+            elif gr != er:
+                bad = next(i for i, (a, b) in enumerate(zip(gr, er)) if a != b)
+                print(f"FAIL {name}: value mismatch at sorted row {bad}:")
+                print(f"  spark : {gr[bad]}")
+                print(f"  duckdb: {er[bad]}")
+                failed.append(name)
+            else:
+                print(f"OK   {name} ({len(gr)} rows)")
+        except Exception as e:
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            failed.append(name)
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
