@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{RelationalQueries, Tables, XmlQueries}
+import graft.queries.{PipelineQueries, RelationalQueries, Tables, XmlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -19,10 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ the LLM-pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ XmlQueries.queries
+    RelationalQueries.queries ++ XmlQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ XmlQueries.oracles
+    RelationalQueries.oracles ++ XmlQueries.oracles ++ PipelineQueries.oracles
 }

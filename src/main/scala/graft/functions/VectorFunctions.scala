@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-vector column builders (`Array[Float]` columns): cosine similarity
+ * and random-hyperplane LSH signatures, as pure built-in expressions.
+ *
+ * Numeric determinism: everything is computed in DOUBLE with a left fold
+ * (`aggregate` with 0.0 init), which is bit-identical to DuckDB's
+ * `list_reduce` left fold over `DOUBLE[]` — so `round(x, 4)` values hash-match
+ * the oracle exactly.
+ */
+object VectorFunctions {
+
+  /** Cast a float-array column to double for exact shared arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Left-fold sum of an array<double>. */
+  private def fsum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x * y))
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
+
+  /** Cosine similarity in double precision; 0 for zero-norm vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, 0.0).otherwise(d / nn)
+  }
+
+  /**
+   * Random-hyperplane LSH signature (`nBits` sign bits): plane j's i-th weight is
+   * ±1 derived from the parity of the md5-based [[TextFunctions.hash60]] of
+   * `"j:i"` — fully deterministic, no stored model, reproducible on any engine.
+   * Vectors with small angles share signatures with high probability.
+   */
+  def hyperplaneSignature(v: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      // sum_i emb[i] * w(j,i), w = parity of hash60("j:i") mapped to ±1
+      val proj = (0 until dim).map { i =>
+        val w = if ((md5Parity(j, i)) == 1) 1.0 else -1.0
+        element_at(v, i + 1) * lit(w)
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Driver-side deterministic parity of md5("j:i") — same value the oracle
+   * would derive; computed once at plan-build time (plain Scala, not a UDF). */
+  private def md5Parity(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    d(d.length - 1) & 1
+  }
+}

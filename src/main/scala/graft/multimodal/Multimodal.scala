@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata carried alongside an opaque media payload. */
+final case class MediaMeta(format: String, width: Int, height: Int, sampleRateHz: Int)
+
+/** One multimodal record: an opaque binary payload + typed metadata. At 100 TB
+ * the payload column stays opaque (never parsed by Catalyst), so scans prune it
+ * unless a stage actually consumes bytes. */
+final case class MediaRecord(doc_id: Long, modality: String, bytes: Array[Byte], meta: MediaMeta)
+
+/** Deterministic per-record features produced by the (stubbed) decoder. */
+final case class MediaFeatures(
+    doc_id: Long, modality: String, n_bytes: Long, content_md5: String,
+    head_checksum: Long, width: Int, height: Int)
+
+/**
+ * Multimodal column plumbing: treat image/audio/video as `binary` columns with
+ * typed metadata; decode / feature-extract / resize / frame-sample run as
+ * batched per-partition transforms over `Dataset[MediaRecord]`.
+ *
+ * The actual media DECODE IS A STUB — this container ships no image/audio
+ * codecs, so [[decodeStub]] derives deterministic fake "pixels" from the raw
+ * bytes. Everything around it — the schema, the typed Encoders, the
+ * mapPartitions batch shape, the pruning-friendly column layout — is the real
+ * production plumbing and is oracle-tested end-to-end (q37).
+ */
+object Multimodal {
+
+  /**
+   * Synthesize a deterministic media corpus from the `documents` table: payload
+   * = UTF-8 bytes of the text (a stand-in for real image bytes), metadata
+   * derived from the document length. Same construction is expressible in the
+   * DuckDB oracle, which makes the downstream feature pipeline hash-checkable.
+   */
+  def synthesize(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        lit("fake").as("format"),
+        (col("n_chars") % 64 + 16).cast("int").as("width"),
+        (col("n_chars") % 48 + 12).cast("int").as("height"),
+        lit(16000).as("sampleRateHz")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /**
+   * STUB decode: a real implementation would hand `r.bytes` to an image/audio
+   * codec here. The deterministic fake below reads the raw payload instead —
+   * the batch shape (per-partition iterator, one decoder instance per
+   * partition, no per-row setup) is exactly what a codec-backed version needs.
+   */
+  private def decodeStub(bytes: Array[Byte]): (String, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5") // per-call; cheap vs real decode
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    var sum = 0L
+    var i = 0
+    while (i < math.min(16, bytes.length)) { sum += bytes(i) & 0xff; i += 1 }
+    (hex, sum)
+  }
+
+  /** Batched feature extraction: one narrow mapPartitions pass, no shuffle. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val (digest, checksum) = decodeStub(r.bytes)
+        MediaFeatures(r.doc_id, r.modality, r.bytes.length.toLong, digest,
+          checksum, r.meta.width, r.meta.height)
+      }
+    }
+  }
+
+  /**
+   * STUB resize: a real version would decode, scale, re-encode. The fake keeps
+   * every k-th byte (deterministic, size-reducing) and rewrites the metadata —
+   * which is the part Catalyst sees, and the part that must stay consistent.
+   */
+  def resizeStub(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val kept = r.bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+        r.copy(bytes = kept,
+          meta = r.meta.copy(width = math.max(1, r.meta.width / factor),
+            height = math.max(1, r.meta.height / factor)))
+      }
+    }
+  }
+
+  /**
+   * STUB frame-sample: emits `nFrames` fixed-width byte windows per video
+   * payload (1 record → N records — the Generator/flatMap shape a real frame
+   * sampler has).
+   */
+  def frameSampleStub(media: Dataset[MediaRecord], nFrames: Int, frameBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      (0 until nFrames).iterator.map { f =>
+        val start = (f * frameBytes) % math.max(1, r.bytes.length)
+        val frame = r.bytes.slice(start, math.min(start + frameBytes, r.bytes.length))
+        (r.doc_id, f, frame.length, frame)
+      }
+    }.toDF("doc_id", "frame", "frame_len", "frame_bytes")
+  }
+
+  /** The oracle-gated feature query (q37). */
+  def featureQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    extractFeatures(synthesize(docs)).toDF()
+      .select(col("doc_id"), col("modality"), col("n_bytes"), col("content_md5"),
+        col("head_checksum"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, Similarity}
+
+/**
+ * Training-data pipeline operators (dedup, similarity search, text analysis)
+ * over the `documents` / `embeddings` tables, each with a DuckDB oracle that
+ * recomputes the identical md5-based hashes / double-precision folds.
+ *
+ * The corpus ships planted near-duplicate pairs (word-2-gram Jaccard >= 0.9),
+ * so the dedup queries return non-degenerate results on the real data.
+ */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents → (id, shingles) with distinct word n-gram features. */
+  private def docShingles(s: SparkSession, d: String, n: Int,
+                          pred: Column = lit(true)): DataFrame =
+    Tables.documents(s, d).where(pred)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), n).as("shingles"))
+
+  /** embeddings → (id, vec) in double precision. */
+  private def embVecs(s: SparkSession, d: String, pred: Column = lit(true)): DataFrame =
+    Tables.embeddings(s, d).where(pred)
+      .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
+
+  // ------------------------------------------------------------------ SQL twins
+  /** DuckDB twin of [[T.shingles]] given a `ws` (split words) and `text` binding. */
+  private def duckShingles(n: Int): String =
+    s"""list_distinct(CASE WHEN len(ws) >= $n
+          THEN list_transform(range(0, len(ws)-${n - 1}), i -> array_to_string(ws[i+1:i+$n], ' '))
+          ELSE [text] END)"""
+
+  /** DuckDB twin of [[T.hash60]] / [[T.seededHash]]. */
+  private def duckHash60(e: String): String =
+    s"cast(concat('0x', substr(md5($e), 1, 15)) as bigint)"
+
+  /** DuckDB twin of the Jaccard-on-distinct-shingles expression, rounded. */
+  private val duckJac =
+    "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4)"
+
+  /** DuckDB twin of [[V.cosine]] (same left-fold order → bit-identical). */
+  private def duckCos(a: String, b: String): String = {
+    def fsum(l: String) = s"list_reduce(list_concat([0.0::DOUBLE], $l), (x, y) -> x + y)"
+    val dot = fsum(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
+    val na = s"sqrt(${fsum(s"list_transform($a, x -> x * x)")})"
+    val nb = s"sqrt(${fsum(s"list_transform($b, x -> x * x)")})"
+    s"($dot / ($na * $nb))"
+  }
+
+  // ===================================================================== queries
+
+  val queries: Map[String, Q] = Map(
+    // ---------------------------------------------------------------- text analysis
+    "q26_token_stats" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      doc.select(
+        col("doc_id"),
+        size(T.tokens(col("text"))).as("n_tokens"),
+        size(T.regexTokens(col("text"))).as("n_re_tokens"),
+        size(array_distinct(T.tokens(col("text")))).as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q27_quality_score" -> ((s, d) => {
+      // heuristic doc-quality: token count, stopword ratio, mean token length,
+      // composite score — all integer/double math shared with the oracle
+      val w = T.tokens(col("text"))
+      val nTok = size(w).cast("double")
+      val nStop = size(filter(w, x => x.isin("the", "a"))).cast("double")
+      val stopRatio = nStop / nTok
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.cast("int").as("n_tokens"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round((length(col("text")) - (nTok - 1)) / nTok, 4).as("mean_tok_len"),
+        round(least(lit(1.0), nTok / 50.0) * (lit(1.0) - stopRatio), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q28_langid" -> ((s, d) => {
+      // n-gram/marker language-ID heuristic: score each language by marker-token
+      // hits, argmax with a fixed priority tie-break. (The corpus vocabulary is
+      // language-independent, so this validates the machinery, not linguistics.)
+      val w = T.tokens(col("text"))
+      def score(markers: String*): Column =
+        size(filter(w, x => x.isin(markers: _*)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        score("the", "a", "fast").as("s_en"),
+        score("table", "row", "merge").as("s_de"),
+        score("line", "column", "sort").as("s_fr"),
+        score("data", "value", "stream").as("s_es"),
+        score("key", "hash", "scan").as("s_zh"))
+        .select(
+          col("doc_id"),
+          when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es"), col("s_zh")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es"), col("s_zh")), "de")
+            .when(col("s_fr") >= greatest(col("s_es"), col("s_zh")), "fr")
+            .when(col("s_es") >= col("s_zh"), "es")
+            .otherwise("zh").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q29_fingerprint" -> ((s, d) => {
+      // document fingerprinting: exact content hash + winnowing-style minimum
+      // shingle hash (stable under edits away from the minimum)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        T.fingerprint(col("text")).as("shingle_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------- dedup family
+    "q30_dedup_exact" -> ((s, d) => {
+      // exact dedup by content hash over a corpus with injected exact duplicates
+      // (every 7th doc re-appears under id+100000): one groupBy(md5) shuffle
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dups = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.exact(base.unionAll(dups), col("doc_id"), col("text"))
+        .select(col("keep_id"), col("group_size"))
+        .orderBy(col("keep_id"))
+    }),
+
+    "q31_dedup_jaccard" -> ((s, d) => {
+      // brute-force n-gram Jaccard near-dup baseline on a bounded subset
+      Dedup.allPairsJaccard(docShingles(s, d, 2, col("doc_id") % 3 === 0), 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q32_dedup_minhash_lsh" -> ((s, d) => {
+      // the scale path: MinHash(32) → 16 bands × 2 rows → bucket equi-join →
+      // exact Jaccard verification of candidates only. The oracle is the full
+      // quadratic scan — a hash match PROVES the LSH recall on this corpus.
+      val docs = docShingles(s, d, 2)
+      val candidates = Dedup.minhashCandidates(docs, k = 32, bands = 16)
+      Dedup.verifyJaccard(candidates, docs, 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q33_dedup_simhash" -> ((s, d) => {
+      // SimHash-62 signatures; near-dups = pairs within 12 bit flips
+      Dedup.simhashPairs(docShingles(s, d, 2, col("doc_id") % 3 === 0), 12)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q34_embed_neardup" -> ((s, d) => {
+      // embedding-cosine near-dup candidates over a bounded subset
+      val e = embVecs(s, d, col("vec_id") % 5 === 0)
+      val a = e.select(col("id").as("a"), col("vec").as("va"))
+      val b = e.select(col("id").as("b"), col("vec").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"), round(V.cosine(col("va"), col("vb")), 4).as("cos"))
+        .where(col("cos") >= 0.3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------------------------------------------------------- similarity search
+    "q35_knn_cosine" -> ((s, d) => {
+      // exact brute-force top-10 cosine neighbors for the query subset —
+      // broadcast the queries, scan the corpus once, per-query window top-k
+      Similarity.knnBruteForce(
+        corpus = embVecs(s, d),
+        queries = embVecs(s, d, col("vec_id") % 100 === 0),
+        k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q36_ann_lsh" -> ((s, d) => {
+      // approximate variant: random-hyperplane signature buckets + 1-bit
+      // multi-probe, exact re-rank inside candidates. No SQL oracle (approximate
+      // by construction) — recall vs q35 is asserted in SimilaritySpec.
+      Similarity.annLsh(
+        corpus = embVecs(s, d),
+        queries = embVecs(s, d, col("vec_id") % 100 === 0),
+        dim = 64, nBits = 8, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------- multimodal
+    "q37_multimodal_features" -> ((s, d) =>
+      // binary-payload plumbing: synthesize media records, batched stub decode,
+      // typed features — the mapPartitions pipeline is the oracle-gated part
+      graft.multimodal.Multimodal.featureQuery(s, d))
+  )
+
+  // ===================================================================== oracles
+
+  private def withDocShingles(n: Int, pred: String): String =
+    s"""WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                    FROM documents WHERE $pred),
+             sh AS (SELECT doc_id, ${duckShingles(n)} AS s FROM ws)"""
+
+  val oracles: Map[String, String] = Map(
+    "q26_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+         FROM documents ORDER BY doc_id""",
+    "q27_quality_score" ->
+      """SELECT doc_id,
+         len(string_split(text,' ')) AS n_tokens,
+         round(len(list_filter(string_split(text,' '), w -> w IN ('the','a')))::DOUBLE
+               / len(string_split(text,' ')), 4) AS stop_ratio,
+         round((length(text) - (len(string_split(text,' ')) - 1))::DOUBLE
+               / len(string_split(text,' ')), 4) AS mean_tok_len,
+         round(least(1.0, len(string_split(text,' ')) / 50.0)
+               * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a')))::DOUBLE
+                        / len(string_split(text,' '))), 4) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q28_langid" ->
+      """SELECT doc_id,
+         CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+              WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+              WHEN s_es >= s_zh THEN 'es'
+              ELSE 'zh' END AS pred_lang
+         FROM (SELECT doc_id,
+           len(list_filter(string_split(text,' '), w -> w IN ('the','a','fast'))) AS s_en,
+           len(list_filter(string_split(text,' '), w -> w IN ('table','row','merge'))) AS s_de,
+           len(list_filter(string_split(text,' '), w -> w IN ('line','column','sort'))) AS s_fr,
+           len(list_filter(string_split(text,' '), w -> w IN ('data','value','stream'))) AS s_es,
+           len(list_filter(string_split(text,' '), w -> w IN ('key','hash','scan'))) AS s_zh
+           FROM documents) ORDER BY doc_id""",
+    "q29_fingerprint" ->
+      s"""${withDocShingles(3, "TRUE")}
+         SELECT doc_id, md5(text) AS content_md5,
+                list_min(list_transform(s, x -> ${duckHash60("x")})) AS shingle_fp
+         FROM sh JOIN ws USING (doc_id) ORDER BY doc_id""",
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS group_size FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
+         GROUP BY md5(text) ORDER BY keep_id""",
+    "q31_dedup_jaccard" ->
+      s"""${withDocShingles(2, "doc_id % 3 = 0")}
+         SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE $duckJac >= 0.5 ORDER BY a, b""",
+    "q32_dedup_minhash_lsh" ->
+      s"""${withDocShingles(2, "TRUE")}
+         SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE $duckJac >= 0.8 ORDER BY a, b""",
+    "q33_dedup_simhash" ->
+      s"""${withDocShingles(2, "doc_id % 3 = 0")},
+         sig AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 62), b ->
+             CASE WHEN list_sum(list_transform(
+                    list_transform(s, x -> ${duckHash60("x")}),
+                    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sig
+           FROM sh)
+         SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sig, b.sig)) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 12 ORDER BY a, b""",
+    "q34_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
+         SELECT a.vec_id AS a, b.vec_id AS b, round(${duckCos("a.v", "b.v")}, 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(${duckCos("a.v", "b.v")}, 4) >= 0.3 ORDER BY a, b""",
+    "q35_knn_cosine" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 = 0),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${duckCos("c.v", "q.v")} AS cos
+                FROM c JOIN q ON c.vec_id != q.vec_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q37_multimodal_features" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_md5,
+         list_sum(list_transform(range(1, least(length(text), 16) + 1),
+                                 i -> ascii(text[i:i]))) AS head_checksum,
+         CAST(n_chars % 64 + 16 AS INT) AS width,
+         CAST(n_chars % 48 + 12 AS INT) AS height
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.ExtractionConfig
+import graft.xml.XmlExtraction
+
+/**
+ * Structured Streaming surface of the engine.
+ *
+ * The batch extraction DAG (scan → XPath → streaming pivot) is built from
+ * narrow per-document transforms only, so the SAME code runs unchanged under a
+ * file-source stream in append mode — each new XML file is one self-contained
+ * document, no cross-batch state is needed (the reference's whole pipeline is
+ * per-document, `XmlReducerGroupingComparator.java:13-19`).
+ *
+ * For event streams, [[windowedEventStats]] adds the watermark + window
+ * aggregation the reference lacks (SURVEY.md §2.8) — event-time tumbling
+ * windows with bounded state.
+ */
+object StreamingExtraction {
+
+  /**
+   * Streaming variant of [[XmlExtraction.corpusFromXmlFiles]]: every file that
+   * lands in `dir` becomes one document row with a deterministic docId.
+   */
+  def streamingCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("wholetext", true)
+      .option("maxFilesPerTrigger", 1000)
+      .text(dir)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("docId"),
+        col("value").as("xml"))
+
+  /**
+   * End-to-end streaming extraction: attach with
+   * `.writeStream.format(...).start()`; append mode works because every
+   * transform is narrow (mapPartitions over whole documents).
+   */
+  def streamingExtract(spark: SparkSession, dir: String, config: ExtractionConfig): DataFrame =
+    XmlExtraction.extractRows(streamingCorpus(spark, dir), config)
+
+  /** Formatted-line variant (the reference's delimited text output). */
+  def streamingExtractLines(spark: SparkSession, dir: String, config: ExtractionConfig): DataFrame =
+    XmlExtraction.formatLines(streamingExtract(spark, dir, config), config)
+
+  /**
+   * Event-time tumbling-window aggregation with a watermark: per (window,
+   * event_type) counts and value sums. Late rows beyond `watermark` are
+   * dropped and window state is reclaimed — bounded state at any scale.
+   */
+  def windowedEventStats(events: DataFrame,
+                         watermark: String = "10 minutes",
+                         windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.queries.{PipelineQueries, Tables}
+
+/** Operator-level checks for the training-data pipeline (dedup / similarity /
+ * text analysis) on the sf0.001 tables; the value-exact gate is the DuckDB
+ * oracle run by the driver (PipelineQueries.oracles). */
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("shingles: n-grams, distinct, short-doc fallback") {
+    import spark.implicits._
+    val df = Seq("a b c d", "x").toDF("text")
+      .select(T.shingles(col("text"), 3).as("s"))
+    val rows = df.collect().map(_.getSeq[String](0).toSet)
+    assert(rows(0) == Set("a b c", "b c d"))
+    assert(rows(1) == Set("x"))
+  }
+
+  test("seededHash matches the DuckDB formula on a known value") {
+    import spark.implicits._
+    // cast(concat('0x', substr(md5('0:x'),1,15)) as bigint) computed in DuckDB
+    val h = Seq("x").toDF("s").select(T.seededHash(0, col("s"))).first().getLong(0)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("0:x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == java.lang.Long.parseLong(md5hex.take(15), 16))
+  }
+
+  test("exact dedup groups injected duplicates") {
+    val out = PipelineQueries.queries("q30_dedup_exact")(spark, sf)
+    val groups = out.collect()
+    val base = Tables.documents(spark, sf).count()
+    assert(groups.length == base) // one kept row per distinct text
+    val dupGroups = groups.count(_.getLong(1) == 2L)
+    assert(dupGroups == Tables.documents(spark, sf)
+      .where(col("doc_id") % 7 === 0).count())
+  }
+
+  test("minhash-LSH finds exactly the brute-force near-dup pairs (recall check)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+    val lsh = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 32, 16), docs, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.allPairsJaccard(docs, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus should contain planted near-dup pairs")
+    assert(lsh == brute)
+  }
+
+  test("simhash: near-dup pairs have small hamming, signatures are 62-bit") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+    val sigs = docs.select(col("id"), T.simhash62("shingles").as("sig"))
+    assert(sigs.where(col("sig") < 0 || col("sig") >= Long.MaxValue).count() == 0)
+    val pairs = Dedup.simhashPairs(docs, 12).collect()
+    assert(pairs.nonEmpty, "planted near-dups should collide within 12 bits")
+    assert(pairs.forall(_.getInt(2) <= 12))
+  }
+
+  test("knn brute force: ranks are dense per query and cosine is decreasing") {
+    val out = PipelineQueries.queries("q35_knn_cosine")(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).toSeq
+      assert(ranks.sorted == (1 to rows.length).toSeq)
+      val coss = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ann-lsh results are correct-cosine rows and hit the exact top-1 mostly") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
+    val queries = corpus.where(col("id") % 100 === 0)
+    val ann = Similarity.annLsh(corpus, queries, dim = 64, nBits = 8, k = 5).collect()
+    val exact = Similarity.knnBruteForce(corpus, queries, 5).collect()
+    // every ANN row's cosine must equal the exact cosine for that pair
+    val exactCos = exact.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // candidates are a subset of the corpus; each query returns <= k rows
+    assert(ann.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+  }
+
+  test("fingerprint is stable: identical texts share fp, distinct texts differ") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "alpha beta gamma delta epsilon"),
+      ("b", "alpha beta gamma delta epsilon"),
+      ("c", "one two three four five six")).toDF("id", "text")
+      .select(col("id"), T.fingerprint(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+}
