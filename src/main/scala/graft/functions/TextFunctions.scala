@@ -47,31 +47,49 @@ object TextFunctions {
     array_distinct(when(size(w) >= n, grams).otherwise(array(text)))
   }
 
-  /**
-   * MinHash signature: k independent min-hashes over the shingle set.
-   * `sig[i] = min over shingles of seededHash(i, shingle)`.
-   */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => seededHash(i, s)))): _*)
+  /** Mersenne prime modulus for the double-hashing MinHash family — keeps all
+   * intermediate products < 2^36, so the arithmetic can't overflow in either
+   * engine (DuckDB raises on BIGINT overflow; Spark wraps — both are avoided). */
+  final val MinhashP = 2147483647L
+
+  /** The two base hashes of the Kirsch-Mitzenmacher family: 2 md5 calls per
+   * shingle, from which all k MinHash functions derive as `(b1 + i*b2) mod P`. */
+  def minhashBases(shingleCol: Column): (Column, Column) = (
+    transform(shingleCol, s => hash60(s) % MinhashP),
+    transform(shingleCol, s => hash60(concat(lit("#"), s)) % MinhashP))
 
   /**
-   * 62-bit SimHash over a feature (shingle) array column named by `shinglesField`:
-   * bit b of the signature is set when the majority of feature hashes have bit b
-   * set (+1/-1 vote). Built as one SQL expression because `shiftleft/shiftright`
-   * with a *column* shift amount is only reachable through the SQL parser; integer
-   * sums are order-insensitive so the DuckDB oracle can use `list_sum` verbatim.
+   * MinHash signature from precomputed base-hash arrays (see [[minhashBases]]):
+   * `sig[i] = min over shingles of (b1 + i*b2) mod P`. Callers must materialize
+   * b1/b2 in their own projection — they are referenced k times here, and
+   * Catalyst's CollapseProject keeps a non-cheap multiply-referenced alias in
+   * its own project, so the 2-md5-per-shingle work runs once per row.
    */
-  def simhash62(shinglesField: String): Column = expr(
+  def minhashSignatureFromBases(b1: Column, b2: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(zip_with(b1, b2, (x, y) => (x + lit(i.toLong) * y) % MinhashP))): _*)
+
+  /**
+   * 62-bit SimHash over a *precomputed* feature-hash array column named by
+   * `hashesField` (produce it once with `transform(shingles, hash60)` — hashing
+   * inside the bit fold would recompute every md5 62 times): bit b of the
+   * signature is set when the majority of feature hashes have bit b set
+   * (+1/-1 vote). Built as one SQL expression because `shiftleft/shiftright`
+   * with a *column* shift amount is only reachable through the SQL parser;
+   * integer sums are order-insensitive so the DuckDB oracle can use `list_sum`
+   * verbatim.
+   */
+  def simhash62(hashesField: String): Column = expr(
     s"""aggregate(
-          sequence(0, 61),
-          0L,
-          (acc, b) -> acc + IF(
-            aggregate(
-              transform($shinglesField, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint)),
-              0,
-              (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-            shiftleft(1L, b), 0L))""")
+          $hashesField,
+          array_repeat(0, 62),
+          (acc, h) -> zip_with(acc, sequence(0, 61),
+                        (v, b) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)),
+          votes -> aggregate(
+            zip_with(votes, sequence(0, 61),
+              (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+            0L,
+            (s, x) -> s + x))""")
 
   /**
    * Exact set-Jaccard similarity between two (already-distinct) shingle arrays.

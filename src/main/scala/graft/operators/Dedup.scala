@@ -40,7 +40,12 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = docs.select(col("id"), TextFunctions.minhashSignature(col("shingles"), k).as("sig"))
+    // two-step projection: the Kirsch-Mitzenmacher base hashes (2 md5/shingle)
+    // materialize once, then all k hash functions derive arithmetically
+    val (b1, b2) = TextFunctions.minhashBases(col("shingles"))
+    val sigs = docs.select(col("id"), b1.as("b1"), b2.as("b2"))
+      .select(col("id"),
+        TextFunctions.minhashSignatureFromBases(col("b1"), col("b2"), k).as("sig"))
     val banded = sigs.select(
       col("id"),
       posexplode(transform(
@@ -80,16 +85,26 @@ object Dedup {
   }
 
   /**
-   * Brute-force exact Jaccard over all pairs of a (small, pre-filtered) corpus —
-   * the oracle-shaped baseline the LSH path approximates. Only ever applied to
-   * bounded subsets; the quadratic join is a deliberate non-goal at corpus scale.
+   * Exact all-pairs Jaccard via the sparse co-occurrence join — the scalable
+   * formulation of the quadratic baseline: explode shingles into postings,
+   * equi-join postings on the shingle (cost = sum over shingles of df^2, not
+   * corpus^2), count co-occurrences per pair, then `jac = c / (|A|+|B|-c)`.
+   * Values are identical to the array_intersect/array_union formulation
+   * (shingle arrays are distinct); zero-overlap pairs never materialize —
+   * they cannot pass any positive threshold.
    */
   def allPairsJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val da = docs.select(col("id").as("a"), col("shingles").as("sh_a"))
-    val db = docs.select(col("id").as("b"), col("shingles").as("sh_b"))
-    da.join(db, col("a") < col("b"))
+    val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    val p1 = posts.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
+    val p2 = posts.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
+    p1.join(p2, "sh")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("c"))
       .select(col("a"), col("b"),
-        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+        round(col("c").cast("double") /
+          (col("sa") + col("sb") - col("c")).cast("double"), 4).as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -102,7 +117,11 @@ object Dedup {
    * pattern as [[minhashCandidates]].)
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col("id"), TextFunctions.simhash62("shingles").as("sig"))
+    // feature hashes materialize once; the 62-bit fold then reuses the array
+    val sigs = docs
+      .select(col("id"),
+        transform(col("shingles"), s => TextFunctions.hash60(s)).as("hs"))
+      .select(col("id"), TextFunctions.simhash62("hs").as("sig"))
     val a = sigs.select(col("id").as("a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("b"), col("sig").as("sig_b"))
     a.join(b, col("a") < col("b"))

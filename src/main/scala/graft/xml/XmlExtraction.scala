@@ -66,6 +66,17 @@ object XmlExtraction {
       .toDF("docId", "xml")
   }
 
+  /** Write a (docId, xml) corpus as a reference-format SequenceFile — the ingest
+   * utility (`CreateSequenceFile.java:19-57`), distributed: each partition writes
+   * its own SequenceFile part, so ingest scales with executor count instead of
+   * the reference's single-JVM loop. */
+  def corpusToSequenceFile(corpus: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select("docId", "xml").as[(String, String)].rdd
+      .saveAsSequenceFile(path)
+  }
+
   // ---------------------------------------------------------------------------
   // Fused path (default, shuffle-free)
   // ---------------------------------------------------------------------------

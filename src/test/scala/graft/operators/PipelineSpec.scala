@@ -55,7 +55,9 @@ class PipelineSpec extends SparkSpec {
   test("simhash: near-dup pairs have small hamming, signatures are 62-bit") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
-    val sigs = docs.select(col("id"), T.simhash62("shingles").as("sig"))
+    val sigs = docs
+      .select(col("id"), transform(col("shingles"), s => T.hash60(s)).as("hs"))
+      .select(col("id"), T.simhash62("hs").as("sig"))
     assert(sigs.where(col("sig") < 0 || col("sig") >= Long.MaxValue).count() == 0)
     val pairs = Dedup.simhashPairs(docs, 12).collect()
     assert(pairs.nonEmpty, "planted near-dups should collide within 12 bits")
