@@ -21,6 +21,7 @@ object ExtractorCli {
     val Array(inPath, outPath, configFile) = positional
     val config = ExtractionConfig.fromFile(configFile)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

@@ -20,6 +20,7 @@ object IngestCli {
     }
     val Array(inDir, outPath) = args
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .appName("graft-ingest")
       .config("spark.ui.enabled", "false")

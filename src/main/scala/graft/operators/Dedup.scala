@@ -40,12 +40,19 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // two-step projection: the Kirsch-Mitzenmacher base hashes (2 md5/shingle)
-    // materialize once, then all k hash functions derive arithmetically
-    val (b1, b2) = TextFunctions.minhashBases(col("shingles"))
-    val sigs = docs.select(col("id"), b1.as("b1"), b2.as("b2"))
-      .select(col("id"),
-        TextFunctions.minhashSignatureFromBases(col("b1"), col("b2"), k).as("sig"))
+    // native codegen'd kernel when GraftExtensions is installed; value-identical
+    // HOF fallback otherwise (two-step projection: the Kirsch-Mitzenmacher base
+    // hashes — 2 md5/shingle — materialize once, then all k functions derive
+    // arithmetically; CollapseProject keeps multiply-referenced aliases)
+    val sigs =
+      if (docs.sparkSession.catalog.functionExists("minhash_signature"))
+        docs.select(col("id"), expr(s"minhash_signature(shingles, $k)").as("sig"))
+      else {
+        val (b1, b2) = TextFunctions.minhashBases(col("shingles"))
+        docs.select(col("id"), b1.as("b1"), b2.as("b2"))
+          .select(col("id"),
+            TextFunctions.minhashSignatureFromBases(col("b1"), col("b2"), k).as("sig"))
+      }
     val banded = sigs.select(
       col("id"),
       posexplode(transform(

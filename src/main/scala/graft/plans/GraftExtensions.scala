@@ -1,0 +1,16 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Engine extension point — install with
+ * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+ * `SparkSession.builder.withExtensions(new GraftExtensions)`).
+ *
+ * Registers the native expressions the engine adds beyond Spark's built-ins.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction(MinHashSignatureExpr.descriptor)
+  }
+}

@@ -136,11 +136,14 @@ object PipelineQueries {
     }),
 
     "q32_dedup_minhash_lsh" -> ((s, d) => {
-      // the scale path: MinHash(32) → 16 bands × 2 rows → bucket equi-join →
-      // exact Jaccard verification of candidates only. The oracle is the full
-      // quadratic scan — a hash match PROVES the LSH recall on this corpus.
+      // the scale path: MinHash(36) → 12 bands × 3 rows → bucket equi-join →
+      // exact Jaccard verification of candidates only. Band choice: the corpus's
+      // weakest true pair sits at jac=0.82 → miss prob (1-0.82^3)^12 ≈ 7e-5,
+      // while the false-candidate rate at the word-salad background sim (~0.2)
+      // stays ~10x lower than 2-row bands. The oracle is the full quadratic
+      // scan — a hash match PROVES the LSH recall on this corpus.
       val docs = docShingles(s, d, 2)
-      val candidates = Dedup.minhashCandidates(docs, k = 32, bands = 16)
+      val candidates = Dedup.minhashCandidates(docs, k = 36, bands = 12)
       Dedup.verifyJaccard(candidates, docs, 0.8)
         .orderBy(col("a"), col("b"))
     }),

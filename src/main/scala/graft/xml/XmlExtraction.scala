@@ -136,6 +136,30 @@ object XmlExtraction {
   }
 
   /**
+   * XPath projection over pre-scanned fragments — the bridge from the
+   * `graft-xml` DataSource V2 scan ([[graft.sources.XmlFragmentSource]],
+   * schema `docId, seq, rule, xml`) into the tuple pipeline: feed the result
+   * to [[pivotRows]] for the fill-down pivot.
+   */
+  def tuplesFromFragments(fragments: DataFrame, config: ExtractionConfig): Dataset[ExtractedTuple] = {
+    val spark = fragments.sparkSession
+    import spark.implicits._
+    val rules = config.rules.toIndexedSeq
+    val idxByElement = rules.map(_.element).zipWithIndex.toMap
+    fragments.select("docId", "seq", "rule", "xml")
+      .as[(String, Long, String, String)].mapPartitions { rows =>
+        val eval = new XPathEvaluator(rules)
+        rows.flatMap { case (docId, seq, rule, xml) =>
+          idxByElement.get(rule).iterator.flatMap { ri =>
+            eval.tuples(Fragment(ri, seq, xml)).map { case (order, value) =>
+              ExtractedTuple(docId, seq, order, value)
+            }
+          }
+        }
+      }
+  }
+
+  /**
    * Fill-down pivot over the tuple stream — the window formulation of the reference's
    * reducer (SURVEY.md §2.3 J1 / §2.4 A2): one shuffle on docId, secondary sort
    * (seq, order), `last(_, ignoreNulls)` carry-forward per column, row emitted at each

@@ -31,6 +31,20 @@ class PipelineSpec extends SparkSpec {
     assert(h == java.lang.Long.parseLong(md5hex.take(15), 16))
   }
 
+  test("native minhash_signature expression equals the HOF formulation") {
+    assert(spark.catalog.functionExists("minhash_signature"),
+      "GraftExtensions should register the native expression")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+    val native = docs.select(col("id"), expr("minhash_signature(shingles, 32)").as("sig"))
+    val (b1, b2) = T.minhashBases(col("shingles"))
+    val hof = docs.select(col("id"), b1.as("b1"), b2.as("b2"))
+      .select(col("id"), T.minhashSignatureFromBases(col("b1"), col("b2"), 32).as("sig"))
+    val n = native.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val h = hof.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(n.toSeq == h.toSeq)
+  }
+
   test("exact dedup groups injected duplicates") {
     val out = PipelineQueries.queries("q30_dedup_exact")(spark, sf)
     val groups = out.collect()
@@ -44,7 +58,7 @@ class PipelineSpec extends SparkSpec {
   test("minhash-LSH finds exactly the brute-force near-dup pairs (recall check)") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
-    val lsh = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 32, 16), docs, 0.8)
+    val lsh = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Dedup.allPairsJaccard(docs, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
