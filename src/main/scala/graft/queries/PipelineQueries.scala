@@ -191,7 +191,18 @@ object PipelineQueries {
     "q37_multimodal_features" -> ((s, d) =>
       // binary-payload plumbing: synthesize media records, batched stub decode,
       // typed features — the mapPartitions pipeline is the oracle-gated part
-      graft.multimodal.Multimodal.featureQuery(s, d))
+      graft.multimodal.Multimodal.featureQuery(s, d)),
+
+    // ---------------------------------------------------------------- streaming op (batch mode)
+    "q38_windowed_events" -> ((s, d) => {
+      // the Structured Streaming tumbling-window aggregation run in batch mode
+      // (same code path as StreamingExtraction's stream); window start exported
+      // as epoch micros so the oracle compare stays engine-neutral
+      graft.streaming.StreamingExtraction.windowedEventStats(Tables.events(s, d))
+        .select(unix_micros(col("window_start")).as("win_us"),
+          col("event_type"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("win_us"), col("event_type"))
+    })
   )
 
   // ===================================================================== oracles
@@ -293,6 +304,10 @@ object PipelineQueries {
                                  i -> ascii(text[i:i]))) AS head_checksum,
          CAST(n_chars % 64 + 16 AS INT) AS width,
          CAST(n_chars % 48 + 12 AS INT) AS height
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q38_windowed_events" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_us, event_type"""
   )
 }
