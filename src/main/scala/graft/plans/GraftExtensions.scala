@@ -12,5 +12,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(MinHashSignatureExpr.descriptor)
+    extensions.injectFunction(CosineSimilarityExpr.descriptor)
   }
 }

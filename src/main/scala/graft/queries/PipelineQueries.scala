@@ -160,7 +160,7 @@ object PipelineQueries {
       val a = e.select(col("id").as("a"), col("vec").as("va"))
       val b = e.select(col("id").as("b"), col("vec").as("vb"))
       a.join(b, col("a") < col("b"))
-        .select(col("a"), col("b"), round(V.cosine(col("va"), col("vb")), 4).as("cos"))
+        .select(col("a"), col("b"), round(V.cosineNative(col("va"), col("vb")), 4).as("cos"))
         .where(col("cos") >= 0.3)
         .orderBy(col("a"), col("b"))
     }),

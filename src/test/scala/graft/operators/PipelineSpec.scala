@@ -45,6 +45,20 @@ class PipelineSpec extends SparkSpec {
     assert(n.toSeq == h.toSeq)
   }
 
+  test("native cosine_sim expression is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
+    val a = e.select(col("id").as("a"), col("vec").as("va"))
+    val b = e.select(col("id").as("b"), col("vec").as("vb"))
+    val pairs = a.join(b, col("a") < col("b") && col("b") - col("a") < 7)
+    val native = pairs.select(V.cosineNative(col("va"), col("vb"))).collect().map(_.getDouble(0))
+    val hof = pairs.select(V.cosine(col("va"), col("vb"))).collect().map(_.getDouble(0))
+    assert(native.length == hof.length && native.nonEmpty)
+    native.zip(hof).foreach { case (x, y) =>
+      assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+    }
+  }
+
   test("exact dedup groups injected duplicates") {
     val out = PipelineQueries.queries("q30_dedup_exact")(spark, sf)
     val groups = out.collect()
