@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(MinHashSignatureExpr.descriptor)
     extensions.injectFunction(CosineSimilarityExpr.descriptor)
+    extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }
