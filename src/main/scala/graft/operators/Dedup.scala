@@ -37,19 +37,24 @@ object Dedup {
    * The band bucket join is the scale path: corpus-size shuffle on the band
    * key, pair enumeration only inside buckets.
    */
-  def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+  def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
+                        maxBucket: Int = 10000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // Operator boundary: a doc with no features has no signature (the native
+    // kernel returns null, the HOF twin an all-null array) — drop it here so
+    // both paths agree and empty docs never collide into one bucket.
+    val nonEmpty = docs.where(size(col("shingles")) > 0)
     // native codegen'd kernel when GraftExtensions is installed; value-identical
     // HOF fallback otherwise (two-step projection: the Kirsch-Mitzenmacher base
     // hashes — 2 md5/shingle — materialize once, then all k functions derive
     // arithmetically; CollapseProject keeps multiply-referenced aliases)
     val sigs =
       if (docs.sparkSession.catalog.functionExists("minhash_signature"))
-        docs.select(col("id"), expr(s"minhash_signature(shingles, $k)").as("sig"))
+        nonEmpty.select(col("id"), expr(s"minhash_signature(shingles, $k)").as("sig"))
       else {
         val (b1, b2) = TextFunctions.minhashBases(col("shingles"))
-        docs.select(col("id"), b1.as("b1"), b2.as("b2"))
+        nonEmpty.select(col("id"), b1.as("b1"), b2.as("b2"))
           .select(col("id"),
             TextFunctions.minhashSignatureFromBases(col("b1"), col("b2"), k).as("sig"))
       }
@@ -60,11 +65,22 @@ object Dedup {
         j => slice(col("sig"), j * r + 1, lit(r)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    banded
+    val buckets = banded
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
+    // Hot-bucket guard: a degenerate bucket (mass-duplicated boilerplate)
+    // would go quadratic on one reducer under pairsOf. Above `maxBucket`,
+    // emit only star pairs (every id against the bucket minimum) — O(bucket)
+    // work that preserves the connected component a dedup pass needs, while
+    // normal buckets keep the exact all-pairs enumeration.
+    val small = buckets.where(size(col("ids")) <= maxBucket)
       .select(explode(pairsOf(col("ids"))).as("p"))
+    val hot = buckets.where(size(col("ids")) > maxBucket)
+      .select(explode(transform(
+        slice(col("ids"), lit(2), greatest(size(col("ids")) - 1, lit(0))),
+        y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))).as("p"))
+    small.unionByName(hot)
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
@@ -135,5 +151,50 @@ object Dedup {
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Scale-safe SimHash pair enumeration via pigeonhole banding: the 62-bit
+   * signature is split into `maxHamming + 1` contiguous chunks, so any pair
+   * within `maxHamming` bit flips must agree EXACTLY on at least one chunk
+   * (pigeonhole: `maxHamming` flips cannot touch all `maxHamming + 1` chunks).
+   * Candidates come from equi-joins on (chunk index, chunk value) — a corpus
+   * shuffle on the chunk key, never an all-pairs join — then the exact 62-bit
+   * Hamming distance verifies each candidate.
+   *
+   * Pair-identical to [[simhashPairs]] (the all-pairs oracle twin): banding
+   * only generates candidates, the Hamming verify is exact, and pigeonhole
+   * guarantees no qualifying pair is missed. Asserted in DedupSpec.
+   */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val base = 62 / nChunks
+    val rem = 62 % nChunks
+    // chunk widths: first `rem` chunks get an extra bit; offsets are static,
+    // so shiftright/mask stay plain codegen'd literals
+    val chunkExprs = (0 until nChunks).map { c =>
+      val width = base + (if (c < rem) 1 else 0)
+      val offset = (0 until c).map(i => base + (if (i < rem) 1 else 0)).sum
+      val mask = (1L << width) - 1L
+      shiftright(col("sig"), offset).bitwiseAND(lit(mask))
+    }
+    val sigs = docs
+      .select(col("id"),
+        transform(col("shingles"), s => TextFunctions.hash60(s)).as("hs"))
+      .select(col("id"), TextFunctions.simhash62("hs").as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      posexplode(array(chunkExprs: _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunks.select(col("id").as("a"), col("sig").as("sig_a"),
+      col("chunk"), col("chunk_val"))
+    val b = chunks.select(col("id").as("b"), col("sig").as("sig_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -12,31 +11,44 @@ import graft.functions.VectorFunctions._
  * Input convention: a DataFrame with `id` (long) and `vec` (array<double>).
  *
  * Scale posture: the brute-force path broadcasts the (small) query set against
- * the (huge) corpus — a broadcast nested-loop with per-partition top-k via
- * window rank, no corpus shuffle. The LSH path buckets the corpus by a
- * deterministic random-hyperplane signature so the candidate join is an
- * equi-join on the signature; at 100 TB the bucketed corpus can also be
- * written partitioned by signature for index-style reads.
+ * the (huge) corpus — a broadcast nested-loop with no corpus shuffle — and the
+ * per-query top-k runs through the native bounded-heap aggregate
+ * [[graft.plans.TopKByExpr]] (`topk_by`), so each task truncates to k entries
+ * map-side and the exchange carries ≈ tasks × queries × k rows instead of
+ * N × Q (a window `row_number` would land all N scored rows of one query on a
+ * single reducer). The LSH path buckets the corpus by a deterministic
+ * random-hyperplane signature so the candidate join is an equi-join on the
+ * signature; at 100 TB the bucketed corpus can also be written partitioned by
+ * signature for index-style reads.
+ *
+ * Requires `spark.sql.extensions=graft.plans.GraftExtensions` (for
+ * `cosine_sim` and `topk_by`).
  */
 object Similarity {
+
+  /** Per-query top-k via the bounded-heap aggregate, exploded back to
+   * (query_id, rank, neighbor_id, cos) in `row_number` keep-order. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by", col("cos"), col("neighbor_id"), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("cos"))
 
   /**
    * Exact top-k cosine neighbors of each query vector (self-match excluded).
    * `queries` is expected to be small — it is broadcast, so the corpus is
-   * scanned once with no shuffle; the window's top-k runs per query id.
+   * scanned once with no shuffle; the bounded-heap partial aggregation keeps
+   * the top-k exchange at tasks × queries × k rows.
    */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    corpus.select(col("id").as("neighbor_id"), col("vec"))
+    val scored = corpus.select(col("id").as("neighbor_id"), col("vec"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineNative(col("vec"), col("qvec")).as("cos"))
-      .withColumn("rank", row_number().over(rankW))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+    topK(scored, k)
   }
 
   /**
@@ -59,16 +71,52 @@ object Similarity {
         // SQL expr: shiftleft with a column shift amount is only reachable
         // through the SQL parser (the Scala API takes a static Int)
         expr(s"explode(concat(array(qsig), transform(sequence(0, ${nBits - 1}), b -> qsig ^ shiftleft(1L, b))))").as("sig"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    signed.join(broadcast(probes.drop("qsig")), Seq("sig"))
+    val scored = signed.join(broadcast(probes.drop("qsig")), Seq("sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineNative(col("vec"), col("qvec")).as("cos"))
+      // multi-probe can surface the same (query, neighbor) from several buckets
       .distinct()
-      .withColumn("rank", row_number().over(rankW))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+    topK(scored, k)
+  }
+
+  /**
+   * LSH-bucketed near-duplicate pairs over an embedding corpus — the
+   * scale-safe twin of the all-pairs `a.join(b, a < b)` formulation: the
+   * corpus is signed once with `bitsPerTable * nTables` deterministic
+   * hyperplane bits, each table's bit-slice is an equi-join key (same banding
+   * pattern as [[Dedup.minhashCandidates]]), and exact cosine verifies every
+   * candidate — so precision is exact and only recall is probabilistic, with
+   * per-pair miss probability `(1 - p^r)^L` for hyperplane agreement
+   * probability `p = 1 - θ/π`.
+   *
+   * Parameter guidance: production near-dup thresholds (≥ 0.9 ⇒ p ≈ 0.86) use
+   * wider tables (r = 8..16) for small buckets; low thresholds need narrow
+   * tables (r = 2) and more of them to hold recall. On the test corpus the
+   * default (2, 16) has measured recall 1.0 vs the all-pairs oracle — q34 runs
+   * THIS path against the quadratic DuckDB oracle, the q32 pattern.
+   */
+  def nearDupLsh(vecs: DataFrame, dim: Int, threshold: Double,
+                 bitsPerTable: Int = 2, nTables: Int = 16): DataFrame = {
+    val totalBits = bitsPerTable * nTables
+    val mask = (1L << bitsPerTable) - 1L
+    val signed = vecs.select(col("id"), col("vec"),
+      hyperplaneSignature(col("vec"), dim, totalBits).as("sig"))
+    // per-table bit-slice keys; shift amount is a column (t * r) → SQL parser
+    val banded = signed.select(col("id"), col("vec"),
+      expr(s"posexplode(transform(sequence(0, ${nTables - 1}), " +
+        s"t -> shiftright(sig, t * $bitsPerTable) & ${mask}L))"))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("id").as("a"), col("vec").as("va"),
+      col("table"), col("bucket"))
+    val b = banded.select(col("id").as("b"), col("vec").as("vb"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosineNative(col("va"), col("vb")), 4).as("cos"))
+      .distinct()
+      .where(col("cos") >= threshold)
   }
 }

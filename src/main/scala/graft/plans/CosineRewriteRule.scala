@@ -60,10 +60,23 @@ object CosineRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** True iff `v` IS the lambda's own `idx`-th argument (not an outer capture
+   * or a repeated variable) — guards against shapes like `(x,y) -> x*x` or
+   * `(acc,x) -> acc+acc` matching as a dot/sum. */
+  private def binds(v: NamedLambdaVariable, args: Seq[Any], idx: Int): Boolean =
+    idx < args.length && (args(idx) match {
+      case a: NamedLambdaVariable => v.exprId == a.exprId
+      case _ => false
+    })
+
   /** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x) */
   private object Dot {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case SumFold(ZipWith(a, b, LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _))) =>
+      case SumFold(ZipWith(a, b,
+            LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), args, _)))
+          if args.length == 2 &&
+            binds(x, args, 0) &&
+            binds(y, args, 1) =>
         Some((a, b))
       case _ => None
     }
@@ -72,8 +85,10 @@ object CosineRewriteRule extends Rule[LogicalPlan] {
   /** sqrt(aggregate(transform(v, x -> x*x), 0.0, +)) */
   private object SqrtNorm {
     def unapply(e: Expression): Option[Expression] = e match {
-      case Sqrt(SumFold(ArrayTransform(v, LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _))))
-          if x.exprId == y.exprId =>
+      case Sqrt(SumFold(ArrayTransform(v,
+            LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), args, _))))
+          if x.exprId == y.exprId && args.length >= 1 &&
+            binds(x, args, 0) =>
         Some(v)
       case _ => None
     }
@@ -85,9 +100,11 @@ object CosineRewriteRule extends Rule[LogicalPlan] {
       case ArrayAggregate(
             arr,
             DoubleLit(0.0),
-            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(acc: NamedLambdaVariable, x: NamedLambdaVariable, _), args, _),
             LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
-          if fin.exprId == finArg.exprId =>
+          if fin.exprId == finArg.exprId && args.length == 2 &&
+            binds(acc, args, 0) &&
+            binds(x, args, 1) =>
         Some(arr)
       case _ => None
     }

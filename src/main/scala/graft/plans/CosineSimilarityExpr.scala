@@ -30,13 +30,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
         s"cosine_sim expects (array<double>, array<double>), got (${l.simpleString(5)}, ${r.simpleString(5)})")
     }
   override def dataType: DataType = DoubleType
+  // beyond null inputs, the kernel yields null for ragged/null-element arrays
+  // (matching the HOF formulation this expression replaces)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CosineKernel.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $boxed = graft.plans.CosineKernel.cosine($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
     copy(left = newLeft, right = newRight)
@@ -53,13 +63,24 @@ object CosineSimilarityExpr {
 }
 
 object CosineKernel {
-  /** Same fold order as `aggregate(zip_with(a,b,*), 0.0, +)` → identical doubles. */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /**
+   * Same fold order as `aggregate(zip_with(a,b,*), 0.0, +)` → identical
+   * doubles. Same null semantics too: unequal lengths (zip_with null-pads,
+   * poisoning the fold) or any null element → null, exactly what the HOF
+   * formulation yields — so the optimizer rewrite never changes results.
+   */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
-    var i = 0
+    i = 0
     while (i < n) {
       val x = a.getDouble(i)
       val y = b.getDouble(i)
@@ -67,10 +88,10 @@ object CosineKernel {
       i += 1
     }
     i = 0
-    while (i < a.numElements()) { val x = a.getDouble(i); na += x * x; i += 1 }
+    while (i < n) { val x = a.getDouble(i); na += x * x; i += 1 }
     i = 0
-    while (i < b.numElements()) { val y = b.getDouble(i); nb += y * y; i += 1 }
+    while (i < n) { val y = b.getDouble(i); nb += y * y; i += 1 }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0) 0.0 else dot / denom
+    if (denom == 0) java.lang.Double.valueOf(0.0) else java.lang.Double.valueOf(dot / denom)
   }
 }

@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(MinHashSignatureExpr.descriptor)
     extensions.injectFunction(CosineSimilarityExpr.descriptor)
+    extensions.injectFunction(TopKByExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

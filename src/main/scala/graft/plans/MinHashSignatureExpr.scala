@@ -34,13 +34,24 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
       s"minhash_signature expects array<string>, got ${other.simpleString(10)}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null for an empty shingle array (no features → no signature), mirroring
+  // the HOF fallback where array_min over an empty array yields null
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   override protected def nullSafeEval(input: Any): Any =
     MinHashKernel.signature(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.MinHashKernel.signature($c, $k)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $sig =
+         |  graft.plans.MinHashKernel.signature($c, $k);
+         |if ($sig == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $sig; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
     copy(child = newChild)
@@ -80,10 +91,14 @@ object MinHashKernel {
   }
 
   def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    // no features → null, matching the HOF twin (array_min of empty → null);
+    // a Long.MaxValue-filled signature would collide every empty doc into one
+    // LSH bucket
+    if (n == 0) return null
     val md = md5.get()
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)
-    val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i).getBytes

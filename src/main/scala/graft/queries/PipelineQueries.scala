@@ -155,13 +155,13 @@ object PipelineQueries {
     }),
 
     "q34_embed_neardup" -> ((s, d) => {
-      // embedding-cosine near-dup candidates over a bounded subset
-      val e = embVecs(s, d, col("vec_id") % 5 === 0)
-      val a = e.select(col("id").as("a"), col("vec").as("va"))
-      val b = e.select(col("id").as("b"), col("vec").as("vb"))
-      a.join(b, col("a") < col("b"))
-        .select(col("a"), col("b"), round(V.cosineNative(col("va"), col("vb")), 4).as("cos"))
-        .where(col("cos") >= 0.3)
+      // embedding-cosine near-dups via the LSH-banded scale path (2-bit × 16
+      // tables of deterministic hyperplane buckets, exact cosine verify) —
+      // gated against the full quadratic DuckDB oracle, so its recall on this
+      // corpus is PROVEN 1.0, the same pattern as q32's MinHash-LSH
+      Similarity.nearDupLsh(
+        embVecs(s, d, col("vec_id") % 5 === 0),
+        dim = 64, threshold = 0.3)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -178,8 +178,9 @@ object PipelineQueries {
 
     "q36_ann_lsh" -> ((s, d) => {
       // approximate variant: random-hyperplane signature buckets + 1-bit
-      // multi-probe, exact re-rank inside candidates. No SQL oracle (approximate
-      // by construction) — recall vs q35 is asserted in SimilaritySpec.
+      // multi-probe, exact re-rank inside candidates. The signature is pure
+      // md5 parity, so the DuckDB oracle below reproduces the SAME approximate
+      // index — recall vs q35 is additionally asserted in SimilaritySpec.
       Similarity.annLsh(
         corpus = embVecs(s, d),
         queries = embVecs(s, d, col("vec_id") % 100 === 0),
@@ -294,14 +295,45 @@ object PipelineQueries {
                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // DuckDB twin of [[Similarity.annLsh]]: the hyperplane signature is pure
+    // md5 parity (VectorFunctions.hyperplaneSignature), so the *approximate*
+    // index is itself deterministic and reproducible in SQL — same signatures,
+    // same 1-bit multi-probe buckets, same exact-cosine re-rank.
+    "q36_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sigs AS (
+           SELECT vec_id, v,
+             CAST(list_reduce(list_concat([0::BIGINT], list_transform(range(0, 8), j ->
+               CASE WHEN list_reduce(list_transform(range(0, 64), i ->
+                           v[i+1] * (CASE WHEN CAST(concat('0x', substr(md5(concat(j, ':', i)), 32, 1)) AS INT) % 2 = 1
+                                     THEN 1.0 ELSE -1.0 END)),
+                         (x, y) -> x + y) > 0
+               THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (x, y) -> x + y) AS BIGINT) AS sig
+           FROM e),
+         probes AS (
+           SELECT query_id, qv, UNNEST(allsigs) AS sig FROM (
+             SELECT vec_id AS query_id, v AS qv,
+                    list_concat([sig], list_transform(range(0, 8), b -> xor(sig, 1::BIGINT << b))) AS allsigs
+             FROM sigs WHERE vec_id % 100 = 0)),
+         cand AS (
+           SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, ${duckCos("c.v", "p.qv")} AS cos
+           FROM sigs c JOIN probes p ON c.sig = p.sig
+           WHERE c.vec_id != p.query_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM cand) WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "q37_multimodal_features" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
          octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_md5,
-         list_sum(list_transform(range(1, least(length(text), 16) + 1),
-                                 i -> ascii(text[i:i]))) AS head_checksum,
+         CAST(coalesce(list_sum(list_transform(
+                range(1, least(octet_length(encode(text)), 16) + 1),
+                i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2)) AS BIGINT))),
+              0) AS BIGINT) AS head_checksum,
          CAST(n_chars % 64 + 16 AS INT) AS width,
          CAST(n_chars % 48 + 12 AS INT) AS height
          FROM documents ORDER BY doc_id""",

@@ -290,7 +290,7 @@ object RelationalQueries {
          GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q08_join_outer" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-         sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_without_items
+         CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_items
          FROM orders LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
          ON o_orderkey = l.l_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",

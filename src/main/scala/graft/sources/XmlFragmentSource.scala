@@ -80,7 +80,7 @@ private[sources] class XmlFragmentScanBuilder(path: String, rules: IndexedSeq[Ex
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = XmlFragmentSource.schema
-  private var ruleEq: Option[String] = None
+  private var ruleEqs: Set[String] = Set.empty
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -91,74 +91,140 @@ private[sources] class XmlFragmentScanBuilder(path: String, rules: IndexedSeq[Ex
       case _ => false
     }
     pushed = accepted
-    ruleEq = accepted.collectFirst { case EqualTo(_, v: String) => v }
+    // ALL pushed equalities are intersected: `rule='a' AND rule='b'` has two
+    // distinct values, the intersection is empty, and the scan emits no rows —
+    // matching what Spark would compute above the scan
+    ruleEqs = accepted.collect { case EqualTo(_, v: String) => v }.toSet
     rest // everything else is evaluated by Spark above the scan
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new XmlFragmentScan(path, rules, required, ruleEq)
+  override def build(): Scan = new XmlFragmentScan(path, rules, required, ruleEqs)
 }
 
 private[sources] class XmlFragmentScan(path: String, rules: IndexedSeq[ExtractionRule],
-                                       required: StructType, ruleEq: Option[String])
+                                       required: StructType, ruleEqs: Set[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xml path=$path rules=${rules.map(_.element).mkString(",")}" +
-      ruleEq.map(r => s" pushedRule=$r").getOrElse("")
+      (if (ruleEqs.nonEmpty) s" pushedRules=${ruleEqs.mkString(",")}" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side listing with the session's Hadoop conf; one partition per
-    // file — at 100 TB the unit of parallelism is the document/file, exactly
-    // like the reference's non-splittable input format
-    val hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
+    // Driver-side listing with the session's Hadoop conf. Files are packed
+    // into shared partitions up to spark.sql.files.maxPartitionBytes (with
+    // the standard openCostInBytes padding per file), so a 100 TB layout of
+    // millions of small documents doesn't produce millions of partitions —
+    // but a file is never split (the document is the indivisible unit, the
+    // reference's `isSplitable = false`).
+    val session = SparkSession.active
+    val hadoopConf = session.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
-    val statuses =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.isFile)
-      else Array(fs.getFileStatus(p))
-    statuses.sortBy(_.getPath.toString)
-      .map(s => XmlFilePartition(s.getPath.toString): InputPartition)
+    val globbed: Array[org.apache.hadoop.fs.FileStatus] =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = globbed.flatMap { st =>
+      if (st.isDirectory) {
+        // recursive listing below each matched directory
+        val it = fs.listFiles(st.getPath, true)
+        val buf = Array.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.result()
+      } else Array(st)
+    }.filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.toString)
+
+    import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    val maxBytes =
+      byteStringAsBytes(session.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val openCost =
+      byteStringAsBytes(session.conf.get("spark.sql.files.openCostInBytes", "4m"))
+
+    val partitions = Array.newBuilder[InputPartition]
+    val current = Array.newBuilder[String]
+    var currentBytes = 0L
+    var currentN = 0
+    def flush(): Unit = if (currentN > 0) {
+      partitions += XmlFilesPartition(current.result())
+      current.clear(); currentBytes = 0L; currentN = 0
+    }
+    files.foreach { st =>
+      val cost = st.getLen + openCost
+      if (currentN > 0 && currentBytes + cost > maxBytes) flush()
+      current += st.getPath.toString
+      currentBytes += cost
+      currentN += 1
+    }
+    flush()
+    partitions.result()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new XmlFragmentReaderFactory(rules, required.fieldNames, ruleEq)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Hadoop Configuration is not Serializable; ship the driver conf's
+    // resolved properties and rebuild it on executors so filesystem settings
+    // and credentials (fs.defaultFS, S3A keys, ...) survive the trip.
+    val hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
+    val confProps: Array[(String, String)] =
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    new XmlFragmentReaderFactory(rules, required.fieldNames, ruleEqs, confProps)
+  }
 }
 
-private[sources] case class XmlFilePartition(file: String) extends InputPartition
+private[sources] case class XmlFilesPartition(files: Array[String]) extends InputPartition
 
 private[sources] class XmlFragmentReaderFactory(
-    rules: IndexedSeq[ExtractionRule], fields: Array[String], ruleEq: Option[String])
+    rules: IndexedSeq[ExtractionRule], fields: Array[String], ruleEqs: Set[String],
+    confProps: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new XmlFragmentReader(partition.asInstanceOf[XmlFilePartition].file, rules, fields, ruleEq)
+    new XmlFragmentReader(partition.asInstanceOf[XmlFilesPartition].files,
+      rules, fields, ruleEqs, confProps)
 }
 
 private[sources] class XmlFragmentReader(
-    file: String, rules: IndexedSeq[ExtractionRule], fields: Array[String],
-    ruleEq: Option[String])
+    files: Array[String], rules: IndexedSeq[ExtractionRule], fields: Array[String],
+    ruleEqs: Set[String], confProps: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
-  private val docId = file.substring(file.lastIndexOf('/') + 1)
+  private lazy val hadoopConf = {
+    val c = new Configuration(false)
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
-  private lazy val fragments = {
+  private def scanFile(file: String): IndexedSeq[graft.xml.Fragment] = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     val in = fs.open(p)
     val content =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     val all = FragmentScanner.scan(content, rules)
-    ruleEq match {
-      case Some(r) => all.filter(f => rules(f.ruleIndex).element == r)
-      case None => all
-    }
+    if (ruleEqs.isEmpty) all
+    // single pushed value: equality; 2+ distinct values: empty intersection
+    else if (ruleEqs.size == 1) all.filter(f => rules(f.ruleIndex).element == ruleEqs.head)
+    else IndexedSeq.empty
   }
 
+  private var fileIdx = -1
+  private var docId: String = _
+  private var fragments: IndexedSeq[graft.xml.Fragment] = IndexedSeq.empty
   private var idx = -1
 
-  override def next(): Boolean = { idx += 1; idx < fragments.length }
+  override def next(): Boolean = {
+    idx += 1
+    while (idx >= fragments.length) {
+      fileIdx += 1
+      if (fileIdx >= files.length) return false
+      val file = files(fileIdx)
+      docId = file.substring(file.lastIndexOf('/') + 1)
+      fragments = scanFile(file)
+      idx = 0
+    }
+    true
+  }
 
   override def get(): InternalRow = {
     val f = fragments(idx)

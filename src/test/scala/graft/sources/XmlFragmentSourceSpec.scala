@@ -46,7 +46,7 @@ class XmlFragmentSourceSpec extends SparkSpec {
     val df = read().where(col("rule") === "book")
     val explained = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(explained.contains("pushedRule=book"), explained)
+    assert(explained.contains("pushedRules=book"), explained)
     val rules = df.select("rule").distinct().collect().map(_.getString(0)).toSeq
     assert(rules == Seq("book"))
   }
