@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.queries.Tables
+
+/**
+ * Proofs for the scale-safe paths: each banded/bounded formulation must return
+ * exactly what its quadratic twin returns on the test corpus — banding
+ * generates candidates, exact verification decides, so the only way to lose a
+ * pair is a candidate miss, and these tests pin recall at 1.0 where the
+ * parameters guarantee it.
+ */
+class ScaleOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docShingles = Tables.documents(spark, sf)
+    .where(col("doc_id") % 3 === 0)
+    .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+
+  private def embSubset = Tables.embeddings(spark, sf)
+    .where(col("vec_id") % 5 === 0)
+    .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
+
+  test("banded simhash enumeration returns exactly the all-pairs result") {
+    val allPairs = Dedup.simhashPairs(docShingles, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashCandidates(docShingles, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(allPairs.nonEmpty, "corpus should contain simhash near-dups")
+    // pigeonhole: <= 12 flips over 13 chunks must leave one chunk untouched,
+    // so banding cannot miss a qualifying pair; Hamming verify is exact
+    assert(banded == allPairs)
+  }
+
+  test("embedding near-dup LSH returns exactly the all-pairs result (recall 1.0)") {
+    val e = embSubset
+    val a = e.select(col("id").as("a"), col("vec").as("va"))
+    val b = e.select(col("id").as("b"), col("vec").as("vb"))
+    val allPairs = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), round(V.cosineNative(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.nearDupLsh(e, dim = 64, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(allPairs.nonEmpty, "subset should contain near-dup pairs at 0.3")
+    // exact-cosine verify ⇒ precision 1.0 by construction; with 2-bit × 16
+    // tables the candidate miss probability is (1 - p²)^16 per pair and the
+    // deterministic signatures give measured recall 1.0 on this corpus
+    assert(lsh == allPairs)
+  }
+
+  test("topk_by aggregate equals the window row_number formulation") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
+    val queries = corpus.where(col("id") % 100 === 0)
+    val viaAgg = Similarity.knnBruteForce(corpus, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val viaWindow = corpus.select(col("id").as("neighbor_id"), col("vec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        V.cosineNative(col("vec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg == viaWindow)
+  }
+
+  test("hot LSH buckets fall back to linear star pairs, preserving connectivity") {
+    import spark.implicits._
+    // 1000 docs with IDENTICAL feature sets: every band bucket holds all ids,
+    // which under all-pairs enumeration would be ~500k pairs per band
+    val degenerate = (1L to 1000L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("id", "text")
+      .select(col("id"), T.shingles(col("text"), 2).as("shingles"))
+    val pairs = Dedup.minhashCandidates(degenerate, 36, 12, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star pattern: every id pairs with the bucket minimum — O(n) edges that
+    // keep the whole duplicate cluster one connected component
+    assert(pairs.length == 999)
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2).toSet == (2L to 1000L).toSet)
+  }
+
+  test("minhash candidates ignore empty-shingle docs on both kernel paths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a b", "b c")), (2L, Seq("a b", "b c")),
+      (3L, Seq.empty[String]), (4L, Seq.empty[String]))
+      .toDF("id", "shingles")
+    val pairs = Dedup.minhashCandidates(docs, 36, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the two empty docs must NOT collide into a bucket pair
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("native minhash_signature returns null for an empty shingle array") {
+    val row = spark.sql(
+      "SELECT minhash_signature(CAST(array() AS ARRAY<STRING>), 8) AS sig").first()
+    assert(row.isNullAt(0))
+  }
+
+  test("cosine_sim matches HOF null semantics on ragged and null-element arrays") {
+    val df = spark.sql(
+      """SELECT
+         cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)) AS ragged,
+         cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS withNull,
+         cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS clean""")
+    val r = df.first()
+    assert(r.isNullAt(0), "unequal lengths must yield null (zip_with pads with null)")
+    assert(r.isNullAt(1), "a null element must propagate to null")
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("cosine rewrite rule skips lambdas that don't bind both arguments in order") {
+    val e = embSubset
+    val a = e.select(col("id").as("a"), col("vec").as("va"))
+    val b = e.select(col("id").as("b"), col("vec").as("vb"))
+    // cosine-shaped expression whose "dot" is (x, y) -> x * x: NOT a dot
+    // product, must not be rewritten to cosine_sim
+    def fsum(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val fakeDot = fsum(zip_with(col("va"), col("vb"), (x, _) => x * x))
+    val nn = sqrt(fsum(transform(col("va"), x => x * x))) *
+      sqrt(fsum(transform(col("vb"), x => x * x)))
+    val pairs = a.join(b, col("a") < col("b") && col("b") - col("a") < 5)
+      .select(when(nn === 0, 0.0).otherwise(fakeDot / nn).as("notCos"))
+    val optimized = pairs.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim"), optimized)
+  }
+}

@@ -66,6 +66,36 @@ class XmlFragmentSourceSpec extends SparkSpec {
     assert(!scanLine.contains("xml#") || scanLine.contains("ReadSchema"), scanLine)
   }
 
+  test("nested directory trees list recursively, globs expand, small files pack") {
+    val root = Files.createTempDirectory("graft-dsv2-nested")
+    val subA = Files.createDirectory(root.resolve("a"))
+    val subB = Files.createDirectory(root.resolve("a").resolve("deep"))
+    val subC = Files.createDirectory(root.resolve("b"))
+    Files.writeString(subA.resolve("InventorySoho.xml"), resourceText("InventorySoho.xml"))
+    Files.writeString(subB.resolve("InventoryBanks.xml"), resourceText("InventoryBanks.xml"))
+    Files.writeString(subC.resolve("InventorySoho2.xml"), resourceText("InventorySoho.xml"))
+    Files.writeString(root.resolve("_SUCCESS"), "") // marker files are skipped
+
+    def readPath(p: String) =
+      spark.read.format("graft-xml").option("config", configPath).load(p)
+
+    val all = readPath(root.toString)
+    val docs = all.select("docId").distinct().collect().map(_.getString(0)).toSet
+    assert(docs == Set("InventorySoho.xml", "InventoryBanks.xml", "InventorySoho2.xml"))
+    // three small files fit one maxPartitionBytes budget → packed together
+    assert(all.rdd.getNumPartitions == 1)
+
+    // glob limits to the matching subtree (a/* = the direct file + deep/, recursed)
+    val globbed = readPath(s"$root/a/*")
+    val globbedDocs = globbed.select("docId").distinct().collect().map(_.getString(0)).toSet
+    assert(globbedDocs == Set("InventorySoho.xml", "InventoryBanks.xml"))
+  }
+
+  test("conflicting pushed rule equalities yield the empty intersection") {
+    val df = read().where(col("rule") === "book" && col("rule") === "store")
+    assert(df.count() == 0)
+  }
+
   test("DSv2 fragments + tuple/window pipeline == fused extractRows") {
     val config = ExtractionConfig.fromXml(resourceText("ExtractInventory.xml"))
     val viaDsv2 = XmlExtraction.pivotRows(
