@@ -206,41 +206,61 @@ object XmlExtraction {
   // ---------------------------------------------------------------------------
 
   /**
-   * Per-partition XPath machinery: DOM parse each fragment, evaluate every configured
-   * expression as NODESET, concatenate matched nodes' `getNodeValue` with no separator
-   * (`XmlExtractor.java:97-117`); expressions that match nothing emit nothing; per-
-   * expression errors are swallowed (reference prints + drops, `:114-117`).
+   * Per-partition XPath machinery, two engines behind one interface:
+   *
+   *  - **StAX fast path** ([[StaxRuleEvaluator]]): when EVERY projection of a
+   *    rule fits the config grammar's XPath subset (`//steps/@attr`,
+   *    `//steps/text()`), one pull-parse pass evaluates the whole rule with
+   *    no DOM — this is the hot path for all shipped reference configs.
+   *  - **DOM fallback**: any rule with an unsupported expression keeps full
+   *    XPath — DOM parse each fragment, evaluate every expression as NODESET,
+   *    concatenate matched nodes' `getNodeValue` with no separator
+   *    (`XmlExtractor.java:97-117`); expressions that match nothing emit
+   *    nothing; per-expression errors are swallowed (reference prints +
+   *    drops, `:114-117`).
    */
   private final class XPathEvaluator(rules: IndexedSeq[ExtractionRule]) extends Serializable {
-    private val dbf = {
+    // per rule: Right(stax) when the whole rule compiles to the subset
+    private val engines: IndexedSeq[Either[IndexedSeq[(Int, XPathExpression)], StaxRuleEvaluator]] = {
+      lazy val xpath = XPathFactory.newInstance().newXPath()
+      rules.map { rule =>
+        val subset = rule.xpaths.toIndexedSeq
+          .map(p => StaxProjector.compile(p.xpath).map(c => (p.order, c)))
+        if (subset.forall(_.isDefined))
+          Right(new StaxRuleEvaluator(subset.flatten))
+        else
+          Left(rule.xpaths.toIndexedSeq.map(p => (p.order, xpath.compile(p.xpath))))
+      }
+    }
+    private lazy val builder = {
       val f = DocumentBuilderFactory.newInstance()
       f.setNamespaceAware(true)
-      f
+      f.newDocumentBuilder()
     }
-    private val builder = dbf.newDocumentBuilder()
-    private val xpath = XPathFactory.newInstance().newXPath()
-    // compiled expression cache, keyed by rule index (expressions repeat per fragment)
-    private val compiled: IndexedSeq[IndexedSeq[(Int, XPathExpression)]] =
-      rules.map(_.xpaths.toIndexedSeq.map(p => (p.order, xpath.compile(p.xpath))))
 
     def tuples(frag: Fragment): Seq[(Int, String)] = {
       try {
-        builder.reset()
-        val doc = builder.parse(new ByteArrayInputStream(frag.xml.getBytes("UTF-8")))
-        compiled(frag.ruleIndex).flatMap { case (order, expr) =>
-          try {
-            val nodes = expr.evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
-            if (nodes.getLength > 0) {
-              val sb = new StringBuilder
-              var i = 0
-              while (i < nodes.getLength) { sb.append(nodes.item(i).getNodeValue); i += 1 }
-              Some((order, sb.toString))
-            } else None
-          } catch { case _: Exception => None }
-          // within one fragment all tuples share `seq`; the reference's shuffle then
-          // orders them by `order` (XmlReducerKeySortComparator.java:21-24) — replicate
-          // so the fused fold sees the same sequence as the reducer
-        }.sortBy(_._1)
+        val unordered = engines(frag.ruleIndex) match {
+          case Right(stax) => stax.eval(frag.xml)
+          case Left(compiled) =>
+            builder.reset()
+            val doc = builder.parse(new ByteArrayInputStream(frag.xml.getBytes("UTF-8")))
+            compiled.flatMap { case (order, expr) =>
+              try {
+                val nodes = expr.evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
+                if (nodes.getLength > 0) {
+                  val sb = new StringBuilder
+                  var i = 0
+                  while (i < nodes.getLength) { sb.append(nodes.item(i).getNodeValue); i += 1 }
+                  Some((order, sb.toString))
+                } else None
+              } catch { case _: Exception => None }
+            }
+        }
+        // within one fragment all tuples share `seq`; the reference's shuffle then
+        // orders them by `order` (XmlReducerKeySortComparator.java:21-24) — replicate
+        // so the fused fold sees the same sequence as the reducer
+        unordered.sortBy(_._1)
       } catch { case _: Exception => Seq.empty } // unparseable fragment: all tuples dropped
     }
   }
