@@ -42,6 +42,12 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Native codegen'd hyperplane signature ([[graft.plans.HyperplaneSignatureExpr]],
+   * registered by GraftExtensions) — value-identical to [[hyperplaneSignature]],
+   * one fused loop instead of an nBits×dim-term expression tree. */
+  def hyperplaneSignatureNative(v: Column, dim: Int, nBits: Int): Column =
+    call_function("hyperplane_sig", v, lit(dim), lit(nBits))
+
   /**
    * Random-hyperplane LSH signature (`nBits` sign bits): plane j's i-th weight is
    * ±1 derived from the parity of the md5-based [[TextFunctions.hash60]] of

@@ -134,23 +134,33 @@ object Dedup {
   /**
    * SimHash near-dup pairs over a (pre-filtered) corpus: 62-bit signatures, then
    * pairs within `maxHamming` bit flips. The signature computation is the scale
-   * path (one narrow pass); pair enumeration here is all-pairs for the
-   * oracle-checked subset. (At corpus scale one would band the signature into
-   * `maxHamming + 1` chunks — pigeonhole — and equi-join on chunks, same
-   * pattern as [[minhashCandidates]].)
+   * path (one narrow pass); pair enumeration here is all-pairs — the
+   * oracle-checked quadratic twin of [[simhashCandidates]], which bands the
+   * signature (pigeonhole) for corpus scale and is proven pair-identical in
+   * ScaleOpsSpec.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // feature hashes materialize once; the 62-bit fold then reuses the array
-    val sigs = docs
-      .select(col("id"),
-        transform(col("shingles"), s => TextFunctions.hash60(s)).as("hs"))
-      .select(col("id"), TextFunctions.simhash62("hs").as("sig"))
+    val sigs = simhashSigs(docs)
     val a = sigs.select(col("id").as("a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("b"), col("sig").as("sig_b"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+
+  /** (id, sig) SimHash signatures: native codegen'd kernel when
+   * GraftExtensions is installed, value-identical HOF fold otherwise; the
+   * feature hashes materialize once either way. */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("id"),
+      transform(col("shingles"), s => TextFunctions.hash60(s)).as("hs"))
+    if (docs.sparkSession.catalog.functionExists("simhash62"))
+      hashed.select(col("id"), call_function("simhash62", col("hs")).as("sig"))
+    else
+      hashed.select(col("id"), TextFunctions.simhash62("hs").as("sig"))
   }
 
   /**
@@ -178,10 +188,7 @@ object Dedup {
       val mask = (1L << width) - 1L
       shiftright(col("sig"), offset).bitwiseAND(lit(mask))
     }
-    val sigs = docs
-      .select(col("id"),
-        transform(col("shingles"), s => TextFunctions.hash60(s)).as("hs"))
-      .select(col("id"), TextFunctions.simhash62("hs").as("sig"))
+    val sigs = simhashSigs(docs)
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "chunk")

@@ -60,9 +60,9 @@ object Similarity {
   def annLsh(corpus: DataFrame, queries: DataFrame, dim: Int, nBits: Int,
              k: Int, probeBitFlips: Boolean = true): DataFrame = {
     val signed = corpus.select(col("id").as("neighbor_id"), col("vec"),
-      hyperplaneSignature(col("vec"), dim, nBits).as("sig"))
+      hyperplaneSignatureNative(col("vec"), dim, nBits).as("sig"))
     val qSigned = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      hyperplaneSignature(col("vec"), dim, nBits).as("qsig"))
+      hyperplaneSignatureNative(col("vec"), dim, nBits).as("qsig"))
     // multi-probe: the query probes its own bucket plus every 1-bit-flip bucket,
     // recovering most neighbors that straddle one hyperplane
     val probes =
@@ -101,7 +101,7 @@ object Similarity {
     val totalBits = bitsPerTable * nTables
     val mask = (1L << bitsPerTable) - 1L
     val signed = vecs.select(col("id"), col("vec"),
-      hyperplaneSignature(col("vec"), dim, totalBits).as("sig"))
+      hyperplaneSignatureNative(col("vec"), dim, totalBits).as("sig"))
     // per-table bit-slice keys; shift amount is a column (t * r) → SQL parser
     val banded = signed.select(col("id"), col("vec"),
       expr(s"posexplode(transform(sequence(0, ${nTables - 1}), " +

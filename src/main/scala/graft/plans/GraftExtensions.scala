@@ -14,6 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(MinHashSignatureExpr.descriptor)
     extensions.injectFunction(CosineSimilarityExpr.descriptor)
     extensions.injectFunction(TopKByExpr.descriptor)
+    extensions.injectFunction(HyperplaneSignatureExpr.descriptor)
+    extensions.injectFunction(SimHash62Expr.descriptor)
+    extensions.injectFunction(MinHash60Expr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

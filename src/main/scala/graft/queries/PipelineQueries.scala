@@ -113,7 +113,11 @@ object PipelineQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         md5(col("text")).as("content_md5"),
-        T.fingerprint(col("text")).as("shingle_fp"))
+        // native min-hash kernel when registered (the HOF transform+md5 runs
+        // interpreted); value-identical either way
+        (if (s.catalog.functionExists("min_hash60"))
+          call_function("min_hash60", T.shingles(col("text"), 3))
+        else T.fingerprint(col("text"))).as("shingle_fp"))
         .orderBy(col("doc_id"))
     }),
 

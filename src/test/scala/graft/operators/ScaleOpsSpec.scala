@@ -122,6 +122,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("native hyperplane_sig equals the built-in expression-tree formulation") {
+    val e = embSubset
+    val native = e.select(col("id"), V.hyperplaneSignatureNative(col("vec"), 64, 32).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hof = e.select(col("id"), V.hyperplaneSignature(col("vec"), 64, 32).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native.nonEmpty)
+    assert(native == hof)
+  }
+
+  test("native simhash62 and min_hash60 equal their HOF formulations") {
+    val docs = docShingles
+    val hashed = docs.select(col("id"),
+      transform(col("shingles"), s => T.hash60(s)).as("hs"))
+    val nativeSim = hashed.select(col("id"), call_function("simhash62", col("hs")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hofSim = hashed.select(col("id"), T.simhash62("hs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(nativeSim.nonEmpty && nativeSim == hofSim)
+    val nativeFp = docs.select(col("id"), call_function("min_hash60", col("shingles")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hofFp = docs.select(col("id"),
+      array_min(transform(col("shingles"), s => T.hash60(s))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(nativeFp.nonEmpty && nativeFp == hofFp)
+  }
+
   test("cosine rewrite rule skips lambdas that don't bind both arguments in order") {
     val e = embSubset
     val a = e.select(col("id").as("a"), col("vec").as("va"))
