@@ -28,7 +28,7 @@ object Similarity {
 
   /** Per-query top-k via the bounded-heap aggregate, exploded back to
    * (query_id, rank, neighbor_id, cos) in `row_number` keep-order. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(call_function("topk_by", col("cos"), col("neighbor_id"), lit(k)).as("topk"))

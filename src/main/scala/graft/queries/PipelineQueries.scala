@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -192,6 +192,33 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q39_ivf_ann" -> ((s, d) => {
+      // IVF-Flat index: deterministic coarse centroids (every 64th vector),
+      // nearest-centroid cell assignment as a narrow map, nprobe=3 probed
+      // cells per query, exact-cosine re-rank via the bounded-heap topk_by.
+      // The whole index is deterministic, so the DuckDB oracle below rebuilds
+      // the SAME index — the approximate result is itself oracle-gated.
+      val corpus = embVecs(s, d)
+      val cents = Ivf.selectCentroids(corpus, col("id") % 64 === 0)
+      Ivf.search(
+        corpus = corpus,
+        queries = embVecs(s, d, col("vec_id") % 100 === 0),
+        cents = cents, nprobe = 3, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------- sessionization
+    "q40_sessionize" -> ((s, d) => {
+      // session_window (streaming-capable dynamic-gap sessions) in batch mode:
+      // per-user sessions split at >= 30 min inactivity; start exported as
+      // epoch micros for an engine-neutral compare
+      graft.streaming.StreamingExtraction
+        .sessionizedUserStats(Tables.events(s, d), gap = "30 minutes")
+        .select(unix_micros(col("session_start")).as("sess_us"),
+          col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("sess_us"))
+    }),
+
     // ---------------------------------------------------------------- multimodal
     "q37_multimodal_features" -> ((s, d) =>
       // binary-payload plumbing: synthesize media records, batched stub decode,
@@ -328,6 +355,51 @@ object PipelineQueries {
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
            FROM cand) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // DuckDB twin of [[Ivf.search]]: centroid selection is a pure id predicate
+    // and the argmax tie-breaks on centroid id, so the oracle rebuilds the
+    // IDENTICAL inverted-file index (assignment, probes, re-rank) in SQL.
+    "q39_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         assigned AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, qv, cid AS cell FROM (
+             SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e q CROSS JOIN cent c WHERE q.vec_id % 100 = 0) WHERE rn <= 3),
+         cand AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id, ${duckCos("a.v", "p.qv")} AS cos
+           FROM assigned a JOIN probes p USING (cell)
+           WHERE a.vec_id != p.query_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM cand) WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // Gaps-and-islands twin of session_window: a session breaks exactly when
+    // the inter-event gap is >= 30 min (session_window covers
+    // [first, last+gap) and merges iff the next event starts strictly before
+    // the window end). Micros on both sides: Spark floors nanos via `div
+    // 1000` (Tables.events), the oracle via epoch_ns // 1000.
+    "q40_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+         m AS (SELECT user_id, us, value,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      >= 1800000000 THEN 1 ELSE 0 END AS brk
+               FROM ev),
+         s AS (SELECT user_id, us, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT min(us) AS sess_us, user_id, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, sess_us""",
     "q37_multimodal_features" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'

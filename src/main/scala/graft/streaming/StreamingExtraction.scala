@@ -61,4 +61,29 @@ object StreamingExtraction {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /**
+   * Event-time SESSIONIZATION: per-user sessions separated by ≥ `gap` of
+   * inactivity, via `session_window` — Spark's dynamic-gap session windows,
+   * the same operator batch and streaming (in streaming, watermark passage
+   * closes sessions and reclaims their state; merges of overlapping windows
+   * are handled by the session-window state store).
+   *
+   * Scale posture: one shuffle on `user_id` (the session key) with
+   * AQE-coalescible partitions; session merge is a sort within the key — no
+   * cross-key state, no driver-side anything. Session identity: a new session
+   * starts exactly when the inter-event gap is ≥ `gap` (a window covers
+   * `[first_ts, last_ts + gap)` and the next event merges iff it starts
+   * before the current window's end).
+   */
+  def sessionizedUserStats(events: DataFrame,
+                           gap: String = "30 minutes",
+                           watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
 }

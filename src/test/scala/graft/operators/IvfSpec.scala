@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{VectorFunctions => V}
+import graft.queries.Tables
+
+/**
+ * IVF-Flat index proofs:
+ *  - cell assignment is exactly the driver-side argmax (the index structure
+ *    is correct, not just plausible);
+ *  - probing ALL cells recovers the exact brute-force result (IVF with
+ *    nprobe = nlist IS exhaustive search — the approximation comes only from
+ *    probing fewer cells);
+ *  - the default nprobe keeps high measured recall on the test corpus;
+ *  - a Lloyd step moves centroids to their cell means without changing ids.
+ */
+class IvfSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
+
+  private def queries = corpus.where(col("id") % 100 === 0)
+
+  private lazy val cents = Ivf.selectCentroids(corpus, col("id") % 64 === 0)
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("cell assignment equals the driver-side argmax over centroids") {
+    val assigned = Ivf.assign(corpus, cents)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    assert(assigned.length == 500)
+    assert(assigned.map(_._3).distinct.length > 1, "should use multiple cells")
+    assigned.foreach { case (id, vec, cell) =>
+      // best (cos DESC, cid ASC) — the expression's struct(cos, -cid) max order
+      val expected = cents.map(c => (cosine(vec, c.vec), c.cid))
+        .reduceLeft((a, b) => if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)._2
+      assert(cell == expected, s"vector $id assigned to $cell, expected $expected")
+    }
+  }
+
+  test("probing all cells equals exact brute-force kNN") {
+    val exhaustive = Ivf.search(corpus, queries, cents, nprobe = cents.length, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Similarity.knnBruteForce(corpus, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(brute.nonEmpty)
+    assert(exhaustive == brute)
+  }
+
+  test("partial probing beats its scan-fraction and recall grows with nprobe") {
+    def recallAt(nprobe: Int): Double = {
+      val approx = Ivf.search(corpus, queries, cents, nprobe, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val brute = Similarity.knnBruteForce(corpus, queries, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (approx & brute).size.toDouble / brute.size
+    }
+    val r3 = recallAt(3)
+    val r6 = recallAt(6)
+    // the synthetic embeddings are nearly unclustered, so the honest bound is
+    // "better than proportional": probing 3/8 of the cells must recover well
+    // over 3/8 of the true neighbors (measured 0.64 on this corpus — the
+    // index adapts even to weak structure), and more probes → more recall
+    assert(r3 >= 0.5, s"recall@nprobe=3 $r3")
+    assert(r6 >= r3, s"recall must be monotone in nprobe: $r6 < $r3")
+    assert(r6 >= 0.8, s"recall@nprobe=6 $r6")
+  }
+
+  test("a Lloyd step moves each centroid to its cell mean, preserving ids") {
+    val stepped = Ivf.lloydStep(corpus, cents)
+    assert(stepped.map(_.cid).toSeq == cents.map(_.cid).toSeq)
+    // manual mean of one non-empty cell
+    val assigned = Ivf.assign(corpus, cents)
+      .collect().map(r => (r.getSeq[Double](1).toArray, r.getLong(2)))
+    val byCell = assigned.groupBy(_._2)
+    val (cell, members) = byCell.maxBy(_._2.length)
+    val dim = members.head._1.length
+    val mean = (0 until dim).map(i => members.map(_._1(i)).sum / members.length)
+    val got = stepped.find(_.cid == cell).get.vec
+    (0 until dim).foreach(i => assert(math.abs(got(i) - mean(i)) < 1e-9))
+    // an empty cell (if any) keeps its previous centroid
+    val emptyCells = cents.map(_.cid).filterNot(byCell.keySet)
+    emptyCells.foreach { cid =>
+      assert(stepped.find(_.cid == cid).get.vec.toSeq ==
+        cents.find(_.cid == cid).get.vec.toSeq)
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/**
+ * Sessionization proofs:
+ *  - `session_window` (batch run) equals the gaps-and-islands formulation
+ *    (lag + running sum of breaks) — the same SQL shape the DuckDB oracle
+ *    uses, so q40's gate is additionally pinned engine-internally;
+ *  - under a real file-source STREAM with a watermark, every emitted session
+ *    matches its batch twin (append mode emits only watermark-closed
+ *    sessions, so the stream result is a prefix-subset of batch).
+ */
+class SessionizeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val gapUs = 30L * 60 * 1000 * 1000
+
+  private def batchSessions = StreamingExtraction
+    .sessionizedUserStats(Tables.events(spark, sf), gap = "30 minutes")
+    .select(unix_micros(col("session_start")).as("sess_us"),
+      col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+
+  test("session_window equals the gaps-and-islands window formulation") {
+    val viaSessionWindow = batchSessions
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val islands = ev
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(byUser) >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("sess_us"), count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("sess_us"), col("user_id"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(viaSessionWindow.nonEmpty)
+    assert(viaSessionWindow.size > 100, "1000 events / 50 users should form many sessions")
+    assert(viaSessionWindow == islands)
+  }
+
+  test("streaming session_window emits watermark-closed sessions equal to batch") {
+    val inDir = Files.createTempDirectory("graft-sess-in").toFile
+    val ckDir = Files.createTempDirectory("graft-sess-ck").toFile
+    // two time-ordered chunks → two micro-batches (maxFilesPerTrigger=1);
+    // batch 1's max event time advances the watermark so its closed sessions
+    // emit during batch 2
+    val ev = Tables.events(spark, sf).select(col("ts"), col("user_id"), col("value"))
+    val cut = ev.select(percentile_approx(col("ts").cast("double"), lit(0.5), lit(100)))
+      .head().getDouble(0)
+    ev.where(col("ts").cast("double") <= cut).coalesce(1)
+      .write.parquet(s"$inDir/chunk=0")
+    ev.where(col("ts").cast("double") > cut).coalesce(1)
+      .write.parquet(s"$inDir/chunk=1")
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.sessionizedUserStats(stream, gap = "30 minutes")
+      .select(unix_micros(col("session_start")).as("sess_us"),
+        col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .writeStream.format("memory").queryName("stream_sessions")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = batchSessions
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty, "watermark passage should close and emit sessions")
+    val diff = streamed -- batch
+    assert(diff.isEmpty, s"streamed sessions must match their batch twins: $diff")
+  }
+}
