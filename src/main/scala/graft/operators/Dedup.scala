@@ -204,4 +204,53 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Connected components of a near-dup pair graph — the clustering step a
+   * dedup pipeline ends with: near-dup PAIRS (from any of the detectors
+   * above) become disjoint CLUSTERS, each keeping one canonical survivor.
+   * Input: (a, b) edges; output: (id, component) with component = the
+   * minimum id reachable from `id` (so the component label IS the survivor).
+   *
+   * Algorithm: distributed min-label propagation to fixpoint — each round,
+   * every vertex takes the min of its own label and its neighbors' labels
+   * (one equi-join + one groupBy per round, both hash-partitioned on id; no
+   * vertex state ever leaves the executors). The driver loop only CONTROLS
+   * iteration (a converged? check per round, the Pregel pattern) — rounds
+   * needed = graph diameter, and near-dup graphs are overwhelmingly tiny
+   * star/clique clusters (diameter ≤ ~3). `localCheckpoint` truncates the
+   * growing lineage each round. For adversarial long-chain graphs at corpus
+   * scale, the standard fix is alternating large-star/small-star rounds
+   * (O(log n) convergence) — same join shape, not needed for dedup-cluster
+   * topologies.
+   */
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+    val sym = edges
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "nid"), col("b") === col("nid"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") < col("old"))
+        .isEmpty
+      labels = updated
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
 }

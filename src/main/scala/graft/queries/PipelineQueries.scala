@@ -207,6 +207,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q41_neardup_clusters" -> ((s, d) => {
+      // the full dedup pipeline end-to-end: MinHash-LSH candidates → exact
+      // Jaccard verify (the q32 pairs) → connected components → one cluster
+      // row per survivor (= min id), with the member list
+      val docs = docShingles(s, d, 2)
+      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      Dedup.components(pairs)
+        .groupBy(col("component").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string")), ",").as("members"))
+        .orderBy(col("keep_id"))
+    }),
+
     // ---------------------------------------------------------------- sessionization
     "q40_sessionize" -> ((s, d) => {
       // session_window (streaming-capable dynamic-gap sessions) in batch mode:
@@ -382,6 +396,27 @@ object PipelineQueries {
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
            FROM cand) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // Recursive-CTE twin of [[Dedup.components]]: the transitive closure over
+    // the same verified near-dup pairs (q32's quadratic oracle), min-label
+    // per node — both sides converge to component = min reachable id.
+    "q41_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.8),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id)
+         SELECT component AS keep_id, count(*) AS n_members,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         FROM labeled GROUP BY component ORDER BY keep_id""",
     // Gaps-and-islands twin of session_window: a session breaks exactly when
     // the inter-event gap is >= 30 min (session_window covers
     // [first, last+gap) and merges iff the next event starts strictly before

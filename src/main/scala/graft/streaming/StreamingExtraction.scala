@@ -86,4 +86,24 @@ object StreamingExtraction {
       .select(
         col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /**
+   * STREAMING exact deduplication — the continuous-ingest twin of
+   * [[graft.operators.Dedup.exact]]: keep the first record per content
+   * digest, dropping later duplicates that arrive within `watermark` of
+   * event time. `dropDuplicatesWithinWatermark` keys the state store on the
+   * digest (never the text) and evicts entries once the watermark passes —
+   * bounded state, so the stream runs forever; duplicates separated by more
+   * than the watermark are by contract not caught (re-dedup batch-side with
+   * `Dedup.exact` if global uniqueness is required).
+   *
+   * Input must carry an event-time column `ts`; emits the surviving rows with
+   * their `content_md5`.
+   */
+  def streamingDedup(docs: DataFrame, textCol: String = "text",
+                     watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
 }

@@ -74,6 +74,25 @@ class IvfSpec extends SparkSpec {
     assert(r6 >= 0.8, s"recall@nprobe=6 $r6")
   }
 
+  test("partitionBy(cell) index layout prunes unprobed cells at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toFile.getAbsolutePath
+    Ivf.assign(corpus, cents).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val probed = Seq(cents.head.cid, cents.last.cid)
+    val scan = index.where(col("cell").isin(probed: _*))
+    // partition pruning: only the probed cells' directories are read
+    val files = scan.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => probed.exists(c => f.contains(s"cell=$c"))),
+      s"scan read unprobed partitions: ${files.mkString(", ")}")
+    // and the pruned read returns exactly the probed cells' vectors
+    val expected = Ivf.assign(corpus, cents)
+      .where(col("cell").isin(probed: _*)).count()
+    assert(scan.count() == expected)
+  }
+
   test("a Lloyd step moves each centroid to its cell mean, preserving ids") {
     val stepped = Ivf.lloydStep(corpus, cents)
     assert(stepped.map(_.cid).toSeq == cents.map(_.cid).toSeq)

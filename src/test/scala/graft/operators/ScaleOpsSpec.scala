@@ -165,4 +165,19 @@ class ScaleOpsSpec extends SparkSpec {
     val optimized = pairs.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("cosine_sim"), optimized)
   }
+
+  test("connected components converge on chains, cliques, and singleton edges") {
+    import spark.implicits._
+    // a 10-node path (diameter 9 → exercises the fixpoint loop), a triangle,
+    // and an isolated pair
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("a", "b")
+    val comps = Dedup.components(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 10L).foreach(i => assert(comps(i) == 1L, s"node $i"))
+    (20L to 22L).foreach(i => assert(comps(i) == 20L, s"node $i"))
+    assert(comps(30L) == 30L && comps(31L) == 30L)
+    assert(comps.size == 15)
+  }
 }

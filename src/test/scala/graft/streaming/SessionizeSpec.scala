@@ -86,4 +86,36 @@ class SessionizeSpec extends SparkSpec {
     val diff = streamed -- batch
     assert(diff.isEmpty, s"streamed sessions must match their batch twins: $diff")
   }
+
+  test("streaming dedup keeps exactly one row per content digest") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-dedup-in").toFile
+    val ckDir = Files.createTempDirectory("graft-dedup-ck").toFile
+    // 40 docs over 20 distinct texts; duplicates arrive within minutes of the
+    // original — inside the watermark, so every one must be dropped
+    val rows = (0 until 40).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 2}%02d:00"),
+        s"document body ${i % 20}")
+    }
+    val docs = rows.toDF("doc_id", "ts", "text")
+    docs.where(col("doc_id") < 20).coalesce(1).write.parquet(s"$inDir/chunk=0")
+    docs.where(col("doc_id") >= 20).coalesce(1).write.parquet(s"$inDir/chunk=1")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.streamingDedup(stream, watermark = "1 hour")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val kept = spark.table("stream_dedup").collect()
+    assert(kept.length == 20, s"expected 20 survivors, got ${kept.length}")
+    assert(kept.map(_.getAs[String]("content_md5")).distinct.length == 20)
+    // first-arrival wins: chunk 0 (ids 0..19, one per text) processes first,
+    // so its rows are exactly the survivors
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 20L))
+  }
 }
