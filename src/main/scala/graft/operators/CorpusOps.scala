@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-preparation operators for a training-data pipeline: deterministic
+ * sampling, corpus shuffling, benchmark decontamination, and token-budget
+ * shard packing. Everything is hash-deterministic (md5-keyed, no RNG state),
+ * so every result is reproducible run-to-run AND expressible in the DuckDB
+ * oracles (q42–q45).
+ */
+object CorpusOps {
+
+  /**
+   * Exact-quota stratified sample: the `quota` rows per stratum with the
+   * smallest `md5(salt:id)` — a deterministic "random" draw that is stable
+   * under corpus growth within each stratum's hash order.
+   *
+   * Plan: one shuffle partitioned by the stratum, a per-stratum sort, rank
+   * filter. Strata in a real corpus (source × language) number in the
+   * thousands — ample parallelism; a single mega-stratum is the skew case,
+   * where the bounded-heap `topk_by` pattern (map-side truncation to quota)
+   * is the drop-in fix. When exactness of the quota is NOT required, the
+   * windowless Bernoulli form (`WHERE md5(salt:id) < cutoff`) needs no
+   * shuffle at all.
+   */
+  def sampleStratified(df: DataFrame, idCol: Column, stratum: Column,
+                       quota: Int, salt: String): DataFrame = {
+    val key = md5(concat(lit(s"$salt:"), idCol.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(key, idCol)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= quota)
+  }
+
+  /**
+   * Deterministic corpus shuffle: order by `md5(salt:id)` — the standard
+   * pre-training randomization, reproducible from the salt alone. Epoch k =
+   * salt "epoch-k": a fresh permutation, no stored state.
+   *
+   * Plan: a range-partitioned distributed sort (Spark samples range bounds,
+   * no single-partition stage); writing the sorted frame yields globally
+   * shuffled shards. No global row_number is attached — a total-order rank
+   * would serialize into one window partition; the key itself carries the
+   * order.
+   */
+  def deterministicShuffle(df: DataFrame, idCol: Column, salt: String): DataFrame =
+    df.withColumn("shuffle_key", md5(concat(lit(s"$salt:"), idCol.cast("string"))))
+      .orderBy(col("shuffle_key"))
+
+  /**
+   * Benchmark decontamination: drop every corpus document sharing at least
+   * one word n-gram with the benchmark set — the standard n-gram-collision
+   * test-set leakage guard.
+   *
+   * Plan: benchmark shingles explode to a (small) key set; the corpus
+   * postings anti-join against it — a broadcast anti-join when the benchmark
+   * is benchmark-sized, never a corpus×corpus comparison. Corpus rows whose
+   * id appears in the benchmark set are dropped unconditionally.
+   *
+   * Inputs carry (`id`, `shingles`); emits the clean subset of `corpus`.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchIds = benchmark.select(col("id"))
+    val benchGrams = benchmark
+      .select(explode(col("shingles")).as("gram")).distinct()
+    val contaminated = corpus
+      .select(col("id"), explode(col("shingles")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .select(col("id")).distinct()
+    corpus
+      .join(broadcast(benchIds), Seq("id"), "left_anti")
+      .join(contaminated, Seq("id"), "left_anti")
+  }
+
+  /**
+   * Token-budget shard packing: assign documents to training shards of
+   * ≈ `tokensPerShard` tokens. Documents are first split across `nWorkers`
+   * deterministic workers (`id % nWorkers`); within a worker, docs pack in id
+   * order by cumulative token count — shard = floor(tokens-before / budget).
+   * Global shard id = (worker, shard).
+   *
+   * Plan: one shuffle on the worker key, a per-worker sort + running sum —
+   * embarrassingly parallel across workers (set `nWorkers` ≈ cluster cores at
+   * scale); no global coordination, no driver state. This is the chunked
+   * (FIFO) packing used for streaming tokenization; bin-packing-optimal
+   * packing is NP-hard and needs no distribution anyway.
+   */
+  def packShards(df: DataFrame, idCol: Column, nTokens: Column,
+                 tokensPerShard: Int, nWorkers: Int): DataFrame = {
+    val w = Window.partitionBy(col("worker")).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("worker", idCol % nWorkers)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"tokens_before div $tokensPerShard"))
+  }
+}

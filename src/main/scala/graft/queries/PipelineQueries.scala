@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Ivf, Similarity}
+import graft.operators.{CorpusOps, Dedup, Ivf, Similarity}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -233,6 +233,39 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("sess_us"))
     }),
 
+    // ---------------------------------------------------------------- corpus prep
+    "q42_stratified_sample" -> ((s, d) =>
+      // exact-quota deterministic sample: 25 docs per source, drawn by
+      // md5(salt:id) hash order — reproducible, no RNG state
+      CorpusOps.sampleStratified(Tables.documents(s, d),
+        col("doc_id"), col("source"), quota = 25, salt = "s42")
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("source"), col("sample_rank"))),
+
+    "q43_corpus_shuffle" -> ((s, d) =>
+      // deterministic pre-training shuffle: a salt-keyed md5 permutation,
+      // realized as a range-partitioned sort (no global row_number)
+      CorpusOps.deterministicShuffle(Tables.documents(s, d),
+        col("doc_id"), salt = "epoch-0")
+        .select(col("doc_id"), col("shuffle_key"))),
+
+    "q44_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: the held-out set is every 97th doc; any
+      // corpus doc sharing a word 5-gram with it (or in it) is dropped
+      val all = docShingles(s, d, 5)
+      CorpusOps.decontaminate(all, all.where(col("id") % 97 === 0))
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q45_shard_packing" -> ((s, d) =>
+      // token-budget shard assignment: 8 deterministic workers, docs packed
+      // in id order into 512-token shards by running token count
+      CorpusOps.packShards(Tables.documents(s, d), col("doc_id"),
+        size(T.tokens(col("text"))).cast("long"), tokensPerShard = 512, nWorkers = 8)
+        .select(col("doc_id"), col("worker"), col("shard"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
     // ---------------------------------------------------------------- multimodal
     "q37_multimodal_features" -> ((s, d) =>
       // binary-payload plumbing: synthesize media records, batched stub decode,
@@ -435,6 +468,34 @@ object PipelineQueries {
          SELECT min(us) AS sess_us, user_id, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, sess_us""",
+    "q42_stratified_sample" ->
+      """SELECT source, sample_rank, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+           FROM documents)
+         WHERE sample_rank <= 25 ORDER BY source, sample_rank""",
+    "q43_corpus_shuffle" ->
+      """SELECT doc_id, md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents ORDER BY shuffle_key""",
+    "q44_decontaminate" ->
+      s"""${withDocShingles(5, "TRUE")},
+         bgrams AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0),
+         posts AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         cont AS (SELECT DISTINCT posts.doc_id FROM posts JOIN bgrams USING (gram))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+         ORDER BY doc_id""",
+    // CAST: DuckDB window sum returns HUGEINT; Spark sums are BIGINT and the
+    // driver hash is type-sensitive (the q08 lesson)
+    "q45_shard_packing" ->
+      """SELECT doc_id, doc_id % 8 AS worker,
+         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // 512 AS BIGINT) AS shard,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+         ORDER BY doc_id""",
     "q37_multimodal_features" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'

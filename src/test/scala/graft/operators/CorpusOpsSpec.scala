@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+import graft.queries.Tables
+
+/** Corpus-prep operators: quota exactness, shuffle determinism/permutation,
+ * decontamination correctness on a controlled corpus, packing invariants. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stratified sample draws the exact quota per stratum, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val sample = CorpusOps.sampleStratified(docs, col("doc_id"), col("source"),
+      quota = 10, salt = "spec")
+    val perStratum = sample.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strataSizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strataSizes.foreach { case (src, n) =>
+      assert(perStratum(src) == math.min(10L, n), s"stratum $src")
+    }
+    // same salt → identical draw; different salt → (overwhelmingly) different
+    val again = CorpusOps.sampleStratified(docs, col("doc_id"), col("source"),
+      quota = 10, salt = "spec").select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val other = CorpusOps.sampleStratified(docs, col("doc_id"), col("source"),
+      quota = 10, salt = "other").select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again == sample.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    assert(again != other)
+  }
+
+  test("deterministic shuffle is a stable permutation, different per salt") {
+    val docs = Tables.documents(spark, sf)
+    val e0 = CorpusOps.deterministicShuffle(docs, col("doc_id"), "epoch-0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val e0again = CorpusOps.deterministicShuffle(docs, col("doc_id"), "epoch-0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val e1 = CorpusOps.deterministicShuffle(docs, col("doc_id"), "epoch-1")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(e0 == e0again, "same salt must give the identical order")
+    assert(e0.sorted == e1.sorted, "a permutation of the same corpus")
+    assert(e0 != e1, "different salts must permute differently")
+    assert(e0 != e0.sorted, "shuffled order must not be id order")
+  }
+
+  test("decontamination drops exactly the n-gram-colliding and benchmark docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // benchmark
+      (2L, "a totally unrelated document about spark plans"),
+      (3L, "we saw the quick brown fox jumps over a fence"), // shares 5-gram with 1
+      (4L, "another clean document with no overlap at all"))
+      .toDF("id", "text")
+      .select(col("id"), T.shingles(col("text"), 5).as("shingles"))
+    val clean = CorpusOps.decontaminate(docs, docs.where(col("id") === 1))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 4L))
+  }
+
+  test("shard packing respects the token budget and covers every doc once") {
+    val docs = Tables.documents(spark, sf)
+    val packed = CorpusOps.packShards(docs, col("doc_id"),
+      size(T.tokens(col("text"))).cast("long"), tokensPerShard = 512, nWorkers = 8)
+      .select(col("doc_id"), col("worker"), col("shard"), col("n_tokens"),
+        col("tokens_before"))
+      .collect()
+    assert(packed.length == 500)
+    assert(packed.map(_.getLong(0)).distinct.length == 500)
+    packed.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) % 8)
+      // the shard a doc STARTS in is its running count div budget
+      assert(r.getLong(2) == r.getLong(4) / 512)
+    }
+    // within a worker, shard ids are non-decreasing in id order and dense
+    packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val shards = rows.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      assert(shards == shards.sorted)
+      assert(shards.distinct == (0L to shards.max))
+    }
+  }
+}
