@@ -266,6 +266,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("worker"), col("shard"), col("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q46_stateful_totals" -> ((s, d) =>
+      // mapGroupsWithState custom-state aggregation run in batch mode (each
+      // key's rows arrive as one group, state starts empty) — the oracle is
+      // the plain GROUP BY it must equal
+      graft.streaming.StreamingExtraction
+        .runningUserTotals(Tables.events(s, d))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("user_id"))),
+
     // ---------------------------------------------------------------- multimodal
     "q37_multimodal_features" -> ((s, d) =>
       // binary-payload plumbing: synthesize media records, batched stub decode,
@@ -496,6 +506,9 @@ object PipelineQueries {
          CAST(n_tokens AS BIGINT) AS n_tokens
          FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
          ORDER BY doc_id""",
+    "q46_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q37_multimodal_features" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -2,9 +2,13 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import graft.config.ExtractionConfig
 import graft.xml.XmlExtraction
+
+/** Per-user accumulator state for [[StreamingExtraction.runningUserTotals]]. */
+case class UserTotals(nEvents: Long, sumValue: Double)
 
 /**
  * Structured Streaming surface of the engine.
@@ -106,4 +110,35 @@ object StreamingExtraction {
       .withColumn("content_md5", md5(col(textCol)))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_md5")
+
+  /**
+   * CUSTOM arbitrary-state aggregation via
+   * `KeyValueGroupedDataset.mapGroupsWithState` — the extension route for
+   * state no built-in aggregate expresses (the running per-user totals here
+   * stand in for per-key models, decaying counters, session carts, …).
+   *
+   * Each micro-batch, a user's new events fold into a [[UserTotals]] state
+   * object and the updated running totals emit (output mode `update`). State
+   * lives in the state store, partitioned by `user_id` — per-key memory is
+   * one case class, keys never co-reside, and `GroupStateTimeout` is the
+   * eviction hook for abandoned keys. The SAME code runs in batch mode (all
+   * rows of a key arrive as one group, state starts empty), which is what
+   * q46's oracle gates: batch-mode totals == plain GROUP BY.
+   */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var n = prev.nEvents
+          var s = prev.sumValue
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update(UserTotals(n, s))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 }

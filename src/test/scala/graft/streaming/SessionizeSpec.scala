@@ -87,6 +87,36 @@ class SessionizeSpec extends SparkSpec {
     assert(diff.isEmpty, s"streamed sessions must match their batch twins: $diff")
   }
 
+  test("mapGroupsWithState totals accumulate across micro-batches to the batch result") {
+    val inDir = Files.createTempDirectory("graft-state-in").toFile
+    val ckDir = Files.createTempDirectory("graft-state-ck").toFile
+    val raw = Tables.events(spark, sf)
+    val ev = raw.select(col("ts"), col("user_id"), col("value"))
+    // split by EVENT parity → both chunks hold every user, so batch 2 MUST
+    // fold into batch 1's state, not start fresh
+    raw.where(col("event_id") % 2 === 0).select(col("ts"), col("user_id"), col("value"))
+      .coalesce(1).write.parquet(s"$inDir/chunk=0")
+    raw.where(col("event_id") % 2 === 1).select(col("ts"), col("user_id"), col("value"))
+      .coalesce(1).write.parquet(s"$inDir/chunk=1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.runningUserTotals(stream)
+      .writeStream.format("memory").queryName("stream_totals")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // update mode emits a row per (user, batch) — the LAST emission per user
+    // is the accumulated state and must equal the batch GROUP BY
+    val finalPerUser = spark.table("stream_totals")
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = ev.groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(finalPerUser == batch)
+  }
+
   test("streaming dedup keeps exactly one row per content digest") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-dedup-in").toFile
