@@ -16,6 +16,13 @@ final case class MediaFeatures(
     doc_id: Long, modality: String, n_bytes: Long, content_md5: String,
     head_checksum: Long, width: Int, height: Int)
 
+/** Features from the REAL decoders ([[Codecs]]): `n_units` = pixels (image)
+ * or samples (audio); `feat_a`/`feat_b` = channel sums (image) or
+ * abs-amplitude sum/peak (audio) — integer-exact, so the q47 oracle needs no
+ * float tolerance. */
+final case class MediaDecodeFeatures(
+    doc_id: Long, modality: String, n_units: Long, feat_a: Long, feat_b: Long)
+
 /**
  * Multimodal column plumbing: treat image/audio/video as `binary` columns with
  * typed metadata; decode / feature-extract / resize / frame-sample run as
@@ -113,6 +120,92 @@ object Multimodal {
         (r.doc_id, f, frame.length, frame)
       }
     }.toDF("doc_id", "frame", "frame_len", "frame_bytes")
+  }
+
+  /**
+   * Synthesize REAL media payloads from the documents table: binary PPM (P6)
+   * images and RIFF/WAV PCM16 audio, both built byte-for-byte by [[Codecs]].
+   * Pixels/samples derive deterministically from the text's UTF-8 bytes
+   * (pixel j = byte[j mod L]; sample i = byte[i]·257 − 32768), so the q47
+   * oracle can recompute every decoded feature from the text alone. Video
+   * stays out: compressed codecs are the only genuinely stubbed decode left.
+   */
+  def synthesizeReal(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val L = tb.length
+          if (L == 0) Iterator.empty
+          else (id % 3) match {
+            case 0 =>
+              val w = L % 16 + 8
+              val h = L % 12 + 6
+              val rgb = Array.tabulate(3 * w * h)(j => tb(j % L))
+              Iterator.single(MediaRecord(id, "image",
+                Codecs.ppmEncode(Codecs.PpmImage(w, h, rgb)),
+                MediaMeta("ppm", w, h, 0)))
+            case 1 =>
+              val n = math.min(L, 256)
+              val samples = Array.tabulate(n)(i => ((tb(i) & 0xff) * 257 - 32768).toShort)
+              Iterator.single(MediaRecord(id, "audio",
+                Codecs.wavEncode(Codecs.WavAudio(16000, samples)),
+                MediaMeta("wav", 0, 0, 16000)))
+            case _ => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /**
+   * REAL decode + feature extraction: parse each payload with the format's
+   * actual decoder ([[Codecs.ppmDecode]] / [[Codecs.wavDecode]] — header
+   * parse, dimension/codec validation, pixel/sample extraction) and reduce to
+   * integer features. Same narrow mapPartitions shape as [[extractFeatures]];
+   * undecodable payloads drop (flatMap), the production posture for corrupt
+   * media at 100 TB.
+   */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaDecodeFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        r.modality match {
+          case "image" => Codecs.ppmDecode(r.bytes).map { img =>
+            var sr = 0L
+            var sg = 0L
+            var p = 0
+            val n = img.width * img.height
+            while (p < n) {
+              sr += img.rgb(3 * p) & 0xff
+              sg += img.rgb(3 * p + 1) & 0xff
+              p += 1
+            }
+            MediaDecodeFeatures(r.doc_id, "image", n.toLong, sr, sg)
+          }
+          case "audio" => Codecs.wavDecode(r.bytes).map { a =>
+            var sum = 0L
+            var peak = 0L
+            a.samples.foreach { x =>
+              val ab = math.abs(x.toLong)
+              sum += ab
+              if (ab > peak) peak = ab
+            }
+            MediaDecodeFeatures(r.doc_id, "audio", a.samples.length.toLong, sum, peak)
+          }
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** The oracle-gated REAL-decode query (q47). */
+  def decodeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    decodeFeatures(synthesizeReal(docs)).toDF()
+      .orderBy(col("doc_id"))
   }
 
   /** The oracle-gated feature query (q37). */

@@ -132,6 +132,44 @@ object Dedup {
   }
 
   /**
+   * Exact all-pairs Jaccard with PREFIX FILTERING — the candidate-pruned
+   * twin of [[allPairsJaccard]], value-identical by the prefix-filter
+   * theorem: order every shingle set by a global canonical order (document
+   * frequency ascending, shingle as tie-break) and index only each doc's
+   * PREFIX of `|A| - ceil(t*|A|) + 1` rarest shingles. For any pair with
+   * `jac >= t`, `|A∩B| >= t*|A∪B| >= t*|A|`, so the smallest common shingle
+   * sits within both prefixes (pigeonhole on the shared order) — the prefix
+   * equi-join cannot miss a qualifying pair, and the exact verification
+   * decides. The join cost drops from Σ df² over ALL shingles to Σ df_p²
+   * over prefix postings only — high-df (boilerplate) shingles sort LAST and
+   * fall out of every prefix, which is exactly where the quadratic blowup
+   * lived.
+   *
+   * WHEN TO USE: Zipfian vocabularies (real text), where most df mass sits in
+   * a few common shingles that prefixes exclude. On a flat/tiny vocabulary
+   * (like the synthetic test corpus) prefixes prune nothing, the candidate
+   * set approaches all-pairs, and the per-pair verification costs more than
+   * [[allPairsJaccard]]'s count-only join — measured 49 s vs 6 s at sf0.1,
+   * which is why q31 keeps the count formulation. Both are exact; pick by
+   * corpus shape. Pair-identity across thresholds is pinned in ScaleOpsSpec.
+   */
+  def prefixJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    val dfreq = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    val prefix = posts.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+    val a = prefix.select(col("id").as("a"), col("sh"))
+    val b = prefix.select(col("id").as("b"), col("sh"))
+    val candidates = a.join(b, "sh").where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    verifyJaccard(candidates, docs, threshold)
+  }
+
+  /**
    * SimHash near-dup pairs over a (pre-filtered) corpus: 62-bit signatures, then
    * pairs within `maxHamming` bit flips. The signature computation is the scale
    * path (one narrow pass); pair enumeration here is all-pairs — the

@@ -134,7 +134,12 @@ object PipelineQueries {
     }),
 
     "q31_dedup_jaccard" -> ((s, d) => {
-      // brute-force n-gram Jaccard near-dup baseline on a bounded subset
+      // exact n-gram Jaccard via the postings co-occurrence join (jac from
+      // counts, no per-pair array work). NOT the prefix-filtered variant:
+      // this corpus's vocabulary is tiny and uniformly common, so prefixes
+      // prune nothing and the candidate verify costs more than counting —
+      // measured 6s vs 49s at sf0.1 (prefixJaccard wins on Zipfian text,
+      // where high-df boilerplate falls out of every prefix)
       Dedup.allPairsJaccard(docShingles(s, d, 2, col("doc_id") % 3 === 0), 0.5)
         .orderBy(col("a"), col("b"))
     }),
@@ -281,6 +286,13 @@ object PipelineQueries {
       // binary-payload plumbing: synthesize media records, batched stub decode,
       // typed features — the mapPartitions pipeline is the oracle-gated part
       graft.multimodal.Multimodal.featureQuery(s, d)),
+
+    "q47_media_decode" -> ((s, d) =>
+      // REAL decode: payloads are byte-for-byte PPM(P6) images / WAV PCM16
+      // audio built by Codecs; the query decodes them back (actual header
+      // parse + pixel/sample extraction) into integer features the oracle
+      // recomputes from the source text bytes
+      graft.multimodal.Multimodal.decodeQuery(s, d)),
 
     // ---------------------------------------------------------------- streaming op (batch mode)
     "q38_windowed_events" -> ((s, d) => {
@@ -522,6 +534,35 @@ object PipelineQueries {
          CAST(n_chars % 64 + 16 AS INT) AS width,
          CAST(n_chars % 48 + 12 AS INT) AS height
          FROM documents ORDER BY doc_id""",
+    // Recomputes the REAL decoders' outputs from the text bytes that seeded
+    // the payloads: pixel j = byte[j mod L] (PPM), sample i = byte[i]*257 -
+    // 32768 (WAV PCM16). Integer-only features — no float tolerance; CASTs
+    // guard the DuckDB HUGEINT sums.
+    "q47_media_decode" ->
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS L,
+                           hex(encode(text)) AS hx
+                    FROM documents WHERE octet_length(encode(text)) > 0),
+         b AS (SELECT doc_id, L,
+                 list_transform(range(1, L+1),
+                   i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT)) AS tb
+               FROM t),
+         img AS (
+           SELECT doc_id, 'image' AS modality,
+             CAST((L % 16 + 8) * (L % 12 + 6) AS BIGINT) AS n_units,
+             CAST(list_sum(list_transform(range(0, (L % 16 + 8) * (L % 12 + 6)),
+                    p -> tb[((3*p) % L) + 1])) AS BIGINT) AS feat_a,
+             CAST(list_sum(list_transform(range(0, (L % 16 + 8) * (L % 12 + 6)),
+                    p -> tb[((3*p + 1) % L) + 1])) AS BIGINT) AS feat_b
+           FROM b WHERE doc_id % 3 = 0),
+         aud AS (
+           SELECT doc_id, 'audio' AS modality,
+             CAST(least(L, 256) AS BIGINT) AS n_units,
+             CAST(list_sum(list_transform(range(0, least(L, 256)),
+                    i -> abs(tb[i+1] * 257 - 32768))) AS BIGINT) AS feat_a,
+             CAST(list_max(list_transform(range(0, least(L, 256)),
+                    i -> abs(tb[i+1] * 257 - 32768))) AS BIGINT) AS feat_b
+           FROM b WHERE doc_id % 3 = 1)
+         SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""",
     "q38_windowed_events" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value

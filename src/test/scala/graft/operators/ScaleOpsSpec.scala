@@ -166,6 +166,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!optimized.contains("cosine_sim"), optimized)
   }
 
+  test("prefix-filtered Jaccard returns exactly the all-pairs result") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.allPairsJaccard(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = Dedup.prefixJaccard(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned == full, s"threshold $t")
+    }
+  }
+
   test("connected components converge on chains, cliques, and singleton edges") {
     import spark.implicits._
     // a 10-node path (diameter 9 → exercises the fixpoint loop), a triangle,
