@@ -88,6 +88,45 @@ object Multimodal {
   }
 
   /**
+   * REAL image resize for PPM payloads: decode with [[Codecs.ppmDecode]],
+   * nearest-neighbor rescale the actual pixel grid, re-encode — the full
+   * decode→transform→encode cycle a production image pipeline runs, as a
+   * narrow per-partition pass. Non-PPM/undecodable records pass through
+   * untouched (the resize is a no-op for them, not a failure).
+   */
+  def resizePpm(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        if (r.meta.format != "ppm") r
+        else Codecs.ppmDecode(r.bytes) match {
+          case None => r
+          case Some(img) =>
+            val rgb = new Array[Byte](3 * outW * outH)
+            var y = 0
+            while (y < outH) {
+              val sy = y * img.height / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * img.width / outW
+                val src = 3 * (sy * img.width + sx)
+                val dst = 3 * (y * outW + x)
+                rgb(dst) = img.rgb(src)
+                rgb(dst + 1) = img.rgb(src + 1)
+                rgb(dst + 2) = img.rgb(src + 2)
+                x += 1
+              }
+              y += 1
+            }
+            r.copy(bytes = Codecs.ppmEncode(Codecs.PpmImage(outW, outH, rgb)),
+              meta = r.meta.copy(width = outW, height = outH))
+        }
+      }
+    }
+  }
+
+  /**
    * STUB resize: a real version would decode, scale, re-encode. The fake keeps
    * every k-th byte (deterministic, size-reducing) and rewrites the metadata —
    * which is the part Catalyst sees, and the part that must stay consistent.

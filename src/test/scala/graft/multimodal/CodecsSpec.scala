@@ -61,6 +61,29 @@ class CodecsSpec extends AnyFunSuite {
 /** The decode PIPELINE over synthesized real payloads. */
 class RealDecodeSpec extends SparkSpec {
 
+  test("PPM resize rescales the actual pixel grid (nearest neighbor)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 4x2 image with distinct per-pixel colors: pixel (x,y) has R = 10x + y
+    val src = Codecs.PpmImage(4, 2,
+      (for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+        yield (10 * x + y + c).toByte).toArray)
+    val media = Seq(MediaRecord(1L, "image", Codecs.ppmEncode(src),
+      MediaMeta("ppm", 4, 2, 0))).toDS()
+    val out = Multimodal.resizePpm(media, 2, 1).collect().head
+    assert(out.meta.width == 2 && out.meta.height == 1)
+    val img = Codecs.ppmDecode(out.bytes).get
+    assert(img.width == 2 && img.height == 1)
+    // nearest neighbor: out(0,0) <- src(0,0), out(1,0) <- src(2,0)
+    assert(img.rgb.toSeq == Seq[Byte](0, 1, 2, 20, 21, 22))
+    // non-PPM records pass through untouched
+    val wav = MediaRecord(2L, "audio",
+      Codecs.wavEncode(Codecs.WavAudio(16000, Array(1.toShort))),
+      MediaMeta("wav", 0, 0, 16000))
+    val passthrough = Multimodal.resizePpm(Seq(wav).toDS(), 2, 1).collect().head
+    assert(passthrough.bytes.toSeq == wav.bytes.toSeq)
+  }
+
   test("decodeFeatures equals an independent recomputation from the text bytes") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val viaPipeline = Multimodal.decodeFeatures(Multimodal.synthesizeReal(docs))
