@@ -271,6 +271,36 @@ object PipelineQueries {
         .select(col("doc_id"), col("worker"), col("shard"), col("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q48_top_terms" -> ((s, d) => {
+      // TF-IDF-shaped top terms: score = tf/df (document frequency), which is
+      // monotone in tf·idf for a fixed corpus and — unlike ln() — exact IEEE
+      // division, bit-identical across engines. Top 5 terms per source.
+      val tokens = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      val tf = tokens.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tokens.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy((col("tf").cast("double") / col("df").cast("double")).desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("term"), col("tf"), col("df"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    "q49_label_centroids" -> ((s, d) =>
+      // per-label mean embedding (class centroids — mean pooling): posexplode
+      // to (label, dim, component), one groupBy — the element-wise aggregate
+      // shape for any vector statistic; exact double avg matches DuckDB
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(V.asDouble(col("embedding"))))
+        .withColumnRenamed("pos", "dim")
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("col")), 6).as("mean_val"), count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("dim"))),
+
     "q46_stateful_totals" -> ((s, d) =>
       // mapGroupsWithState custom-state aggregation run in batch mode (each
       // key's rows arrive as one group, state starts empty) — the oracle is
@@ -521,6 +551,24 @@ object PipelineQueries {
     "q46_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q48_top_terms" ->
+      """WITH tokens AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+         tf AS (SELECT source, term, count(*) AS tf FROM tokens GROUP BY source, term),
+         df AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY term)
+         SELECT source, rank, term, tf, df FROM (
+           SELECT source, term, tf, df,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY tf::DOUBLE / df::DOUBLE DESC, term) AS rank
+           FROM tf JOIN df USING (term))
+         WHERE rank <= 5 ORDER BY source, rank""",
+    "q49_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         d AS (SELECT unnest(range(0, 64)) AS dim),
+         x AS (SELECT label, dim, v[dim + 1] AS comp FROM e CROSS JOIN d)
+         SELECT label, dim, round(avg(comp), 6) AS mean_val, count(*) AS n_vecs
+         FROM x GROUP BY label, dim ORDER BY label, dim""",
     "q37_multimodal_features" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
