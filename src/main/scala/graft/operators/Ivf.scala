@@ -74,11 +74,14 @@ object Ivf {
 
   /** Scored-cells array expression: `struct(cos, -cid)` per centroid, so
    * lexicographic struct max/sort gives (cos DESC, cid ASC) order. */
-  private def scoredCells(vec: Column, cents: Seq[Centroid]): Column =
+  private def scoredCells(vec: Column, cents: Seq[Centroid]): Column = {
+    require(cents.nonEmpty,
+      "IVF needs at least one centroid — the selection predicate matched no vectors")
     array(cents.map(c =>
       struct(
         cosineNative(vec, typedlit(c.vec.toSeq)).as("s"),
         lit(-c.cid).as("negid"))): _*)
+  }
 
   /** Nearest-centroid id for a vector column — a pure per-row expression
    * (nlist fused cosine kernels + one array_max), no join, no shuffle. */
