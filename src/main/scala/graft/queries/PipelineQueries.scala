@@ -301,6 +301,32 @@ object PipelineQueries {
         .agg(round(avg(col("col")), 6).as("mean_val"), count(lit(1)).as("n_vecs"))
         .orderBy(col("label"), col("dim"))),
 
+    "q50_event_percentiles" -> ((s, d) =>
+      // exact (interpolated) per-group percentiles — both engines implement
+      // the same continuous-quantile formula, so values hash-match; the
+      // 100 TB note: exact percentiles need a per-group sort (fine — groups
+      // partition), approx_percentile/t-digest is the sketch escape
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type"))),
+
+    "q51_fuzzy_pairs" -> ((s, d) => {
+      // edit-distance fuzzy matching on a bounded subset (both engines ship
+      // exact levenshtein); at corpus scale candidates come from the LSH
+      // machinery (q32/q34) and only candidates pay the O(len²) distance
+      val sub = Tables.documents(s, d).where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+      val a = sub.select(col("doc_id").as("a"), col("text").as("ta"))
+      val b = sub.select(col("doc_id").as("b"), col("text").as("tb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
+        .where(col("dist") <= 100)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q46_stateful_totals" -> ((s, d) =>
       // mapGroupsWithState custom-state aggregation run in batch mode (each
       // key's rows arrive as one group, state starts empty) — the oracle is
@@ -551,6 +577,17 @@ object PipelineQueries {
     "q46_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q50_event_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90,
+         round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q51_fuzzy_pairs" ->
+      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0)
+         SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.text, b.text) AS dist
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.text, b.text) <= 100 ORDER BY a, b""",
     "q48_top_terms" ->
       """WITH tokens AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
