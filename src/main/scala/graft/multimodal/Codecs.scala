@@ -43,9 +43,13 @@ object Codecs {
       magic <- token() if magic == "P6"
       w <- token().flatMap(_.toIntOption) if w > 0
       h <- token().flatMap(_.toIntOption) if h > 0
+      // Long math: a corrupt header like "100000 100000" would overflow
+      // 3*w*h in Int, turning the length check vacuous and crashing the
+      // task in PpmImage's require — a decoder must REJECT corrupt input
+      px = 3L * w * h if px <= Int.MaxValue
       maxval <- token().flatMap(_.toIntOption) if maxval == 255
-      data = bytes.drop(pos + 1) if data.length >= 3 * w * h
-    } yield PpmImage(w, h, data.take(3 * w * h))
+      data = bytes.drop(pos + 1) if data.length >= px
+    } yield PpmImage(w, h, data.take(px.toInt))
   }
 
   // ------------------------------------------------------------------ WAV (PCM16)
@@ -71,8 +75,11 @@ object Codecs {
     bb.array()
   }
 
-  /** Parse canonical PCM16 mono WAV; None for malformed/compressed/truncated. */
-  def wavDecode(bytes: Array[Byte]): Option[WavAudio] = {
+  /** Parse canonical PCM16 mono WAV; None for malformed/compressed/truncated.
+   * The whole parse runs under Try: a corrupt fmt-chunk length or a payload
+   * truncated mid-field must DROP the record (None), never abort the Spark
+   * task with a BufferUnderflow/IllegalArgument from ByteBuffer. */
+  def wavDecode(bytes: Array[Byte]): Option[WavAudio] = scala.util.Try[Option[WavAudio]] {
     if (bytes.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def ascii(n: Int): String = {
@@ -82,7 +89,7 @@ object Codecs {
     bb.getInt // riff size (ignored; data chunk governs)
     if (ascii(4) != "WAVE" || ascii(4) != "fmt ") return None
     val fmtLen = bb.getInt
-    if (fmtLen < 16) return None
+    if (fmtLen < 16 || fmtLen > bb.remaining() - 4) return None
     val codec = bb.getShort
     val channels = bb.getShort
     val rate = bb.getInt
@@ -97,5 +104,5 @@ object Codecs {
     var i = 0
     while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
     Some(WavAudio(rate, samples))
-  }
+  }.toOption.flatten
 }

@@ -26,10 +26,15 @@ object CorpusOps {
    * windowless Bernoulli form (`WHERE md5(salt:id) < cutoff`) needs no
    * shuffle at all.
    */
+  /** The deterministic draw key `md5("salt:id")` — ONE definition, because
+   * its format is also the contract the q42/q43 oracles re-derive in SQL
+   * (`md5('salt:' || CAST(id AS VARCHAR))`). */
+  private def saltKey(salt: String, idCol: Column): Column =
+    md5(concat(lit(s"$salt:"), idCol.cast("string")))
+
   def sampleStratified(df: DataFrame, idCol: Column, stratum: Column,
                        quota: Int, salt: String): DataFrame = {
-    val key = md5(concat(lit(s"$salt:"), idCol.cast("string")))
-    val w = Window.partitionBy(stratum).orderBy(key, idCol)
+    val w = Window.partitionBy(stratum).orderBy(saltKey(salt, idCol), idCol)
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= quota)
   }
@@ -46,7 +51,7 @@ object CorpusOps {
    * order.
    */
   def deterministicShuffle(df: DataFrame, idCol: Column, salt: String): DataFrame =
-    df.withColumn("shuffle_key", md5(concat(lit(s"$salt:"), idCol.cast("string"))))
+    df.withColumn("shuffle_key", saltKey(salt, idCol))
       .orderBy(col("shuffle_key"))
 
   /**

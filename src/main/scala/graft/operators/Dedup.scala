@@ -289,6 +289,11 @@ object Dedup {
       labels = updated
       it += 1
     }
+    // an iteration-capped exit would return a WRONG partitioning (one true
+    // cluster split across labels) — fail loudly, never silently
+    if (!converged) throw new IllegalStateException(
+      s"components did not converge in $maxIters rounds — graph diameter exceeds " +
+        "the cap; raise maxIters or use large-star/small-star rounds for chain graphs")
     labels.select(col("id"), col("label").as("component"))
   }
 }

@@ -24,9 +24,14 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  idCol: Column, factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    val salted = probe.withColumn("_salt", pmod(hash(idCol), lit(factor)))
-    val replicated = build.withColumn("_salt",
+    // a fixed temp name would silently clobber (and then drop) a caller
+    // column of the same name, breaking the row-identity contract
+    var saltCol = "_graft_salt"
+    while (probe.columns.contains(saltCol) || build.columns.contains(saltCol))
+      saltCol += "_"
+    val salted = probe.withColumn(saltCol, pmod(hash(idCol), lit(factor)))
+    val replicated = build.withColumn(saltCol,
       explode(sequence(lit(0), lit(factor - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

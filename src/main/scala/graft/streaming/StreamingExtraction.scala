@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.config.ExtractionConfig
 import graft.xml.XmlExtraction
@@ -125,19 +125,33 @@ object StreamingExtraction {
    * rows of a key arrive as one group, state starts empty), which is what
    * q46's oracle gates: batch-mode totals == plain GROUP BY.
    */
-  def runningUserTotals(events: DataFrame): DataFrame = {
+  def runningUserTotals(events: DataFrame,
+                        evictAfter: Option[String] = None): DataFrame = {
     val session = events.sparkSession
     import session.implicits._
+    // eviction is REAL, not aspirational: with `evictAfter` set, a key idle
+    // that long times out, releases its state-store entry, and emits nothing
+    // — without it a churning key space would grow state without bound
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.select(col("user_id"), col("value")).as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserTotals, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserTotals, (Long, Long, Double)](
+        OutputMode.Update, timeoutConf) {
         (user, rows, state) =>
-          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
-          var n = prev.nEvents
-          var s = prev.sumValue
-          rows.foreach { case (_, v) => n += 1; s += v }
-          state.update(UserTotals(n, s))
-          (user, n, s)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+            var n = prev.nEvents
+            var s = prev.sumValue
+            rows.foreach { case (_, v) => n += 1; s += v }
+            state.update(UserTotals(n, s))
+            evictAfter.foreach(state.setTimeoutDuration)
+            Iterator.single((user, n, s))
+          }
       }
       .toDF("user_id", "n_events", "sum_value")
   }
