@@ -327,6 +327,42 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q52_asof_join" -> ((s, d) => {
+      // AS-OF join (union + keyed-window, no inequality join): each click
+      // event gets the latest at-or-before purchase value of the same user.
+      // The right side pre-aggregates per (user, ts) so ties are impossible
+      // — the determinism contract DuckDB's native ASOF JOIN shares.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("pvalue"))
+      graft.operators.TemporalJoins
+        .asofJoin(clicks, purchases, "user_id", "ts_us", "pvalue", "last_purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("last_purchase"), 4).as("last_purchase"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q53_range_join" -> ((s, d) => {
+      // RANGE join via time buckets (equi-join on the bucket + exact range
+      // predicate — never |events| x |intervals|): 90-minute intervals
+      // anchored at every 199th event, all events falling inside each
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val intervals = ev.where(col("event_id") % 199 === 0)
+        .select(col("event_id").as("iv_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + 5400000000L).as("end_us"))
+      graft.operators.TemporalJoins
+        .rangeJoin(intervals, ev, bucketUs = 3600000000L)
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("iv_id"))
+    }),
+
     "q46_stateful_totals" -> ((s, d) =>
       // mapGroupsWithState custom-state aggregation run in batch mode (each
       // key's rows arrive as one group, state starts empty) — the oracle is
@@ -577,6 +613,26 @@ object PipelineQueries {
     "q46_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // DuckDB's NATIVE ASOF JOIN is the oracle — the union+window formulation
+    // must reproduce it exactly (at-or-before semantics, LEFT nulls).
+    "q52_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                            event_type, value FROM events),
+         clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts_us, max(value) AS pvalue
+                       FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+         SELECT c.event_id, c.user_id, c.ts_us, round(p.pvalue, 4) AS last_purchase
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+         ORDER BY c.event_id""",
+    "q53_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+         iv AS (SELECT event_id AS iv_id, ts_us AS start_us,
+                       ts_us + 5400000000 AS end_us
+                FROM ev WHERE event_id % 199 = 0)
+         SELECT iv_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM iv JOIN ev ON ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+         GROUP BY iv_id ORDER BY iv_id""",
     "q50_event_percentiles" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 4) AS p50,
