@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Deterministic cardinality sketch: KMV (k-minimum values). Hash every item
+ * with the engine's md5-based 60-bit hash, keep each group's k smallest
+ * DISTINCT hash values, and estimate the group's distinct count as
+ * `(k-1) * 2^60 / h_k` (the classic bottom-k estimator: for D uniform
+ * hashes, the k-th minimum concentrates near `k/D * 2^60`).
+ *
+ * Unlike HLL/theta sketches, every step here is DETERMINISTIC and engine
+ * portable — same md5, same k minima, same IEEE division — so the
+ * APPROXIMATE estimate itself is oracle-gated (q54), the q36/q39 pattern.
+ *
+ * Scale: the (group, hash) distinct + per-group bottom-k shuffles on the
+ * group key. Sketch property: bottom-k sets MERGE (union then re-take k
+ * minima), so partial sketches from partitions/days combine losslessly —
+ * the reason production pipelines store them.
+ */
+object Sketches {
+
+  /**
+   * Per-group KMV over `item`: returns (group, n_hashes, kth_min, estimate).
+   * Groups with fewer than k distinct items report their EXACT distinct
+   * count (the sketch is lossless below k — `n_hashes < k` ⟹ every hash is
+   * kept).
+   */
+  def kmvDistinct(df: DataFrame, group: Column, item: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df.select(group.as("g"), TextFunctions.hash60(item).as("h")).distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val bottomK = hashed
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+    bottomK.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+      .select(col("g"), col("n_hashes"), col("kth_min"),
+        when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth_min").cast("double"))
+          .as("estimate"))
+  }
+}

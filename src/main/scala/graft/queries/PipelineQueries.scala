@@ -363,6 +363,24 @@ object PipelineQueries {
         .orderBy(col("iv_id"))
     }),
 
+    "q54_kmv_distinct" -> ((s, d) => {
+      // deterministic KMV cardinality sketch: per-source distinct-token
+      // estimate from the 16 smallest md5 hashes — the approximate value
+      // itself hash-matches the oracle (same hashes, same minima, same IEEE
+      // division), which no HLL can do
+      val tokens = Tables.documents(s, d)
+        .select(col("source"), explode(T.tokens(col("text"))).as("term"))
+      val kmv = graft.operators.Sketches
+        .kmvDistinct(tokens, col("source"), col("term"), k = 16)
+        .withColumnRenamed("g", "source")
+      val exact = tokens.groupBy(col("source"))
+        .agg(countDistinct(col("term")).as("exact_distinct"))
+      kmv.join(exact, "source")
+        .select(col("source"), col("exact_distinct"), col("n_hashes"),
+          round(col("estimate"), 4).as("estimate"))
+        .orderBy(col("source"))
+    }),
+
     "q46_stateful_totals" -> ((s, d) =>
       // mapGroupsWithState custom-state aggregation run in batch mode (each
       // key's rows arrive as one group, state starts empty) — the oracle is
@@ -613,6 +631,22 @@ object PipelineQueries {
     "q46_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q54_kmv_distinct" ->
+      s"""WITH tokens AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+         hashed AS (SELECT DISTINCT source, ${duckHash60("term")} AS h FROM tokens),
+         bk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+                FROM hashed),
+         agg AS (SELECT source, count(*) AS n_hashes, max(h) AS kth_min
+                 FROM bk WHERE rk <= 16 GROUP BY source),
+         exact AS (SELECT source, count(DISTINCT term) AS exact_distinct
+                   FROM tokens GROUP BY source)
+         SELECT agg.source, exact_distinct, n_hashes,
+                round(CASE WHEN n_hashes < 16 THEN n_hashes::DOUBLE
+                      ELSE 15.0 * 1152921504606846976 / kth_min::DOUBLE END, 4)
+                  AS estimate
+         FROM agg JOIN exact USING (source) ORDER BY source""",
     // DuckDB's NATIVE ASOF JOIN is the oracle — the union+window formulation
     // must reproduce it exactly (at-or-before semantics, LEFT nulls).
     "q52_asof_join" ->

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** KMV sketch: losslessness below k, estimator accuracy above it, and the
+ * bottom-k merge property that makes sketches composable. */
+class SketchesSpec extends SparkSpec {
+
+  test("below k the sketch reports the exact distinct count") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => ("small", s"item${i % 7}")).toDF("g", "item")
+    val r = Sketches.kmvDistinct(df, col("g"), col("item"), k = 16).collect().head
+    assert(r.getLong(1) == 7) // n_hashes
+    assert(r.getDouble(3) == 7.0) // estimate == exact
+  }
+
+  test("above k the estimate lands within 20% of the truth (deterministic)") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => ("big", s"token-$i")).toDF("g", "item")
+    val r = Sketches.kmvDistinct(df, col("g"), col("item"), k = 256).collect().head
+    val est = r.getDouble(3)
+    assert(math.abs(est - 10000) / 10000 < 0.2, s"estimate $est")
+  }
+
+  test("bottom-k sets merge losslessly: sketch(A ∪ B) == merge(sketch A, sketch B)") {
+    import spark.implicits._
+    val a = (0 until 3000).map(i => ("g", s"x$i"))
+    val b = (1500 until 5000).map(i => ("g", s"x$i")) // overlapping halves
+    val whole = Sketches.kmvDistinct((a ++ b).toDF("g", "item"),
+      col("g"), col("item"), k = 64).collect().head
+    // merge = union the two bottom-k hash sets, re-take the k minima
+    def bottomHashes(rows: Seq[(String, String)]): Seq[Long] =
+      rows.toDF("g", "item")
+        .select(graft.functions.TextFunctions.hash60(col("item")).as("h"))
+        .distinct().collect().map(_.getLong(0)).sorted.take(64).toSeq
+    val merged = (bottomHashes(a) ++ bottomHashes(b)).distinct.sorted.take(64)
+    assert(whole.getLong(1) == 64)
+    assert(whole.getLong(2) == merged.max) // same kth minimum → same estimate
+  }
+}
