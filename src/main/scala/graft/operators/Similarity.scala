@@ -100,23 +100,31 @@ object Similarity {
                  bitsPerTable: Int = 2, nTables: Int = 16): DataFrame = {
     val totalBits = bitsPerTable * nTables
     val mask = (1L << bitsPerTable) - 1L
-    val signed = vecs.select(col("id"), col("vec"),
+    // candidate generation carries (id, table, bucket) ONLY — the banding
+    // posexplode multiplies rows ×nTables, so letting `vec` ride through it
+    // would push every embedding across the exchange nTables times; vectors
+    // are joined back by id for the verify step instead (the verifyJaccard
+    // pattern), so the wide arrays cross the shuffle exactly once per side
+    // of the (small) candidate set
+    val signed = vecs.select(col("id"),
       hyperplaneSignatureNative(col("vec"), dim, totalBits).as("sig"))
     // per-table bit-slice keys; shift amount is a column (t * r) → SQL parser
-    val banded = signed.select(col("id"), col("vec"),
+    val banded = signed.select(col("id"),
       expr(s"posexplode(transform(sequence(0, ${nTables - 1}), " +
         s"t -> shiftright(sig, t * $bitsPerTable) & ${mask}L))"))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
-    val a = banded.select(col("id").as("a"), col("vec").as("va"),
-      col("table"), col("bucket"))
-    val b = banded.select(col("id").as("b"), col("vec").as("vb"),
-      col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    val a = banded.select(col("id").as("a"), col("table"), col("bucket"))
+    val b = banded.select(col("id").as("b"), col("table"), col("bucket"))
+    val candidates = a.join(b, Seq("table", "bucket"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    candidates
+      .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
       .select(col("a"), col("b"),
         round(cosineNative(col("va"), col("vb")), 4).as("cos"))
-      .distinct()
       .where(col("cos") >= threshold)
   }
 }

@@ -17,10 +17,14 @@ import graft.functions.TextFunctions
  * portable — same md5, same k minima, same IEEE division — so the
  * APPROXIMATE estimate itself is oracle-gated (q54), the q36/q39 pattern.
  *
- * Scale: the (group, hash) distinct + per-group bottom-k shuffles on the
- * group key. Sketch property: bottom-k sets MERGE (union then re-take k
- * minima), so partial sketches from partitions/days combine losslessly —
- * the reason production pipelines store them.
+ * Scale: with the native `bottomk_distinct` aggregate
+ * ([[graft.plans.BottomKDistinctExpr]]) the sketch builds in ONE hash
+ * aggregation — each task deduplicates and truncates map-side, so the
+ * exchange carries ≈ tasks × groups × k longs, never every distinct hash in
+ * the corpus, and no sort runs. Sketch property: bottom-k sets MERGE (union
+ * then re-take k minima) — exactly the aggregate's partial merge — so
+ * partial sketches from partitions/days combine losslessly, the reason
+ * production pipelines store them.
  */
 object Sketches {
 
@@ -29,16 +33,29 @@ object Sketches {
    * Groups with fewer than k distinct items report their EXACT distinct
    * count (the sketch is lossless below k — `n_hashes < k` ⟹ every hash is
    * kept).
+   *
+   * Uses the native map-side bounded set when GraftExtensions is installed;
+   * falls back to the value-identical distinct + window `row_number`
+   * formulation otherwise (which shuffles every distinct hash — install the
+   * extension at scale).
    */
   def kmvDistinct(df: DataFrame, group: Column, item: Column, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val hashed = df.select(group.as("g"), TextFunctions.hash60(item).as("h")).distinct()
-    val w = Window.partitionBy(col("g")).orderBy(col("h"))
-    val bottomK = hashed
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-    bottomK.groupBy(col("g"))
-      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+    val hashed = df.select(group.as("g"), TextFunctions.hash60(item).as("h"))
+    val bottomKAgg =
+      if (df.sparkSession.catalog.functionExists("bottomk_distinct"))
+        hashed.groupBy(col("g"))
+          .agg(call_function("bottomk_distinct", col("h"), lit(k)).as("bk"))
+          .select(col("g"), size(col("bk")).cast("long").as("n_hashes"),
+            element_at(col("bk"), size(col("bk"))).as("kth_min"))
+      else
+        hashed.distinct()
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("g")).orderBy(col("h"))))
+          .where(col("rk") <= k)
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+    bottomKAgg
       .select(col("g"), col("n_hashes"), col("kth_min"),
         when(col("n_hashes") < k, col("n_hashes").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /

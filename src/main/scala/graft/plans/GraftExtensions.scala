@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(HyperplaneSignatureExpr.descriptor)
     extensions.injectFunction(SimHash62Expr.descriptor)
     extensions.injectFunction(MinHash60Expr.descriptor)
+    extensions.injectFunction(BottomKDistinctExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{CorpusOps, Dedup, Ivf, Similarity}
+import graft.operators.{CorpusOps, Dedup, Ivf, Similarity, Skew}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -314,18 +314,27 @@ object PipelineQueries {
         .orderBy(col("event_type"))),
 
     "q51_fuzzy_pairs" -> ((s, d) => {
-      // edit-distance fuzzy matching on a bounded subset (both engines ship
-      // exact levenshtein), with the distance computed on 256-char prefixes —
-      // the O(len²) DP is the cost knob, and unbounded text made this the
-      // bench's worst line (46 s → ~2 s at sf0.1). At corpus scale candidates
-      // come from the LSH machinery (q32/q34); only candidates pay the DP.
-      val sub = Tables.documents(s, d).where(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
-      val a = sub.select(col("doc_id").as("a"), col("t").as("ta"))
-      val b = sub.select(col("doc_id").as("b"), col("t").as("tb"))
-      a.join(b, col("a") < col("b"))
+      // edit-distance fuzzy matching over the FULL corpus, scale-shaped:
+      // candidate pairs come from the LSH machinery (word-2-gram shingles of
+      // the prefix → MinHash(36) → 12 band bucket equi-joins), and ONLY
+      // candidates pay the O(len²) levenshtein DP — no all-pairs inequality
+      // join anywhere in the plan. The oracle below is the full quadratic
+      // scan, so a hash match PROVES the candidate recall on this corpus
+      // (the q32/q34 pattern). Distances are computed on 128-char prefixes —
+      // the DP cost knob that made unbounded text the bench's worst line —
+      // and the threshold (20 edits ≈ 16% of the prefix) is tight enough to
+      // be a CONTENT match: on this corpus it admits exactly the planted
+      // near-dup pairs, which sit at d ≤ 10 with the background beyond 30.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 128).as("t"))
+      val cands = Dedup.minhashCandidates(
+        docs.select(col("id"), T.shingles(col("t"), 2).as("shingles")),
+        k = 36, bands = 12)
+      cands
+        .join(docs.select(col("id").as("a"), col("t").as("ta")), "a")
+        .join(docs.select(col("id").as("b"), col("t").as("tb")), "b")
         .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
-        .where(col("dist") <= 60)
+        .where(col("dist") <= 20)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -381,6 +390,23 @@ object PipelineQueries {
         .select(col("source"), col("exact_distinct"), col("n_hashes"),
           round(col("estimate"), 4).as("estimate"))
         .orderBy(col("source"))
+    }),
+
+    "q55_skew_salted_join" -> ((s, d) => {
+      // explicit skew mitigation, oracle-gated: events collapse onto 10 hot
+      // join keys (user_id % 10, ~N/10 rows each — the single-reducer shape
+      // AQE cannot split, because a hash partition holds the WHOLE key), the
+      // build side is a 10-row customer dim, and the salted join spreads each
+      // hot key over 8 reducers. The oracle is the PLAIN join — the salted
+      // rewrite is row-identical by contract (also pinned in SkewSpec).
+      val probe = Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 10).as("uk"), col("value"))
+      val build = Tables.customer(s, d).where(col("c_custkey") <= 10)
+        .select((col("c_custkey") % 10).as("uk"), col("c_name"))
+      Skew.saltedJoin(probe, build, "uk", col("event_id"), factor = 8)
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("c_name"))
     }),
 
     "q46_stateful_totals" -> ((s, d) =>
@@ -676,11 +702,15 @@ object PipelineQueries {
          round(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q51_fuzzy_pairs" ->
-      """WITH s AS (SELECT doc_id, substr(text, 1, 128) AS t
-                    FROM documents WHERE doc_id % 25 = 0)
+      """WITH s AS (SELECT doc_id, substr(text, 1, 128) AS t FROM documents)
          SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.t, b.t) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE levenshtein(a.t, b.t) <= 60 ORDER BY a, b""",
+         WHERE levenshtein(a.t, b.t) <= 20 ORDER BY a, b""",
+    "q55_skew_salted_join" ->
+      """WITH p AS (SELECT event_id, user_id % 10 AS uk, value FROM events),
+         b AS (SELECT c_custkey % 10 AS uk, c_name FROM customer WHERE c_custkey <= 10)
+         SELECT c_name, count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM p JOIN b USING (uk) GROUP BY c_name ORDER BY c_name""",
     "q48_top_terms" ->
       """WITH tokens AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
