@@ -3,11 +3,18 @@ package graft.multimodal
 import java.nio.charset.StandardCharsets
 
 /**
- * REAL pure-JVM media codecs for the uncompressed container formats —
- * binary PPM (P6) images and RIFF/WAV PCM16 audio. No codec library exists
- * in this container, but these formats are plain byte layouts, so the
- * decode step of the multimodal pipeline is genuinely real for them;
- * only compressed codecs (JPEG/MP3/H.264) remain stubbed.
+ * REAL pure-JVM media codecs. Two tiers, no external dependencies:
+ *
+ *  - hand-rolled byte-layout codecs for binary PPM (P6) images and RIFF/WAV
+ *    PCM16 audio — plain byte layouts, fully oracle-able (the q47 gate
+ *    recomputes every decoded pixel/sample in SQL);
+ *  - the JDK's own `javax.imageio.ImageIO` (java.desktop ships with the JRE)
+ *    for COMPRESSED images — PNG, JPEG, BMP, GIF decode with zero new
+ *    dependencies via [[imageIoDecode]], normalized into the same
+ *    [[PpmImage]] shape the PPM path uses.
+ *
+ * Only compressed AUDIO/VIDEO codecs (MP3/H.264) remain stubbed — the JDK
+ * ships no decoder for those.
  */
 object Codecs {
 
@@ -51,6 +58,61 @@ object Codecs {
       data = bytes.drop(pos + 1) if data.length >= px
     } yield PpmImage(w, h, data.take(px.toInt))
   }
+
+  // ------------------------------------------- compressed images (JDK ImageIO)
+
+  /** PNG-encode via the JDK's built-in ImageIO writer — lossless, so a
+   * [[pngEncode]] → [[imageIoDecode]] round trip is pixel-exact (pinned in
+   * CodecsSpec). */
+  def pngEncode(img: PpmImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = 3 * (y * img.width + x)
+        bi.setRGB(x, y,
+          ((img.rgb(o) & 0xff) << 16) | ((img.rgb(o + 1) & 0xff) << 8) | (img.rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any JDK-supported compressed image (PNG/JPEG/BMP/GIF) into the
+   * shared [[PpmImage]] shape; None for undecodable bytes. `ImageIO.read`
+   * returns null (no registered reader) for non-image payloads and throws on
+   * truncated streams — both become None, the corrupt-media drop posture. */
+  def imageIoDecode(bytes: Array[Byte]): Option[PpmImage] = scala.util.Try {
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { bi =>
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val rgb = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = bi.getRGB(x, y) // sRGB regardless of the source color model
+          val o = 3 * (y * w + x)
+          rgb(o) = ((p >> 16) & 0xff).toByte
+          rgb(o + 1) = ((p >> 8) & 0xff).toByte
+          rgb(o + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      PpmImage(w, h, rgb)
+    }
+  }.toOption.flatten
+
+  /** Format-sniffing image decode: PPM first (ImageIO has no PPM reader),
+   * then the ImageIO formats — one entry point for every image payload. */
+  def imageDecode(bytes: Array[Byte]): Option[PpmImage] =
+    ppmDecode(bytes).orElse(imageIoDecode(bytes))
 
   // ------------------------------------------------------------------ WAV (PCM16)
 

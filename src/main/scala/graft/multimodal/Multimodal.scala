@@ -28,11 +28,16 @@ final case class MediaDecodeFeatures(
  * typed metadata; decode / feature-extract / resize / frame-sample run as
  * batched per-partition transforms over `Dataset[MediaRecord]`.
  *
- * The actual media DECODE IS A STUB — this container ships no image/audio
- * codecs, so [[decodeStub]] derives deterministic fake "pixels" from the raw
- * bytes. Everything around it — the schema, the typed Encoders, the
- * mapPartitions batch shape, the pruning-friendly column layout — is the real
- * production plumbing and is oracle-tested end-to-end (q37).
+ * Decode tiers: PPM/WAV payloads decode through the hand-rolled byte-layout
+ * codecs and PNG/JPEG/BMP/GIF through the JDK's ImageIO (both REAL —
+ * [[Codecs]], exercised by [[decodeFeatures]]/q47); [[decodeStub]] survives
+ * only as the deliberately codec-free q37 twin, deriving deterministic fake
+ * "pixels" from raw bytes so the whole q37 pipeline stays recomputable in
+ * oracle SQL. Compressed audio/video (MP3/H.264) are the one genuinely
+ * stubbed decode — the JDK ships no decoder for them. Everything around the
+ * decoders — the schema, the typed Encoders, the mapPartitions batch shape,
+ * the pruning-friendly column layout — is the real production plumbing and
+ * is oracle-tested end-to-end (q37/q47).
  */
 object Multimodal {
 
@@ -166,8 +171,11 @@ object Multimodal {
    * images and RIFF/WAV PCM16 audio, both built byte-for-byte by [[Codecs]].
    * Pixels/samples derive deterministically from the text's UTF-8 bytes
    * (pixel j = byte[j mod L]; sample i = byte[i]·257 − 32768), so the q47
-   * oracle can recompute every decoded feature from the text alone. Video
-   * stays out: compressed codecs are the only genuinely stubbed decode left.
+   * oracle can recompute every decoded feature from the text alone (compressed
+   * formats would not be — PNG/JPEG decode is real too, via the JDK ImageIO
+   * path in [[Codecs.imageDecode]], but can't be recomputed in SQL, so the
+   * oracle-gated corpus sticks to PPM/WAV). Video stays out: compressed
+   * audio/video codecs are the only genuinely stubbed decode left.
    */
   def synthesizeReal(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
@@ -200,8 +208,9 @@ object Multimodal {
 
   /**
    * REAL decode + feature extraction: parse each payload with the format's
-   * actual decoder ([[Codecs.ppmDecode]] / [[Codecs.wavDecode]] — header
-   * parse, dimension/codec validation, pixel/sample extraction) and reduce to
+   * actual decoder ([[Codecs.imageDecode]] — PPM byte layout or the JDK's
+   * ImageIO for PNG/JPEG/BMP/GIF — / [[Codecs.wavDecode]]: header parse,
+   * dimension/codec validation, pixel/sample extraction) and reduce to
    * integer features. Same narrow mapPartitions shape as [[extractFeatures]];
    * undecodable payloads drop (flatMap), the production posture for corrupt
    * media at 100 TB.
@@ -212,7 +221,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         r.modality match {
-          case "image" => Codecs.ppmDecode(r.bytes).map { img =>
+          case "image" => Codecs.imageDecode(r.bytes).map { img =>
             var sr = 0L
             var sg = 0L
             var p = 0
