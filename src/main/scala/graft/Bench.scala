@@ -46,7 +46,9 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
 
-    val names = SparkEntry.queries.keys.toSeq
+    // sorted: deterministic pass order (Map iteration order is arbitrary), so
+    // partial artifacts from different runs cover a comparable prefix
+    val names = SparkEntry.queries.keys.toSeq.sorted
     // min time per query so far; -1.0 = errored, absent = not yet measured
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -278,22 +278,91 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "nid"), col("b") === col("nid"))
         .groupBy(col("a").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // old and new label ride the same row, so convergence is a filter over
+      // the checkpointed frame — no extra join-with-previous-labels per round
       val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") < col("old"))
-        .isEmpty
-      labels = updated
+      converged = updated.where(col("label") < col("old")).isEmpty
+      labels = updated.select(col("id"), col("label"))
       it += 1
     }
     // an iteration-capped exit would return a WRONG partitioning (one true
     // cluster split across labels) — fail loudly, never silently
     if (!converged) throw new IllegalStateException(
       s"components did not converge in $maxIters rounds — graph diameter exceeds " +
-        "the cap; raise maxIters or use large-star/small-star rounds for chain graphs")
+        "the cap; raise maxIters or use componentsStar for chain graphs")
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /**
+   * Connected components by alternating LARGE-STAR / SMALL-STAR rounds — the
+   * O(log n)-round formulation for adversarial graph shapes: min-label
+   * propagation ([[components]]) needs diameter-many rounds, so a
+   * 10⁶-vertex chain (pathological, but real corpora produce long similarity
+   * chains of serially-edited boilerplate) would run 10⁶ join rounds; star
+   * contraction squares the shrink rate instead, converging in O(log n)
+   * alternations regardless of diameter.
+   *
+   * Round shape (all hash-partitioned equi-joins + groupBys, the
+   * [[components]] cost model — no new shuffle shapes at 100 TB):
+   *  - large-star: every neighbor ABOVE u links to u's minimum neighbor
+   *    (strictly-descending edges only after this);
+   *  - small-star: every ≤-u neighbor (and u itself) links to u's overall
+   *    minimum.
+   * At fixpoint the edge set is a star forest: each vertex points directly at
+   * its component's minimum id — the same (id, component = min reachable id)
+   * contract as [[components]], asserted pair-identical in ScaleOpsSpec on
+   * chains, cliques, and the planted near-dup corpus (and oracle-gated via
+   * q56 against the recursive-CTE transitive closure).
+   */
+  def componentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    val raw = pairs.select(col("a"), col("b")).where(col("a") =!= col("b"))
+    val vertices = raw.select(col("a").as("id"))
+      .unionAll(raw.select(col("b").as("id")))
+      .distinct()
+      .localCheckpoint()
+    // canonical strictly-descending edge (u > v)
+    var edges = raw.select(greatest(col("a"), col("b")).as("u"),
+      least(col("a"), col("b")).as("v")).distinct().localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // LARGE-STAR over the symmetric view: neighbors strictly above u attach
+      // to m(u) = min(N(u) ∪ {u}); every output edge strictly descends
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR over the descending edges: u's below-neighbors (and u)
+      // all attach to u's overall minimum
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = large.join(smins, "u")
+      val small = joined.select(col("v").as("x"), col("m"))
+        .unionAll(joined.select(col("u").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint: both sides are distinct sets, so equal counts + empty
+      // one-sided difference ⇒ set equality
+      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"componentsStar did not converge in $maxIters rounds (O(log n) expected " +
+        "— this indicates a bug or an astronomically large graph)")
+    // star forest: non-minimum vertices carry exactly one descending edge to
+    // their component minimum; minima label themselves. The groupBy-min is
+    // defensive (a star forest has one edge per vertex) — it keeps the output
+    // one-row-per-vertex by construction rather than by trust.
+    vertices.join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("lbl"), col("id"))).as("component"))
   }
 }

@@ -392,6 +392,22 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    "q56_clusters_star" -> ((s, d) => {
+      // the q41 pipeline with the OTHER clustering algorithm: alternating
+      // large-star/small-star contraction (O(log n) rounds at any diameter)
+      // over the same verified near-dup pairs — same (survivor, members)
+      // contract, same recursive-CTE oracle shape as q41, so the two
+      // formulations are independently oracle-proven equivalent
+      val docs = docShingles(s, d, 2)
+      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      Dedup.componentsStar(pairs)
+        .groupBy(col("component").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string")), ",").as("members"))
+        .orderBy(col("keep_id"))
+    }),
+
     "q55_skew_salted_join" -> ((s, d) => {
       // explicit skew mitigation, oracle-gated: events collapse onto 10 hot
       // join keys (user_id % 10, ~N/10 rows each — the single-reducer shape
@@ -593,6 +609,27 @@ object PipelineQueries {
     // the same verified near-dup pairs (q32's quadratic oracle), min-label
     // per node — both sides converge to component = min reachable id.
     "q41_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.8),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id)
+         SELECT component AS keep_id, count(*) AS n_members,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         FROM labeled GROUP BY component ORDER BY keep_id""",
+    // q56 runs the SAME pipeline as q41 with the star-contraction clustering —
+    // the oracle is the identical transitive closure, proving the two
+    // clustering algorithms agree with graph-theoretic ground truth.
+    "q56_clusters_star" ->
       s"""WITH RECURSIVE
          ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
          sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),

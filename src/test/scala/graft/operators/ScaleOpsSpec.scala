@@ -192,4 +192,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(comps(30L) == 30L && comps(31L) == 30L)
     assert(comps.size == 15)
   }
+
+  test("componentsStar == components on chains, cliques, and shuffled ids") {
+    import spark.implicits._
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("a", "b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(toMap(Dedup.componentsStar(edges)) == toMap(Dedup.components(edges)))
+    // long chain with SCRAMBLED ids (the component min sits mid-chain, so
+    // star contraction must move labels against the edge direction too);
+    // diameter 63 — min-label propagation needs 64 rounds, star contraction
+    // converges inside its default O(log n) cap of 40
+    val ids = new scala.util.Random(7).shuffle((100L to 163L).toVector)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val star = toMap(Dedup.componentsStar(chain))
+    assert(star.values.toSet == Set(100L), "single component labeled by its min")
+    assert(star.keySet == (100L to 163L).toSet)
+    assert(star == toMap(Dedup.components(chain, maxIters = 100)))
+    // empty edge set → empty labeling, not a crash
+    assert(Dedup.componentsStar(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+  }
 }

@@ -24,6 +24,24 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 10000) / 10000 < 0.2, s"estimate $est")
   }
 
+  test("native bottomk_distinct aggregate equals a driver-side recomputation") {
+    import spark.implicits._
+    // duplicates across partitions exercise map-side dedup + partial merge
+    val df = (0 until 5000).map(i => (s"g${i % 5}", s"tok-${i % 900}"))
+      .toDF("g", "item").repartition(8)
+    val got = Sketches.kmvDistinct(df, col("g"), col("item"), k = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ground truth: per group, distinct 60-bit hashes sorted ascending, first 16
+    val truth = df.select(col("g"),
+        graft.functions.TextFunctions.hash60(col("item")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rows) =>
+        val bottom = rows.map(_._2).sorted.take(16)
+        g -> (bottom.length.toLong, bottom.last)
+      }
+    assert(got == truth)
+  }
+
   test("bottom-k sets merge losslessly: sketch(A ∪ B) == merge(sketch A, sketch B)") {
     import spark.implicits._
     val a = (0 until 3000).map(i => ("g", s"x$i"))
