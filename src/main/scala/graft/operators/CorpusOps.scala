@@ -40,6 +40,39 @@ object CorpusOps {
   }
 
   /**
+   * The bounded-heap stratified sampler — [[sampleStratified]]'s mega-stratum
+   * escape made concrete: draw order is the 60-bit `hash60(salt:id)` (exact
+   * long comparison, id tie-break) and the per-stratum quota comes from the
+   * native `mink_by` aggregate ([[graft.plans.MinKByExpr]]), so each task
+   * truncates every stratum to `quota` entries map-side and the exchange
+   * carries ≈ tasks × strata × quota entries — the window formulation
+   * shuffles and sorts EVERY row of the corpus, and a single hot stratum
+   * lands whole on one reducer. Output: (stratum, sample_rank, id), rank
+   * 1..quota in draw order.
+   *
+   * Falls back to the value-identical window formulation when the extension
+   * is not installed.
+   */
+  def sampleStratifiedBounded(df: DataFrame, idCol: Column, stratum: Column,
+                              quota: Int, salt: String): DataFrame = {
+    val key = graft.functions.TextFunctions
+      .hash60(concat(lit(s"$salt:"), idCol.cast("string")))
+    val keyed = df.select(stratum.as("stratum"), key.as("draw"), idCol.as("id"))
+    if (df.sparkSession.catalog.functionExists("mink_by"))
+      keyed.groupBy(col("stratum"))
+        .agg(call_function("mink_by", col("draw"), col("id"), lit(quota)).as("mk"))
+        .select(col("stratum"), posexplode(col("mk")))
+        .select(col("stratum"), (col("pos") + 1).as("sample_rank"),
+          col("col.id").as("id"))
+    else {
+      val w = Window.partitionBy(col("stratum")).orderBy(col("draw"), col("id"))
+      keyed.withColumn("sample_rank", row_number().over(w))
+        .where(col("sample_rank") <= quota)
+        .select(col("stratum"), col("sample_rank"), col("id"))
+    }
+  }
+
+  /**
    * Deterministic corpus shuffle: order by `md5(salt:id)` — the standard
    * pre-training randomization, reproducible from the salt alone. Epoch k =
    * salt "epoch-k": a fresh permutation, no stored state.

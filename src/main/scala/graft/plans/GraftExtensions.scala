@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(SimHash62Expr.descriptor)
     extensions.injectFunction(MinHash60Expr.descriptor)
     extensions.injectFunction(BottomKDistinctExpr.descriptor)
+    extensions.injectFunction(MinKByExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

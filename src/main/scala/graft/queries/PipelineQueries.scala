@@ -254,6 +254,18 @@ object PipelineQueries {
         col("doc_id"), salt = "epoch-0")
         .select(col("doc_id"), col("shuffle_key"))),
 
+    "q57_sample_bounded" -> ((s, d) =>
+      // the bounded-heap stratified sampler: same exact-quota contract as
+      // q42, but the per-stratum minima come from the native mink_by
+      // aggregate (map-side truncation to quota) instead of a full
+      // window sort — the plan that survives a mega-stratum. The draw key
+      // is hash60 (exact long order), reproduced verbatim by the oracle.
+      CorpusOps.sampleStratifiedBounded(Tables.documents(s, d),
+        col("doc_id"), col("source"), quota = 25, salt = "s57")
+        .select(col("stratum").as("source"), col("sample_rank"),
+          col("id").as("doc_id"))
+        .orderBy(col("source"), col("sample_rank"))),
+
     "q44_decontaminate" -> ((s, d) => {
       // benchmark decontamination: the held-out set is every 97th doc; any
       // corpus doc sharing a word 5-gram with it (or in it) is dropped
@@ -675,6 +687,13 @@ object PipelineQueries {
     "q43_corpus_shuffle" ->
       """SELECT doc_id, md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key""",
+    "q57_sample_bounded" ->
+      s"""SELECT source, sample_rank, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ${duckHash60("'s57:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS sample_rank
+           FROM documents)
+         WHERE sample_rank <= 25 ORDER BY source, sample_rank""",
     "q44_decontaminate" ->
       s"""${withDocShingles(5, "TRUE")},
          bgrams AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0),

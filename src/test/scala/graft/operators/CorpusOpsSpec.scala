@@ -32,6 +32,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again != other)
   }
 
+  test("bounded-heap sampler equals the window formulation (map-side truncation)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaHeap = CorpusOps.sampleStratifiedBounded(docs,
+      col("doc_id"), col("source"), quota = 7, salt = "sx")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // the window twin over the same exact hash60 draw key
+    val key = T.hash60(concat(lit("sx:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(key, col("doc_id"))
+    val viaWindow = docs
+      .withColumn("sample_rank", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("sample_rank") <= 7)
+      .select(col("source"), col("sample_rank"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaHeap == viaWindow)
+    assert(viaHeap.groupBy(_._1).forall(_._2.size == 7), "exact quota per stratum")
+  }
+
   test("deterministic shuffle is a stable permutation, different per salt") {
     val docs = Tables.documents(spark, sf)
     val e0 = CorpusOps.deterministicShuffle(docs, col("doc_id"), "epoch-0")
