@@ -62,4 +62,48 @@ object Sketches {
             col("kth_min").cast("double"))
           .as("estimate"))
   }
+
+  /** The d seeded bucket columns of the Count-Min family: row i buckets by
+   * `hash60("i:" + item) mod w` — md5-deterministic, so an oracle rebuilds
+   * the identical counter table. */
+  private def cmBuckets(item: Column, d: Int, w: Int): Column =
+    posexplode(array((0 until d).map(i =>
+      pmod(TextFunctions.seededHash(i, item), lit(w.toLong))): _*))
+
+  /**
+   * Count-Min sketch counter table over `item`: d rows × w buckets, counter =
+   * number of items hashing there. The frequency workhorse sketch: point
+   * estimates NEVER underestimate, overestimate by at most the collision mass
+   * (ε ≈ e/w of total count with probability 1 − e^−d).
+   *
+   * Scale: one aggregation — partial counts combine map-side, the exchange
+   * carries ≤ tasks × d × w rows, and the finished table is d × w rows
+   * TOTAL (broadcast territory) no matter how many items streamed through.
+   * Counter tables MERGE by adding counters cell-wise, so per-partition/day
+   * sketches combine losslessly — same posture as the KMV bottom-k sets.
+   */
+  def countMin(df: DataFrame, item: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, "Count-Min needs d >= 1 rows and w >= 2 buckets")
+    df.select(cmBuckets(item, d, w))
+      .withColumnRenamed("pos", "r")
+      .withColumnRenamed("col", "bucket")
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Count-Min point queries: each probe's estimate is the MINIMUM of its d
+   * counters. `probes` carries a `term` column; the counter table is tiny by
+   * construction, so the join broadcasts and the corpus is never re-read.
+   * Probes absent from every counter row estimate 0 (left join + coalesce).
+   */
+  def countMinEstimate(counters: DataFrame, probes: DataFrame,
+                       d: Int, w: Int): DataFrame = {
+    val keyed = probes.select(col("term"), cmBuckets(col("term"), d, w))
+      .withColumnRenamed("pos", "r")
+      .withColumnRenamed("col", "bucket")
+    keyed.join(broadcast(counters), Seq("r", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
+  }
 }

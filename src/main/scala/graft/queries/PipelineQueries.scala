@@ -420,6 +420,27 @@ object PipelineQueries {
         .orderBy(col("keep_id"))
     }),
 
+    "q58_countmin_heavy" -> ((s, d) => {
+      // Count-Min heavy hitters: a 3×16 deterministic counter table over all
+      // tokens, point-queried for the exact top-20 terms. The sketch
+      // over-approximates (never under) by collision mass — and because the
+      // hash rows are md5-seeded, the DuckDB oracle rebuilds the IDENTICAL
+      // counters, so the APPROXIMATE estimates themselves hash-match (the
+      // q54/q36 pattern: oracle-gated approximation, impossible with a
+      // randomized sketch). The probe top-20 is TakeOrdered (per-partition
+      // heaps), not a global sort.
+      val tokens = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("term"))
+      val counters = graft.operators.Sketches.countMin(tokens, col("term"), d = 3, w = 16)
+      val probes = tokens.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+      probes.join(
+          graft.operators.Sketches.countMinEstimate(counters, probes, d = 3, w = 16),
+          "term")
+        .select(col("term"), col("exact_cnt"), col("cm_estimate"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    }),
+
     "q55_skew_salted_join" -> ((s, d) => {
       // explicit skew mitigation, oracle-gated: events collapse onto 10 hot
       // join keys (user_id % 10, ~N/10 rows each — the single-reducer shape
@@ -762,6 +783,27 @@ object PipelineQueries {
          SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.t, b.t) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.t, b.t) <= 20 ORDER BY a, b""",
+    // Rebuilds the IDENTICAL 3×16 Count-Min counter table (same md5-seeded
+    // row hashes), so the approximate estimates hash-match exactly.
+    "q58_countmin_heavy" -> {
+      def h(i: Int) = s"${duckHash60(s"concat('$i:', term)")} % 16"
+      s"""WITH tokens AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         exact AS (SELECT term, count(*) AS exact_cnt FROM tokens GROUP BY term),
+         probes AS (SELECT term, exact_cnt FROM exact
+                    ORDER BY exact_cnt DESC, term LIMIT 20),
+         buckets AS (SELECT 0 AS r, ${h(0)} AS bucket FROM tokens
+                     UNION ALL SELECT 1, ${h(1)} FROM tokens
+                     UNION ALL SELECT 2, ${h(2)} FROM tokens),
+         counters AS (SELECT r, bucket, count(*) AS cnt FROM buckets GROUP BY r, bucket),
+         pb AS (SELECT term, 0 AS r, ${h(0)} AS bucket FROM probes
+                UNION ALL SELECT term, 1, ${h(1)} FROM probes
+                UNION ALL SELECT term, 2, ${h(2)} FROM probes),
+         est AS (SELECT pb.term, min(coalesce(c.cnt, 0)) AS cm_estimate
+                 FROM pb LEFT JOIN counters c USING (r, bucket) GROUP BY pb.term)
+         SELECT p.term, p.exact_cnt, e.cm_estimate
+         FROM probes p JOIN est e USING (term)
+         ORDER BY exact_cnt DESC, term"""
+    },
     "q55_skew_salted_join" ->
       """WITH p AS (SELECT event_id, user_id % 10 AS uk, value FROM events),
          b AS (SELECT c_custkey % 10 AS uk, c_name FROM customer WHERE c_custkey <= 10)

@@ -42,6 +42,35 @@ class SketchesSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("Count-Min never underestimates, and counter tables merge cell-wise") {
+    import spark.implicits._
+    val items = (0 until 2000).map(i => s"t${i % 37}").toDF("term")
+    val exact = items.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+    // narrow table (3×16): collisions certain with 37 distinct terms — the
+    // one-sided error guarantee is what must hold
+    val est = Sketches.countMinEstimate(
+      Sketches.countMin(items, col("term"), d = 3, w = 16), exact, d = 3, w = 16)
+    val rows = exact.join(est, "term").collect()
+    assert(rows.length == 37)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"${r.getString(0)}: estimate ${r.getLong(2)} < exact ${r.getLong(1)}"))
+    // merge = cell-wise addition of counter tables
+    val a = (0 until 700).map(i => s"t${i % 37}").toDF("term")
+    val b = (700 until 2000).map(i => s"t${i % 37}").toDF("term")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMin(df, col("term"), d = 3, w = 16)
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = cells(items)
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged == whole)
+    // an unseen probe term can only pick up collision mass, never go negative
+    val unseen = Sketches.countMinEstimate(
+      Sketches.countMin(items, col("term"), d = 3, w = 16),
+      Seq("never-seen-term").toDF("term"), d = 3, w = 16).collect().head
+    assert(unseen.getLong(1) >= 0L)
+  }
+
   test("bottom-k sets merge losslessly: sketch(A ∪ B) == merge(sketch A, sketch B)") {
     import spark.implicits._
     val a = (0 until 3000).map(i => ("g", s"x$i"))
