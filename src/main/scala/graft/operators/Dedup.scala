@@ -318,11 +318,13 @@ object Dedup {
    * q56 against the recursive-CTE transitive closure).
    */
   def componentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    // checkpoint the INPUT once — vertices and edges both derive from it, and
+    // an expensive upstream pipeline (LSH + verify) must not materialize twice
     val raw = pairs.select(col("a"), col("b")).where(col("a") =!= col("b"))
+      .localCheckpoint()
     val vertices = raw.select(col("a").as("id"))
       .unionAll(raw.select(col("b").as("id")))
       .distinct()
-      .localCheckpoint()
     // canonical strictly-descending edge (u > v)
     var edges = raw.select(greatest(col("a"), col("b")).as("u"),
       least(col("a"), col("b")).as("v")).distinct().localCheckpoint()
