@@ -106,4 +106,28 @@ object TextFunctions {
    */
   def fingerprint(text: Column): Column =
     array_min(transform(shingles(text, 3), s => hash60(s)))
+
+  // ------------------------------------------------------------------ PII scrubbing
+
+  /** PII patterns for the redaction pass — deliberately restricted to the
+   * ASCII syntax subset on which Java regex (Spark) and RE2 (DuckDB) agree,
+   * so the redacted text itself is oracle-comparable. */
+  final val EmailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  final val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  final val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /**
+   * PII redaction for training-data scrubbing: replaces emails, then phone
+   * numbers, then IPv4 addresses with typed placeholders. Pure codegen'd
+   * `regexp_replace` chain — a narrow map over the corpus, no shuffle; at
+   * 100 TB this runs at scan speed and composes with any downstream operator.
+   * Ordering matters and is fixed: emails first (their local part may contain
+   * digits/dots that the later patterns could clip).
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
 }

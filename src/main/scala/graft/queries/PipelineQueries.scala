@@ -420,6 +420,41 @@ object PipelineQueries {
         .orderBy(col("keep_id"))
     }),
 
+    "q59_pii_redact" -> ((s, d) => {
+      // PII scrubbing: the corpus is synthetic word salad, so deterministic
+      // PII (email, phone, IPv4 — derived from doc_id) is appended in-query,
+      // then redacted with the fixed regex chain. Counts AND the md5 of the
+      // scrubbed text are oracle-gated: Java regex and RE2 agree on the
+      // restricted ASCII pattern subset, so the redaction is engine-portable.
+      // Narrow map, zero shuffles before the ORDER BY — scan-speed at 100 TB.
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com tel +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".17"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(dirty, lit(T.EmailRe)).as("n_emails"),
+        regexp_count(dirty, lit(T.PhoneRe)).as("n_phones"),
+        regexp_count(dirty, lit(T.Ipv4Re)).as("n_ips"),
+        md5(T.redactPii(dirty)).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q60_mixture_sample" -> ((s, d) =>
+      // data-mixing draw: per-source target quotas (the weight map every
+      // pre-training mixture config carries — here derived deterministically
+      // from the source name so the oracle shares it: 20 or 30 docs), drawn
+      // in md5-hash order through the bounded-heap sampler with k = max
+      // quota, then rank-filtered to each stratum's own quota. Same plan
+      // shape as q57 — the mixture is free on top of the sample.
+      CorpusOps.sampleStratifiedBounded(Tables.documents(s, d),
+        col("doc_id"), col("source"), quota = 30, salt = "s60")
+        .where(col("sample_rank") <= (length(col("stratum")) % 3 + 1) * 10)
+        .select(col("stratum").as("source"), col("sample_rank"),
+          col("id").as("doc_id"))
+        .orderBy(col("source"), col("sample_rank"))),
+
     "q58_countmin_heavy" -> ((s, d) => {
       // Count-Min heavy hitters: a 3×16 deterministic counter table over all
       // tokens, point-queried for the exact top-20 terms. The sketch
@@ -783,6 +818,34 @@ object PipelineQueries {
          SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.t, b.t) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.t, b.t) <= 20 ORDER BY a, b""",
+    // Same regex chain in RE2; the scrubbed text md5 must match byte-for-byte.
+    "q59_pii_redact" -> {
+      val email = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH dirty AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com tel +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' AS t
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '$email')) AS n_emails,
+           len(regexp_extract_all(t, '$phone')) AS n_phones,
+           len(regexp_extract_all(t, '$ip')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'),
+             '$ip', '[IP]', 'g')) AS clean_md5
+         FROM dirty ORDER BY doc_id"""
+    },
+    "q60_mixture_sample" ->
+      s"""SELECT source, sample_rank, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ${duckHash60("'s60:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS sample_rank
+           FROM documents)
+         WHERE sample_rank <= (length(source) % 3 + 1) * 10
+         ORDER BY source, sample_rank""",
     // Rebuilds the IDENTICAL 3×16 Count-Min counter table (same md5-seeded
     // row hashes), so the approximate estimates hash-match exactly.
     "q58_countmin_heavy" -> {
