@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(MinHash60Expr.descriptor)
     extensions.injectFunction(BottomKDistinctExpr.descriptor)
     extensions.injectFunction(MinKByExpr.descriptor)
+    extensions.injectFunction(WordNgramsExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

@@ -104,6 +104,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native word_ngrams equals the HOF shingle chain on adversarial inputs") {
+    import spark.implicits._
+    val texts = Seq(
+      "", " ", "a", "a b", "a b c d e", "a  b", "a b ", " a b",
+      "x x x x", "one two three two one", "a b c b a b c",
+      ("word " * 50).trim)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("text")
+      val native = df.select(call_function("word_ngrams", col("text"), lit(n)))
+        .collect().map(_.getSeq[String](0).toList)
+      val hof = df.select(T.shingles(col("text"), n))
+        .collect().map(_.getSeq[String](0).toList)
+      assert(native.toList == hof.toList, s"n=$n")
+    }
+  }
+
   test("native minhash_signature returns null for an empty shingle array") {
     val row = spark.sql(
       "SELECT minhash_signature(CAST(array() AS ARRAY<STRING>), 8) AS sig").first()
