@@ -63,6 +63,69 @@ object Sketches {
           .as("estimate"))
   }
 
+  /** HLL alpha bias-correction constant for m registers (published values). */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** `alpha * m^2 * 2^maxRho` precomputed as ONE double — the oracle SQL
+   * embeds this exact literal (double toString round-trips in both engines),
+   * so multiply order can't diverge between Spark and DuckDB. */
+  def hllAlphaNum(p: Int): Double = {
+    val m = 1 << p
+    hllAlpha(m) * m * m * math.pow(2.0, 61 - p)
+  }
+
+  /**
+   * Deterministic HyperLogLog: per-group distinct estimate from m = 2^p
+   * registers over the engine's md5-based 60-bit hash. Bucket = `h mod m`,
+   * register = max over the bucket's items of `rho(h >> p)` where rho is the
+   * leading-zero count of the remaining `60-p` bits plus one (computed
+   * portably as `61 - p - bitlength`, with `bin()` string length as the bit
+   * length in both engines). The harmonic mean runs in SCALED INTEGERS —
+   * `sum(2^(maxRho - register))` as a BIGINT, empty buckets contributing
+   * `2^maxRho` — so the sum is exact and order-free; the only FP ops are one
+   * final division and (on the small-range branch) one `ln`, both
+   * deterministic, so the APPROXIMATE estimate itself is oracle-gated (q61,
+   * the q54/q58 pattern).
+   *
+   * Scale: two hash aggregations — (group, bucket) max, then group — with
+   * map-side partial combine; the exchange carries ≤ tasks × groups × m
+   * register rows, never the items. Register vectors MERGE by element-wise
+   * max (exactly the first aggregation's partial merge), so per-partition/day
+   * sketches combine losslessly: the same posture as the KMV bottom-k sets
+   * and the Count-Min counter tables, at 48 bytes × m per group.
+   */
+  def hllDistinct(df: DataFrame, group: Column, item: Column, p: Int = 5): DataFrame = {
+    require(p >= 4 && p <= 12, "HLL needs 4 <= p <= 12")
+    val m = 1 << p
+    val maxRho = 61 - p // h < 2^60, so h >> p has 60-p bits; rho in [1, 61-p]
+    val alphaNum = hllAlphaNum(p)
+    val h = TextFunctions.hash60(item)
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(maxRho)).otherwise(lit(maxRho) - length(bin(w)))
+    val regs = df
+      .select(group.as("g"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("rho"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val agg = regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_buckets"),
+        // column shift amounts are only reachable through the SQL parser
+        expr(s"sum(shiftleft(1L, $maxRho - r))").as("s_present"))
+    val sTotal = (col("s_present") +
+      (lit(m.toLong) - col("n_buckets")) * lit(1L << maxRho)).cast("double")
+    val eRaw = lit(alphaNum) / sTotal
+    val zeros = (lit(m.toLong) - col("n_buckets")).cast("double")
+    agg.select(col("g"), col("n_buckets"),
+      when(eRaw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)) // linear counting
+        .otherwise(eRaw)
+        .as("estimate"))
+  }
+
   /** The d seeded bucket columns of the Count-Min family: row i buckets by
    * `hash60("i:" + item) mod w` — md5-deterministic, so an oracle rebuilds
    * the identical counter table. */

@@ -485,6 +485,55 @@ object PipelineQueries {
         .orderBy(col("exact_cnt").desc, col("term"))
     }),
 
+    "q62_repetition" -> ((s, d) => {
+      // intra-document repetition signals (the Gopher-style boilerplate
+      // filters): duplicate-word fraction, top-word fraction, duplicate
+      // word-2-gram fraction. Everything is SCALAR per row — array folds
+      // inside the scan, zero shuffles before the ORDER BY — where the naive
+      // formulation shuffles every (doc, word) pair through a wordcount;
+      // at 100 TB this runs at scan speed like q26-q29.
+      val w = T.tokens(col("text"))
+      val nW = size(w)
+      val nDw = size(array_distinct(w))
+      val topCnt = array_max(transform(array_distinct(w),
+        x => size(filter(w, y => y === x))))
+      // NON-distinct 2-grams (shingles() dedups; repetition needs the dups)
+      val grams = when(nW >= 2, transform(sequence(lit(0), nW - 2),
+        i => array_join(slice(w, i + 1, lit(2)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val nG = size(grams)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nW.as("n_words"),
+        round(lit(1.0) - nDw.cast("double") / nW.cast("double"), 4)
+          .as("dup_word_frac"),
+        round(topCnt.cast("double") / nW.cast("double"), 4).as("top_word_frac"),
+        when(nG <= 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(grams)).cast("double") / nG.cast("double"), 4))
+          .as("dup_gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q61_hll_distinct" -> ((s, d) => {
+      // deterministic HyperLogLog: per-event-type distinct-user estimate from
+      // 32 md5-derived registers. The harmonic mean runs in scaled integers
+      // (exact, order-free), so the APPROXIMATE estimate itself hash-matches
+      // the oracle — the q54/q58 oracle-gated-approximation pattern, now for
+      // the third sketch family (bottom-k, counter table, register vector).
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("item"))
+      val hll = graft.operators.Sketches
+        .hllDistinct(ev, col("event_type"), col("item"), p = 5)
+        .withColumnRenamed("g", "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("item")).as("exact_distinct"))
+      hll.join(exact, "event_type")
+        .select(col("event_type"), col("exact_distinct"), col("n_buckets"),
+          round(col("estimate"), 4).as("estimate"))
+        .orderBy(col("event_type"))
+    }),
+
     "q55_skew_salted_join" -> ((s, d) => {
       // explicit skew mitigation, oracle-gated: events collapse onto 10 hot
       // join keys (user_id % 10, ~N/10 rows each — the single-reducer shape
@@ -875,6 +924,47 @@ object PipelineQueries {
          SELECT p.term, p.exact_cnt, e.cm_estimate
          FROM probes p JOIN est e USING (term)
          ORDER BY exact_cnt DESC, term"""
+    },
+    "q62_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd,
+                 list_max(list_transform(list_distinct(ws),
+                   x -> len(list_filter(ws, y -> y = x)))) AS topcnt,
+                 CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(0, len(ws) - 1),
+                          i -> array_to_string(ws[i+1:i+2], ' '))
+                   ELSE [] END AS grams
+               FROM s)
+         SELECT doc_id, n AS n_words,
+                round(1.0 - nd::DOUBLE / n, 4) AS dup_word_frac,
+                round(topcnt::DOUBLE / n, 4) AS top_word_frac,
+                CASE WHEN len(grams) <= 0 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+                END AS dup_gram_frac
+         FROM g ORDER BY doc_id""",
+    // Rebuilds the IDENTICAL 32 HLL registers (same md5 hashes, same scaled-
+    // integer harmonic sum), so the approximate estimate hash-matches exactly.
+    "q61_hll_distinct" -> {
+      val alphaNum = graft.operators.Sketches.hllAlphaNum(5)
+      s"""WITH items AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+         h AS (SELECT event_type, ${duckHash60("item")} AS h FROM items),
+         b AS (SELECT event_type, h % 32 AS bucket, h // 32 AS w FROM h),
+         reg AS (SELECT event_type, bucket,
+                   max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS r
+                 FROM b GROUP BY event_type, bucket),
+         agg AS (SELECT event_type, count(*) AS n_buckets,
+                   sum(1::BIGINT << (56 - r)) AS s_present
+                 FROM reg GROUP BY event_type),
+         est AS (SELECT event_type, n_buckets,
+                   $alphaNum / (s_present + (32 - n_buckets) * (1::BIGINT << 56))::DOUBLE AS e_raw,
+                   (32 - n_buckets)::DOUBLE AS zeros
+                 FROM agg),
+         exact AS (SELECT event_type, count(DISTINCT item) AS exact_distinct
+                   FROM items GROUP BY event_type)
+         SELECT e.event_type, exact_distinct, n_buckets,
+                round(CASE WHEN e_raw <= 80.0 AND zeros > 0
+                           THEN 32.0 * ln(32.0 / zeros) ELSE e_raw END, 4) AS estimate
+         FROM est e JOIN exact USING (event_type) ORDER BY event_type"""
     },
     "q55_skew_salted_join" ->
       """WITH p AS (SELECT event_id, user_id % 10 AS uk, value FROM events),

@@ -71,6 +71,51 @@ class SketchesSpec extends SparkSpec {
     assert(unseen.getLong(1) >= 0L)
   }
 
+  test("HLL estimate lands within 25% of truth on the raw-estimator branch") {
+    import spark.implicits._
+    val df = (0 until 20000).map(i => ("big", s"u-${i % 5000}")).toDF("g", "item")
+      .repartition(8)
+    val r = Sketches.hllDistinct(df, col("g"), col("item"), p = 8).collect().head
+    val est = r.getDouble(2)
+    assert(math.abs(est - 5000) / 5000 < 0.25, s"estimate $est")
+  }
+
+  test("HLL small-range branch is exact linear counting: m*ln(m/zeros)") {
+    import spark.implicits._
+    val df = Seq.tabulate(50)(i => ("tiny", s"v${i % 3}")).toDF("g", "item")
+    val r = Sketches.hllDistinct(df, col("g"), col("item"), p = 5).collect().head
+    val nBuckets = r.getLong(1)
+    assert(nBuckets <= 3) // at most 3 distinct items -> at most 3 registers
+    val zeros = 32.0 - nBuckets
+    assert(r.getDouble(2) == 32.0 * math.log(32.0 / zeros))
+  }
+
+  test("HLL register vectors merge by element-wise max") {
+    import spark.implicits._
+    // sketch(A ∪ B) must equal the sketch of the union — the groupBy(bucket)
+    // max IS the merge, so running it over the concatenation is the merged
+    // sketch; split runs must agree with it on every register
+    val a = (0 until 4000).map(i => ("g", s"a$i"))
+    val b = (2000 until 6000).map(i => ("g", s"a$i"))
+    def regs(rows: Seq[(String, String)]) = {
+      val df = rows.toDF("g", "item")
+      val h = graft.functions.TextFunctions.hash60(col("item"))
+      val w = shiftright(h, 5)
+      df.select(pmod(h, lit(32L)).as("bucket"),
+          when(w === 0, lit(56)).otherwise(lit(56) - length(bin(w))).as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val whole = regs(a ++ b)
+    val merged = (regs(a).toSeq ++ regs(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(merged == whole)
+    // and the operator's estimate over A ∪ B is a pure function of the registers
+    val est = Sketches.hllDistinct((a ++ b).toDF("g", "item"),
+      col("g"), col("item"), p = 5).collect().head
+    assert(est.getLong(1) == whole.size)
+  }
+
   test("bottom-k sets merge losslessly: sketch(A ∪ B) == merge(sketch A, sketch B)") {
     import spark.implicits._
     val a = (0 until 3000).map(i => ("g", s"x$i"))
