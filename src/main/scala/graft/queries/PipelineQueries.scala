@@ -485,6 +485,51 @@ object PipelineQueries {
         .orderBy(col("exact_cnt").desc, col("term"))
     }),
 
+    "q63_inverted_index" -> ((s, d) => {
+      // inverted-index build: term -> (df, total_tf, top-3 postings by tf).
+      // One (term, doc) count aggregation, then ONE term aggregation where
+      // the bounded-heap topk_by computes the postings head map-side — the
+      // exchange carries tasks × terms × 3 entries, never a hot term's full
+      // postings list (the window row_number twin lands ALL of a term's
+      // postings on one reducer; that is the oracle, not the plan).
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          call_function("topk_by", col("tf").cast("double"), col("doc_id"), lit(3))
+            .as("top"))
+        .select(col("term"), col("df"), col("total_tf"),
+          array_join(transform(col("top"), e =>
+            concat(e.getField("id").cast("string"), lit(":"),
+              e.getField("score").cast("long").cast("string"))), ",").as("postings"))
+        .orderBy(col("term"))
+    }),
+
+    "q64_quantize_embed" -> ((s, d) => {
+      // int8 scalar quantization of the embedding column (the memory-layout
+      // step before ANN serving: 4x smaller vectors, dot products in integer
+      // registers): per-vector max-abs scale, q = floor(v/scale + 0.5),
+      // reconstruction MSE. Pure scalar array folds in FIXED left-fold order,
+      // so the oracle reproduces every double bit-for-bit — zero shuffles,
+      // scan speed at 100 TB.
+      val v = V.asDouble(col("embedding"))
+      val maxabs = array_max(transform(v, x => abs(x)))
+      val scale = maxabs / lit(127.0)
+      val qv = transform(v, x =>
+        when(scale === 0, lit(0L)).otherwise(floor(x / scale + lit(0.5))))
+      val l1 = aggregate(qv, lit(0L), (acc, x) => acc + abs(x))
+      val sq = aggregate(
+        zip_with(v, qv, (a, b) => (a - b.cast("double") * scale) * (a - b.cast("double") * scale)),
+        lit(0.0), (acc, x) => acc + x)
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(scale, 6).as("scale"),
+        l1.as("l1_q"),
+        round(sq / size(v) * lit(1e6), 4).as("mse_e6"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q62_repetition" -> ((s, d) => {
       // intra-document repetition signals (the Gopher-style boilerplate
       // filters): duplicate-word fraction, top-word fraction, duplicate
@@ -925,6 +970,39 @@ object PipelineQueries {
          FROM probes p JOIN est e USING (term)
          ORDER BY exact_cnt DESC, term"""
     },
+    // The window row_number twin IS the oracle for the bounded-heap postings
+    // head: (tf DESC, doc_id ASC) is topk_by's total order.
+    "q63_inverted_index" ->
+      """WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id),
+         ranked AS (SELECT term, doc_id, tf,
+                      row_number() OVER (PARTITION BY term
+                        ORDER BY tf DESC, doc_id) AS rk
+                    FROM tf),
+         agg AS (SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term),
+         top AS (SELECT term,
+                   string_agg(doc_id || ':' || tf, ',' ORDER BY rk) AS postings
+                 FROM ranked WHERE rk <= 3 GROUP BY term)
+         SELECT term, df, total_tf, postings
+         FROM agg JOIN top USING (term) ORDER BY term""",
+    "q64_quantize_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         q AS (SELECT vec_id, scale, v,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+                      ELSE list_transform(v, x -> floor(x / scale + 0.5)::BIGINT)
+                 END AS qv
+               FROM s)
+         SELECT vec_id, round(scale, 6) AS scale,
+           list_reduce(list_concat([0::BIGINT], list_transform(qv, x -> abs(x))),
+                       (a, b) -> a + b) AS l1_q,
+           round(list_reduce(list_concat([0.0::DOUBLE],
+                   list_transform(list_zip(v, qv),
+                     p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))),
+                 (a, b) -> a + b) / len(v) * 1e6, 4) AS mse_e6
+         FROM q ORDER BY vec_id""",
     "q62_repetition" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          g AS (SELECT doc_id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd,

@@ -13,6 +13,33 @@ class PipelineSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("int8 quantization: zero vectors quantize to zero, others bound the error") {
+    import spark.implicits._
+    // the q64 expressions, applied to a corner corpus the real table lacks
+    val v = V.asDouble(col("embedding"))
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = maxabs / lit(127.0)
+    val qv = transform(v, x =>
+      when(scale === 0, lit(0L)).otherwise(floor(x / scale + lit(0.5))))
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f)),          // all-zero: scale 0, no div-by-zero
+      (2L, Array(1f, -1f, 0.5f)),
+      (3L, Array(0.001f, -0.002f, 0f))) // tiny magnitudes still span ±127
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), scale.as("scale"), qv.as("q"),
+        array_max(zip_with(v, qv, (a, b) => abs(a - b.cast("double") * scale)))
+          .as("max_err"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2), r.getDouble(3))).toMap
+    assert(df(1L)._1 == 0.0 && df(1L)._2 == Seq(0L, 0L, 0L) && df(1L)._3 == 0.0)
+    // extremes land exactly on ±127, every error is within half a step
+    assert(df(2L)._2 == Seq(127L, -127L, 64L))
+    Seq(2L, 3L).foreach { id =>
+      assert(df(id)._2.map(math.abs).max == 127L)
+      assert(df(id)._3 <= df(id)._1 / 2 + 1e-12)
+    }
+  }
+
   test("shingles: n-grams, distinct, short-doc fallback") {
     import spark.implicits._
     val df = Seq("a b c d", "x").toDF("text")
