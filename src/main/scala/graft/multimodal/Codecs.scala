@@ -34,16 +34,19 @@ object Codecs {
     out
   }
 
-  /** Parse a binary PPM; None for anything malformed (magic, dims, truncation). */
-  def ppmDecode(bytes: Array[Byte]): Option[PpmImage] = {
+  /** Parse one binary PPM frame starting at `start`; returns the image and
+   * the offset of the first byte AFTER its pixel data (where the next frame
+   * of a concatenated stream begins). None for anything malformed. */
+  private def ppmParseAt(bytes: Array[Byte], start: Int): Option[(PpmImage, Int)] = {
     // header tokens are whitespace-separated: magic, width, height, maxval,
     // then EXACTLY ONE whitespace byte before the pixel data
-    var pos = 0
+    var pos = start
     def token(): Option[String] = {
       while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
-      val start = pos
+      val tokenStart = pos
       while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
-      if (pos > start) Some(new String(bytes, start, pos - start, StandardCharsets.US_ASCII))
+      if (pos > tokenStart)
+        Some(new String(bytes, tokenStart, pos - tokenStart, StandardCharsets.US_ASCII))
       else None
     }
     for {
@@ -55,8 +58,35 @@ object Codecs {
       // task in PpmImage's require — a decoder must REJECT corrupt input
       px = 3L * w * h if px <= Int.MaxValue
       maxval <- token().flatMap(_.toIntOption) if maxval == 255
-      data = bytes.drop(pos + 1) if data.length >= px
-    } yield PpmImage(w, h, data.take(px.toInt))
+      dataStart = pos + 1 if bytes.length - dataStart >= px
+    } yield (PpmImage(w, h,
+      java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + px.toInt)),
+      dataStart + px.toInt)
+  }
+
+  /** Parse a binary PPM; None for anything malformed (magic, dims, truncation).
+   * Trailing bytes after the pixel data are tolerated (historical behavior). */
+  def ppmDecode(bytes: Array[Byte]): Option[PpmImage] =
+    ppmParseAt(bytes, 0).map(_._1)
+
+  /** Parse a CONCATENATED-PPM video stream (the `ffmpeg -f image2pipe -vcodec
+   * ppm` raw-video shape): consecutive P6 frames back to back. Parsing stops
+   * at the first malformed/truncated frame — complete frames before the
+   * corruption survive, the drop-don't-abort posture for corrupt media. */
+  def ppmStreamDecode(bytes: Array[Byte]): Vector[PpmImage] = {
+    val out = Vector.newBuilder[PpmImage]
+    var pos = 0
+    var more = pos < bytes.length
+    while (more) {
+      ppmParseAt(bytes, pos) match {
+        case Some((img, next)) =>
+          out += img
+          pos = next
+          more = pos < bytes.length
+        case None => more = false
+      }
+    }
+    out.result()
   }
 
   // ------------------------------------------- compressed images (JDK ImageIO)

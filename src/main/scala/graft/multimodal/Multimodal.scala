@@ -207,6 +207,71 @@ object Multimodal {
   }
 
   /**
+   * Synthesize REAL multi-frame video payloads for the `doc_id % 3 == 2`
+   * documents [[synthesizeReal]] leaves out: F concatenated binary PPM frames
+   * (the `ffmpeg -f image2pipe -vcodec ppm` raw-video stream), pixel j of
+   * frame f = text byte `(j + 7f) mod L` — deterministic, so the q65 oracle
+   * recomputes every sampled frame's features from the text alone. Frame
+   * count/dimensions derive from L (2-5 frames, tiny frames): enough to
+   * exercise the container parse without bloating the corpus.
+   */
+  def synthesizeVideoReal(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val L = tb.length
+          if (L == 0 || id % 3 != 2) Iterator.empty
+          else {
+            val nFrames = L % 4 + 2
+            val w = L % 8 + 4
+            val h = L % 6 + 3
+            val frames = (0 until nFrames).map { f =>
+              Codecs.ppmEncode(Codecs.PpmImage(w, h,
+                Array.tabulate(3 * w * h)(j => tb((j + 7 * f) % L))))
+            }
+            Iterator.single(MediaRecord(id, "video", frames.reduce(_ ++ _),
+              MediaMeta("ppm-stream", w, h, 0)))
+          }
+        }
+      }
+  }
+
+  /**
+   * REAL frame sampling: parse each video payload's concatenated-PPM stream
+   * with [[Codecs.ppmStreamDecode]] (actual per-frame header parse + pixel
+   * copy), keep every `every`-th frame, reduce each kept frame to integer
+   * features. The 1 record → N records flatMap is the Generator shape; the
+   * pass is narrow (no shuffle), and undecodable tails drop frame-wise, not
+   * record-wise — the corrupt-media posture at 100 TB.
+   */
+  def frameSample(media: Dataset[MediaRecord], every: Int): DataFrame = {
+    require(every >= 1, "frame sampling stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      Codecs.ppmStreamDecode(r.bytes).iterator.zipWithIndex
+        .filter(_._2 % every == 0)
+        .map { case (img, f) =>
+          var s = 0L
+          var i = 0
+          while (i < img.rgb.length) { s += img.rgb(i) & 0xff; i += 1 }
+          (r.doc_id, f, img.width, img.height, s)
+        }
+    }.toDF("doc_id", "frame", "width", "height", "sum_rgb")
+  }
+
+  /** The oracle-gated frame-sampling query (q65): synthesize → parse stream →
+   * sample every 2nd frame → per-frame integer features. */
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    frameSample(synthesizeVideoReal(docs), every = 2)
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
+  /**
    * REAL decode + feature extraction: parse each payload with the format's
    * actual decoder ([[Codecs.imageDecode]] — PPM byte layout or the JDK's
    * ImageIO for PNG/JPEG/BMP/GIF — / [[Codecs.wavDecode]]: header parse,

@@ -619,6 +619,15 @@ object PipelineQueries {
       // recomputes from the source text bytes
       graft.multimodal.Multimodal.decodeQuery(s, d)),
 
+    "q65_frame_sample" -> ((s, d) =>
+      // REAL video frame sampling: payloads are concatenated binary PPM
+      // frames (the ffmpeg image2pipe raw stream); the query parses the
+      // container frame by frame, keeps every 2nd frame, and reduces each to
+      // integer features the oracle recomputes from the source text bytes —
+      // the q47 pattern extended to the multi-frame container, closing the
+      // last stubbed multimodal op that a pure-JVM codec can close
+      graft.multimodal.Multimodal.frameSampleQuery(s, d)),
+
     // ---------------------------------------------------------------- streaming op (batch mode)
     "q38_windowed_events" -> ((s, d) => {
       // the Structured Streaming tumbling-window aggregation run in batch mode
@@ -1109,6 +1118,25 @@ object PipelineQueries {
                     i -> abs(tb[i+1] * 257 - 32768))) AS BIGINT) AS feat_b
            FROM b WHERE doc_id % 3 = 1)
          SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""",
+    // Recomputes every SAMPLED frame's pixel sum from the text bytes (pixel j
+    // of frame f = byte (j + 7f) mod L) — gating the whole encode → concat →
+    // stream-parse → sample → decode cycle.
+    "q65_frame_sample" ->
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS L,
+                           hex(encode(text)) AS hx
+                    FROM documents
+                    WHERE octet_length(encode(text)) > 0 AND doc_id % 3 = 2),
+         b AS (SELECT doc_id, L,
+                 list_transform(range(1, L+1),
+                   i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT)) AS tb,
+                 L % 4 + 2 AS nf, L % 8 + 4 AS w, L % 6 + 3 AS h
+               FROM t),
+         f AS (SELECT doc_id, L, tb, w, h, unnest(range(0, nf)) AS frame FROM b)
+         SELECT doc_id, CAST(frame AS INT) AS frame,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(list_sum(list_transform(range(0, 3*w*h),
+                       j -> tb[((j + 7*frame) % L) + 1])) AS BIGINT) AS sum_rgb
+         FROM f WHERE frame % 2 = 0 ORDER BY doc_id, frame""",
     "q38_windowed_events" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value

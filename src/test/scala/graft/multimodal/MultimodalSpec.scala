@@ -38,6 +38,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ppmStreamDecode: multi-frame round trip, truncation drops the tail only") {
+    def img(seed: Int) = Codecs.PpmImage(4, 3,
+      Array.tabulate(36)(i => ((i * 7 + seed) % 251).toByte))
+    val frames = Seq(img(1), img(2), img(3))
+    val stream = frames.map(Codecs.ppmEncode).reduce(_ ++ _)
+    val decoded = Codecs.ppmStreamDecode(stream)
+    assert(decoded.length == 3)
+    decoded.zip(frames).foreach { case (d, o) =>
+      assert(d.width == o.width && d.height == o.height && d.rgb.sameElements(o.rgb))
+    }
+    // truncated mid-third-frame: the two complete frames survive
+    val cut = Codecs.ppmStreamDecode(stream.dropRight(10))
+    assert(cut.length == 2)
+    // whitespace between frames is legal NetPBM — the parser skips it
+    val spaced = Codecs.ppmEncode(img(1)) ++ Array[Byte](' ', '\n') ++
+      Codecs.ppmEncode(img(2))
+    assert(Codecs.ppmStreamDecode(spaced).length == 2)
+    // non-whitespace garbage stops the parse (no resync — corrupt stream)
+    val garbage = Codecs.ppmEncode(img(1)) ++ "XXX".getBytes ++
+      Codecs.ppmEncode(img(2))
+    assert(Codecs.ppmStreamDecode(garbage).length == 1)
+    assert(Codecs.ppmStreamDecode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("frameSample parses the real container and keeps every k-th frame") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.synthesizeVideoReal(docs)
+    val byId = media.collect().map(r => r.doc_id -> r).toMap
+    assert(byId.nonEmpty)
+    val sampled = Multimodal.frameSample(media, every = 2).collect()
+      .groupBy(_.getLong(0))
+    byId.foreach { case (id, r) =>
+      val frames = Codecs.ppmStreamDecode(r.bytes)
+      assert(frames.length >= 2) // container really holds L%4+2 frames
+      val rows = sampled(id).sortBy(_.getInt(1))
+      assert(rows.map(_.getInt(1)).toSeq == (0 until frames.length by 2).toSeq)
+      rows.foreach { row =>
+        val img = frames(row.getInt(1))
+        assert(row.getInt(2) == img.width && row.getInt(3) == img.height)
+        assert(row.getLong(4) == img.rgb.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }
+  }
+
   test("frameSampleStub emits nFrames rows per video record") {
     val media = Multimodal.synthesize(Tables.documents(spark, sf))
     val nVideos = media.filter(_.modality == "video").count()
