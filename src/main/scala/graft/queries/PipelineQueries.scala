@@ -512,21 +512,29 @@ object PipelineQueries {
       // registers): per-vector max-abs scale, q = floor(v/scale + 0.5),
       // reconstruction MSE. Pure scalar array folds in FIXED left-fold order,
       // so the oracle reproduces every double bit-for-bit — zero shuffles,
-      // scan speed at 100 TB.
-      val v = V.asDouble(col("embedding"))
-      val maxabs = array_max(transform(v, x => abs(x)))
-      val scale = maxabs / lit(127.0)
-      val qv = transform(v, x =>
-        when(scale === 0, lit(0L)).otherwise(floor(x / scale + lit(0.5))))
-      val l1 = aggregate(qv, lit(0L), (acc, x) => acc + abs(x))
-      val sq = aggregate(
-        zip_with(v, qv, (a, b) => (a - b.cast("double") * scale) * (a - b.cast("double") * scale)),
-        lit(0.0), (acc, x) => acc + x)
-      Tables.embeddings(s, d).select(
+      // scan speed at 100 TB. `scale` and `qv` are MATERIALIZED columns, not
+      // inlined expressions: a lambda body referencing the scale expression
+      // would re-run the array_max per element (O(dim^2) per row).
+      // NB: the internal column is `scl`, NOT `scale` — Spark 4's lateral
+      // column alias resolution would otherwise bind the lambda's reference
+      // to the ROUNDED `scale` alias in the same select list, silently
+      // changing the reconstruction error
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+        .withColumn("scl",
+          array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+        .withColumn("qv", transform(col("v"), x =>
+          when(col("scl") === 0, lit(0L))
+            .otherwise(floor(x / col("scl") + lit(0.5)))))
+      base.select(
         col("vec_id"),
-        round(scale, 6).as("scale"),
-        l1.as("l1_q"),
-        round(sq / size(v) * lit(1e6), 4).as("mse_e6"))
+        round(col("scl"), 6).as("scale"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("l1_q"),
+        round(aggregate(
+          zip_with(col("v"), col("qv"), (a, b) =>
+            (a - b.cast("double") * col("scl")) * (a - b.cast("double") * col("scl"))),
+          lit(0.0), (acc, x) => acc + x) / size(col("v")) * lit(1e6), 4)
+          .as("mse_e6"))
         .orderBy(col("vec_id"))
     }),
 
@@ -536,27 +544,33 @@ object PipelineQueries {
       // word-2-gram fraction. Everything is SCALAR per row — array folds
       // inside the scan, zero shuffles before the ORDER BY — where the naive
       // formulation shuffles every (doc, word) pair through a wordcount;
-      // at 100 TB this runs at scan speed like q26-q29.
-      val w = T.tokens(col("text"))
+      // at 100 TB this runs at scan speed like q26-q29. The split-words
+      // array is MATERIALIZED once: lambdas referencing the split expression
+      // would re-tokenize the text per array element.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("ws"))
+        .withColumn("dws", array_distinct(col("ws")))
+      val w = col("ws")
       val nW = size(w)
-      val nDw = size(array_distinct(w))
-      val topCnt = array_max(transform(array_distinct(w),
+      val topCnt = array_max(transform(col("dws"),
         x => size(filter(w, y => y === x))))
       // NON-distinct 2-grams (shingles() dedups; repetition needs the dups)
       val grams = when(nW >= 2, transform(sequence(lit(0), nW - 2),
         i => array_join(slice(w, i + 1, lit(2)), " ")))
         .otherwise(array().cast("array<string>"))
-      val nG = size(grams)
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        nW.as("n_words"),
-        round(lit(1.0) - nDw.cast("double") / nW.cast("double"), 4)
-          .as("dup_word_frac"),
-        round(topCnt.cast("double") / nW.cast("double"), 4).as("top_word_frac"),
-        when(nG <= 0, lit(0.0))
-          .otherwise(round(lit(1.0) -
-            size(array_distinct(grams)).cast("double") / nG.cast("double"), 4))
-          .as("dup_gram_frac"))
+      base
+        .withColumn("grams", grams)
+        .select(
+          col("doc_id"),
+          nW.as("n_words"),
+          round(lit(1.0) - size(col("dws")).cast("double") / nW.cast("double"), 4)
+            .as("dup_word_frac"),
+          round(topCnt.cast("double") / nW.cast("double"), 4).as("top_word_frac"),
+          when(size(col("grams")) <= 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("grams"))).cast("double") /
+                size(col("grams")).cast("double"), 4))
+            .as("dup_gram_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -618,6 +632,16 @@ object PipelineQueries {
       // parse + pixel/sample extraction) into integer features the oracle
       // recomputes from the source text bytes
       graft.multimodal.Multimodal.decodeQuery(s, d)),
+
+    "q66_stream_interval_join" -> ((s, d) =>
+      // the stream-stream interval join run in batch mode (same code path as
+      // the watermarked streaming twin, StreamingSpec pins stream⊆batch):
+      // per-click purchase attribution within the next hour, aggregated
+      graft.streaming.StreamingExtraction.clickPurchaseJoin(Tables.events(s, d))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("pvalue")), 4).as("sum_pvalue"))
+        .orderBy(col("click_id"))),
 
     "q65_frame_sample" -> ((s, d) =>
       // REAL video frame sampling: payloads are concatenated binary PPM
@@ -1118,6 +1142,16 @@ object PipelineQueries {
                     i -> abs(tb[i+1] * 257 - 32768))) AS BIGINT) AS feat_b
            FROM b WHERE doc_id % 3 = 1)
          SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""",
+    "q66_stream_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, value FROM events
+               WHERE event_type = 'purchase')
+         SELECT click_id, count(*) AS n_purchases,
+                round(sum(value), 4) AS sum_pvalue
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 60 MINUTE
+         GROUP BY click_id ORDER BY click_id""",
     // Recomputes every SAMPLED frame's pixel sum from the text bytes (pixel j
     // of frame f = byte (j + 7f) mod L) — gating the whole encode → concat →
     // stream-parse → sample → decode cycle.

@@ -112,6 +112,38 @@ object StreamingExtraction {
       .dropDuplicatesWithinWatermark("content_md5")
 
   /**
+   * STREAM-STREAM interval join with watermarks — the attribution shape
+   * (click → purchases that follow within `horizonMinutes`, same user).
+   * Both sides carry a watermark and the join condition bounds event time on
+   * BOTH ends, which is exactly what lets Spark evict join state: a purchase
+   * can only match clicks at most `horizonMinutes` older, so click rows
+   * older than `watermark + horizon` leave the state store, and the stream
+   * runs forever on bounded memory. One shuffle per side on `user_id`.
+   *
+   * The SAME code runs in batch — the equi-key makes the batch plan a hash
+   * or sort-merge join on `user_id` with the time range as a post-filter
+   * (never a nested-loop over all pairs) — which is what q66's oracle gates.
+   */
+  def clickPurchaseJoin(events: DataFrame,
+                        watermark: String = "30 minutes",
+                        horizonMinutes: Int = 60): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        col("value").as("pvalue"))
+      .withWatermark("pts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("click_id"), col("c_user").as("user_id"), col("cts"),
+        col("pts"), col("pvalue"))
+  }
+
+  /**
    * CUSTOM arbitrary-state aggregation via
    * `KeyValueGroupedDataset.mapGroupsWithState` — the extension route for
    * state no built-in aggregate expresses (the running per-user totals here

@@ -87,6 +87,46 @@ class SessionizeSpec extends SparkSpec {
     assert(diff.isEmpty, s"streamed sessions must match their batch twins: $diff")
   }
 
+  test("stream-stream interval join emits rows that match the batch twin") {
+    val inDir = Files.createTempDirectory("graft-ssj-in").toFile
+    val ckDir = Files.createTempDirectory("graft-ssj-ck").toFile
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // time-ordered chunks → watermark advances between micro-batches and
+    // join state for old clicks is evicted along the way
+    val cut = ev.select(percentile_approx(col("ts").cast("double"), lit(0.5), lit(100)))
+      .head().getDouble(0)
+    ev.where(col("ts").cast("double") <= cut).coalesce(1)
+      .write.parquet(s"$inDir/chunk=0")
+    ev.where(col("ts").cast("double") > cut).coalesce(1)
+      .write.parquet(s"$inDir/chunk=1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.clickPurchaseJoin(stream)
+      .select(col("click_id"), unix_micros(col("pts")).as("pts_us"),
+        round(col("pvalue"), 4).as("pvalue"))
+      .writeStream.format("memory").queryName("stream_ssj")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = StreamingExtraction.clickPurchaseJoin(ev)
+      .select(col("click_id"), unix_micros(col("pts")).as("pts_us"),
+        round(col("pvalue"), 4).as("pvalue"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty, "the interval join should emit matches")
+    // every streamed match is a true batch match (watermark eviction may
+    // legitimately drop boundary matches, never invent them)
+    val invented = streamed -- batch
+    assert(invented.isEmpty, s"streamed rows must be batch rows: $invented")
+    // and the stream must catch the overwhelming majority
+    assert(streamed.size >= batch.size * 9 / 10,
+      s"streamed ${streamed.size} of ${batch.size} batch matches")
+  }
+
   test("mapGroupsWithState totals accumulate across micro-batches to the batch result") {
     val inDir = Files.createTempDirectory("graft-state-in").toFile
     val ckDir = Files.createTempDirectory("graft-state-ck").toFile
