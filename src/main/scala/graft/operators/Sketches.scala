@@ -126,6 +126,42 @@ object Sketches {
         .as("estimate"))
   }
 
+  /** The k seeded bit positions of the Bloom family: position i of `item` is
+   * `hash60("(100+i):" + item) mod m` — md5-deterministic, so an oracle
+   * rebuilds the identical bitset. Shared by build and probe. */
+  private def bloomPositions(item: Column, m: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      pmod(TextFunctions.seededHash(100 + i, item), lit(m.toLong))): _*)
+
+  /**
+   * Deterministic Bloom filter over `item`: the DISTINCT set-bit positions of
+   * an m-bit filter with k seeded md5 hashes. ONE aggregation; the result is
+   * ≤ m rows TOTAL no matter how many items streamed through — broadcast
+   * territory, the compact-membership posture for decontamination against a
+   * huge held-out set. Bitsets MERGE by union (concat + distinct), so
+   * per-partition/day filters combine losslessly like the other three sketch
+   * families (bottom-k sets, counter tables, register vectors).
+   */
+  def bloomBits(df: DataFrame, item: Column, m: Int, k: Int): DataFrame = {
+    require(m >= 64 && k >= 1, "Bloom needs m >= 64 bits and k >= 1 hashes")
+    df.select(explode(bloomPositions(item, m, k)).as("pos")).distinct()
+  }
+
+  /**
+   * Bloom membership probe over `(id, item)` rows: `maybe_present` iff ALL k
+   * positions are set. NO false negatives ever; false positives at the
+   * classic (1 − e^(−kn/m))^k rate — the one-sided guarantee that makes the
+   * filter safe for decontamination (it can only over-drop, never leak).
+   * `bits` broadcasts (≤ m rows); the probe side is never shuffled.
+   */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, item: Column,
+                 m: Int, k: Int): DataFrame =
+    probes.select(col("id"), item.as("item"),
+        explode(bloomPositions(item, m, k)).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("id"), col("item"))
+      .agg((count(col("hit")) === k).as("maybe_present"))
+
   /** The d seeded bucket columns of the Count-Min family: row i buckets by
    * `hash60("i:" + item) mod w` — md5-deterministic, so an oracle rebuilds
    * the identical counter table. */

@@ -284,6 +284,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q67_bloom_decontaminate" -> ((s, d) => {
+      // q44's decontamination through a Bloom filter instead of the exact
+      // gram set: the held-out grams compress to a <=4096-bit filter (the
+      // broadcast stays tiny even when the benchmark set is huge — the
+      // 100 TB posture), corpus grams probe it, and a doc is maybe-
+      // contaminated iff any gram has all k bits set. One-sided by
+      // construction: can only over-drop vs q44, never leak. The md5-seeded
+      // positions make the filter deterministic, so the oracle rebuilds the
+      // identical bitset and the probe flags hash-match.
+      val all = docShingles(s, d, 5)
+      val bench = all.where(col("id") % 97 === 0)
+        .select(explode(col("shingles")).as("gram")).distinct()
+      val bits = graft.operators.Sketches.bloomBits(bench, col("gram"), m = 4096, k = 3)
+      val grams = all.select(col("id"), explode(col("shingles")).as("gram"))
+      graft.operators.Sketches.bloomProbe(bits, grams, col("gram"), m = 4096, k = 3)
+        .groupBy(col("id"))
+        .agg(sum(when(col("maybe_present"), 1L).otherwise(0L)).as("n_maybe_grams"))
+        .select(col("id").as("doc_id"), col("n_maybe_grams"),
+          (col("n_maybe_grams") > 0).as("maybe_contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -894,6 +916,27 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
          ORDER BY doc_id""",
+    // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
+    // probe flags — false positives included — hash-match exactly.
+    "q67_bloom_decontaminate" -> {
+      def h(i: Int) = s"${duckHash60(s"concat('$i:', gram)")} % 4096"
+      s"""${withDocShingles(5, "TRUE")},
+         bgrams AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0),
+         bits AS (SELECT DISTINCT pos FROM (
+             SELECT ${h(100)} AS pos FROM bgrams
+             UNION ALL SELECT ${h(101)} FROM bgrams
+             UNION ALL SELECT ${h(102)} FROM bgrams)),
+         posts AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         flag AS (SELECT doc_id, gram,
+                    (${h(100)} IN (SELECT pos FROM bits)
+                     AND ${h(101)} IN (SELECT pos FROM bits)
+                     AND ${h(102)} IN (SELECT pos FROM bits)) AS maybe
+                  FROM posts)
+         SELECT doc_id,
+                sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_maybe_grams,
+                bool_or(maybe) AS maybe_contaminated
+         FROM flag GROUP BY doc_id ORDER BY doc_id"""
+    },
     // CAST: DuckDB window sum returns HUGEINT; Spark sums are BIGINT and the
     // driver hash is type-sensitive (the q08 lesson)
     "q45_shard_packing" ->

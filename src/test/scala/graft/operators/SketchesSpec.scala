@@ -71,6 +71,30 @@ class SketchesSpec extends SparkSpec {
     assert(unseen.getLong(1) >= 0L)
   }
 
+  test("Bloom filter: no false negatives, bitsets merge by union, FPs are one-sided") {
+    import spark.implicits._
+    val members = (0 until 300).map(i => s"member-$i")
+    val bits = Sketches.bloomBits(members.toDF("g"), col("g"), m = 1024, k = 3)
+    // every member probes true — the no-false-negative guarantee
+    val memberProbe = Sketches.bloomProbe(bits,
+      members.zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g"),
+      col("g"), m = 1024, k = 3).collect()
+    assert(memberProbe.length == 300 && memberProbe.forall(_.getBoolean(2)))
+    // disjoint probes: anything flagged is a (legal) false positive; with
+    // n=300,k=3,m=1024 most probes must come back clean
+    val outsider = Sketches.bloomProbe(bits,
+      (0 until 300).map(i => (i.toLong, s"outsider-$i")).toDF("id", "g"),
+      col("g"), m = 1024, k = 3).collect()
+    val fp = outsider.count(_.getBoolean(2))
+    assert(fp < 150, s"false-positive rate implausibly high: $fp/300")
+    // merge = union of set-bit positions
+    val a = members.take(150)
+    val b = members.drop(150)
+    def posSet(xs: Seq[String]) = Sketches.bloomBits(xs.toDF("g"), col("g"), 1024, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(posSet(a) ++ posSet(b) == posSet(members))
+  }
+
   test("HLL estimate lands within 25% of truth on the raw-estimator branch") {
     import spark.implicits._
     val df = (0 until 20000).map(i => ("big", s"u-${i % 5000}")).toDF("g", "item")
