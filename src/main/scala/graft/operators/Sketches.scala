@@ -126,6 +126,52 @@ object Sketches {
         .as("estimate"))
   }
 
+  /**
+   * Fixed-bin histogram sketch over `value` clamped to [lo, hi): per-group
+   * bin counts in ONE map-side-combined aggregation — the exchange carries
+   * ≤ tasks × groups × bins partial counts and the finished sketch is
+   * ≤ groups × bins rows at ANY input size. Histograms MERGE by adding
+   * counts bin-wise (the Count-Min posture), so per-partition/day sketches
+   * combine losslessly — the deterministic answer to "t-digest at scale"
+   * when the metric's range is known (the common case for bounded metrics).
+   */
+  def histogram(df: DataFrame, group: Column, value: Column,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, "histogram needs bins >= 2 and hi > lo")
+    val width = (hi - lo) / bins
+    df.select(group.as("g"),
+        least(greatest(floor((value - lo) / width), lit(0L)), lit(bins - 1L)).as("bin"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Quantile estimates from a [[histogram]] sketch: for each q, the first
+   * bin whose cumulative count reaches q·N, linearly interpolated inside the
+   * bin. All arithmetic is deterministic (exact long counts, one double
+   * interpolation), so the APPROXIMATE estimates are oracle-gated (q68).
+   * Emits (g, q, n, estimate) rows; windows run over ≤ bins rows per group.
+   */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[Double],
+                         lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val byG = Window.partitionBy(col("g"))
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(byG.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(byG))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .where(col("cum").cast("double") >= col("q") * col("n").cast("double"))
+    c.groupBy(col("g"), col("q"))
+      // min(struct) picks the smallest qualifying bin with its counts
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("n"))).as("s"))
+      .select(col("g"), col("q"), col("s.n").as("n"),
+        (lit(lo) + lit(width) * (col("s.bin").cast("double") +
+          (col("q") * col("s.n").cast("double") -
+            (col("s.cum") - col("s.cnt")).cast("double")) /
+            col("s.cnt").cast("double")))
+          .as("estimate"))
+  }
+
   /** The k seeded bit positions of the Bloom family: position i of `item` is
    * `hash60("(100+i):" + item) mod m` — md5-deterministic, so an oracle
    * rebuilds the identical bitset. Shared by build and probe. */

@@ -596,6 +596,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q68_histogram_quantiles" -> ((s, d) => {
+      // mergeable quantile sketch: per-event-type p50/p90/p99 from a 128-bin
+      // fixed-range histogram (one aggregation, ≤ groups×bins rows at any
+      // scale; histograms merge bin-wise) — the deterministic t-digest
+      // stand-in q50's notes promise. Exact integer counts + one double
+      // interpolation ⇒ the approximate estimates themselves hash-match.
+      val hist = graft.operators.Sketches.histogram(Tables.events(s, d),
+        col("event_type"), col("value"), lo = 0.0, hi = 500.0, bins = 128)
+      graft.operators.Sketches
+        .histogramQuantiles(hist, Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 500.0, bins = 128)
+        .select(col("g").as("event_type"), col("q"), col("n"),
+          round(col("estimate"), 4).as("estimate"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     "q61_hll_distinct" -> ((s, d) => {
       // deterministic HyperLogLog: per-event-type distinct-user estimate from
       // 32 md5-derived registers. The harmonic mean runs in scaled integers
@@ -1096,6 +1111,26 @@ object PipelineQueries {
                      ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
                 END AS dup_gram_frac
          FROM g ORDER BY doc_id""",
+    // Rebuilds the IDENTICAL 128-bin histogram; the interpolated quantile
+    // estimates hash-match (exact counts, one double interpolation).
+    "q68_histogram_quantiles" ->
+      """WITH h AS (SELECT event_type AS g,
+                      least(greatest(CAST(floor(value / 3.90625) AS BIGINT), 0), 127) AS bin,
+                      count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         c AS (SELECT g, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY g) AS n
+               FROM h),
+         qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+         pick AS (SELECT g, q, min(bin) AS b
+                  FROM c CROSS JOIN qs
+                  WHERE cum::DOUBLE >= q * n::DOUBLE GROUP BY g, q)
+         SELECT c.g AS event_type, pick.q AS q, CAST(c.n AS BIGINT) AS n,
+                round(3.90625 * (c.bin + (pick.q * c.n::DOUBLE -
+                        (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE), 4) AS estimate
+         FROM pick JOIN c ON c.g = pick.g AND c.bin = pick.b
+         ORDER BY event_type, q""",
     // Rebuilds the IDENTICAL 32 HLL registers (same md5 hashes, same scaled-
     // integer harmonic sum), so the approximate estimate hash-matches exactly.
     "q61_hll_distinct" -> {

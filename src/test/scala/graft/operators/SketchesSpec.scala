@@ -71,6 +71,35 @@ class SketchesSpec extends SparkSpec {
     assert(unseen.getLong(1) >= 0L)
   }
 
+  test("histogram quantiles land within one bin width of the exact quantile; histograms merge") {
+    import spark.implicits._
+    val vals = (0 until 9973).map(i => ("g", (i * 37 % 1000) / 10.0)) // [0, 100)
+    val df = vals.toDF("g", "v")
+    val hist = Sketches.histogram(df, col("g"), col("v"), lo = 0.0, hi = 100.0, bins = 64)
+    val est = Sketches.histogramQuantiles(hist, Seq(0.5, 0.9, 0.99), 0.0, 100.0, 64)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    val sorted = vals.map(_._2).sorted
+    val width = 100.0 / 64
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val exact = sorted((q * sorted.length).toInt min (sorted.length - 1))
+      assert(math.abs(est(q) - exact) <= width + 1e-9,
+        s"q=$q est=${est(q)} exact=$exact")
+    }
+    // merge = bin-wise addition
+    val (a, b) = vals.splitAt(4000)
+    def cells(rows: Seq[(String, Double)]) =
+      Sketches.histogram(rows.toDF("g", "v"), col("g"), col("v"), 0.0, 100.0, 64)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged == cells(vals))
+    // out-of-range values clamp to the edge bins instead of vanishing
+    val clamped = Sketches.histogram(Seq(("g", -5.0), ("g", 1e9)).toDF("g", "v"),
+      col("g"), col("v"), 0.0, 100.0, 64)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(clamped == Set(0L, 63L))
+  }
+
   test("Bloom filter: no false negatives, bitsets merge by union, FPs are one-sided") {
     import spark.implicits._
     val members = (0 until 300).map(i => s"member-$i")
