@@ -57,6 +57,49 @@ object TemporalJoins {
   }
 
   /**
+   * FORWARD as-of join with tolerance: for each `left` row, the `valueCol` of
+   * the EARLIEST `right` row with `left.ts <= right.ts <= left.ts +
+   * toleranceUs` and the same `key` (null when none follows in time, or the
+   * nearest follower is beyond tolerance). The attribution-with-deadline
+   * shape: "the next purchase within 30 minutes of the click". Ties at
+   * identical (key, ts) must be resolved by the caller (pre-aggregate the
+   * right side); `ts` must be an integral epoch column (micros).
+   *
+   * Mechanism mirrors [[asofJoin]] time-reversed: union the tagged streams,
+   * take `first(struct(ts, value)) ignoreNulls` over (key ORDER BY ts, side)
+   * with a current-row→unbounded-following frame — the ts rides in the
+   * struct so the tolerance check reads the SAME row the value came from.
+   * One hash exchange on the key, one sort; no inequality join anywhere.
+   */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                      valueCol: String, as: String, toleranceUs: Long): DataFrame = {
+    val lCols = left.columns
+    val rStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_rts", right.schema(ts).dataType),
+      org.apache.spark.sql.types.StructField("_rv", right.schema(valueCol).dataType)))
+    val lSide = left.select(lCols.map(col) :+ lit(0).as("_side")
+      :+ lit(null).cast(rStruct).as("_r"): _*)
+    val rSide = lCols.foldLeft(
+      right.select(col(key), col(ts), lit(1).as("_side"),
+        struct(col(ts).as("_rts"), col(valueCol).as("_rv")).as("_r"))) {
+      (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lCols.map(col) :+ col("_side") :+ col("_r"): _*)
+    // rights sort AFTER lefts at equal ts (side 1 > 0), so an at-ts right is
+    // inside the left row's following frame — at-or-after semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lSide.unionByName(rSide)
+      .withColumn("_r", first(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 0)
+      .withColumn(as,
+        when(col("_r._rts") - col(ts) <= toleranceUs, col("_r._rv")))
+      .drop("_side", "_r")
+  }
+
+  /**
    * Range join: `(interval, event)` matches where `start <= event.ts < end`,
    * via time buckets of `bucket` microseconds: an interval replicates to
    * each bucket it overlaps (ceil(len/bucket)+1 rows — a small constant for

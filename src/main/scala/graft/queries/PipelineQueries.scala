@@ -417,6 +417,27 @@ object PipelineQueries {
         .orderBy(col("iv_id"))
     }),
 
+    "q69_asof_forward" -> ((s, d) => {
+      // FORWARD as-of with a deadline: each click attributed to the next
+      // purchase by the same user within 30 minutes (union + keyed window,
+      // time-reversed q52 — still one shuffle, no inequality join). Oracle =
+      // DuckDB's native forward ASOF JOIN with the tolerance as post-filter.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("pvalue"))
+      graft.operators.TemporalJoins
+        .asofJoinForward(clicks, purchases, "user_id", "ts_us", "pvalue",
+          "next_purchase", toleranceUs = 1800000000L)
+        .select(col("click_id"), col("user_id"), col("ts_us"),
+          round(col("next_purchase"), 4).as("next_purchase"))
+        .orderBy(col("click_id"))
+    }),
+
     "q54_kmv_distinct" -> ((s, d) => {
       // deterministic KMV cardinality sketch: per-source distinct-token
       // estimate from the 16 smallest md5 hashes — the approximate value
@@ -594,6 +615,24 @@ object PipelineQueries {
                 size(col("grams")).cast("double"), 4))
             .as("dup_gram_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q70_zorder_layout" -> ((s, d) => {
+      // Z-order layout key over (user bucket, hour-of-day): rows sharing a
+      // z-range are close in BOTH dimensions, so range-partitioning by z and
+      // writing with min/max stats lets predicates on EITHER column prune
+      // files. The query proves the locality property the layout relies on:
+      // per z-range, the covered (x, y) rectangle is tight (max-min spans
+      // stay small), and the key arithmetic hash-matches the oracle.
+      val ev = Tables.events(s, d).select(
+        (col("user_id") % 256).as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      ev.withColumn("z", graft.functions.LayoutFunctions.zorder(col("x"), col("y"), bits = 8))
+        .groupBy((col("z") / 256).cast("long").as("z_range"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("z_range"))
     }),
 
     "q68_histogram_quantiles" -> ((s, d) => {
@@ -993,6 +1032,22 @@ object PipelineQueries {
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
          ORDER BY c.event_id""",
+    // DuckDB's native FORWARD ASOF (c.ts <= p.ts picks the earliest at-or-
+    // after) is the oracle; the 30-min tolerance nulls the value post-join.
+    "q69_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                            event_type, value FROM events),
+         clicks AS (SELECT event_id AS click_id, user_id, ts_us FROM ev
+                    WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts_us, max(value) AS pvalue
+                       FROM ev WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts_us)
+         SELECT c.click_id, c.user_id, c.ts_us,
+                round(CASE WHEN p.ts_us - c.ts_us <= 1800000000
+                           THEN p.pvalue END, 4) AS next_purchase
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+         ORDER BY c.click_id""",
     "q53_range_join" ->
       """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
          iv AS (SELECT event_id AS iv_id, ts_us AS start_us,
@@ -1111,6 +1166,18 @@ object PipelineQueries {
                      ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
                 END AS dup_gram_frac
          FROM g ORDER BY doc_id""",
+    // Same interleave arithmetic in DuckDB bit operators.
+    "q70_zorder_layout" -> {
+      val z = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT user_id % 256 AS x, hour(ts) AS y FROM events),
+         zs AS (SELECT x, y, $z AS z FROM ev)
+         SELECT z // 256 AS z_range, count(*) AS n_events,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM zs GROUP BY 1 ORDER BY z_range"""
+    },
     // Rebuilds the IDENTICAL 128-bin histogram; the interpolated quantile
     // estimates hash-match (exact counts, one double interpolation).
     "q68_histogram_quantiles" ->

@@ -28,6 +28,37 @@ class TemporalJoinsSpec extends SparkSpec {
       5L -> None))
   }
 
+  test("asofJoinForward equals the naive earliest-at-or-after-within-tolerance computation") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", 100L), (2L, "a", 250L), (3L, "b", 50L), (4L, "b", 400L),
+      (5L, "c", 10L), // key with no right rows → null
+      (6L, "a", 190L) // follower exists (200) but outside tolerance from 190? 10 <= 60 → matches
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", 100L, 1.0), ("a", 200L, 2.0),
+      ("b", 60L, 3.0), ("b", 400L, 4.0),
+      ("a", 500L, 9.0) // far future: beyond tolerance for every 'a' left
+    ).toDF("k", "ts", "v")
+    val tol = 60L
+    val got = TemporalJoins
+      .asofJoinForward(left, right, "k", "ts", "v", "fwd_v", toleranceUs = tol)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // naive: earliest right with lts <= rts <= lts + tol
+    val naive = left.collect().map { lr =>
+      val (id, k, lts) = (lr.getLong(0), lr.getString(1), lr.getLong(2))
+      val cand = right.collect()
+        .filter(rr => rr.getString(0) == k && rr.getLong(1) >= lts && rr.getLong(1) <= lts + tol)
+        .sortBy(_.getLong(1)).headOption.map(_.getDouble(2))
+      id -> cand
+    }.toMap
+    assert(got == naive)
+    assert(got(1L) == Some(1.0)) // right at identical ts matches (at-or-after)
+    assert(got(4L) == Some(4.0))
+    assert(got(2L) == None) // nearest follower (500) beyond tolerance
+    assert(got(5L) == None)
+  }
+
   test("rangeJoin equals the plain inequality join across bucket sizes") {
     import spark.implicits._
     val events = (0L until 2000L).map(i => (i, i * 977L % 100000L))
