@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph compute beyond connected components ([[Dedup.components]] /
+ * [[Dedup.componentsStar]]): PageRank in SCALED-INTEGER arithmetic.
+ *
+ * Floating-point PageRank sums contributions in partition order, which makes
+ * the low bits run-dependent — unacceptable under this engine's oracle gate.
+ * Fixed-point arithmetic fixes that: ranks are longs (1.0 ≡ `scale`), each
+ * iteration's contribution is an integer floor division, and long sums are
+ * exact and order-free, so the ranks after any number of iterations are
+ * bit-identical in any engine (q71's DuckDB twin unrolls the same
+ * iterations).
+ *
+ * Scale posture: one equi-join (pr ⋈ edges on src) + one aggregation
+ * (sum by dst) per iteration — both shuffle on node id and both are
+ * map-side combined; `localCheckpoint` truncates lineage each round (the
+ * components idiom), so plans stay flat for any iteration count. Per-node
+ * state is one long; no driver-side anything.
+ */
+object Graph {
+
+  /**
+   * PageRank over a DIRECTED edge list `(src, dst)` with damping
+   * `dampNum/dampDen` (default 0.85) in fixed-point (`scale` ≡ 1.0).
+   * Every node starts at `scale`; each iteration:
+   * `pr'(v) = (scale*(dampDen-dampNum)) div dampDen
+   *           + Σ_{u→v} (pr(u)*dampNum) div (dampDen*outdeg(u))`.
+   * Nodes with no out-edges contribute nothing (the classic dangling drop —
+   * callers wanting symmetric flow should emit both edge directions).
+   * Returns `(id, pr)` after exactly `iterations` rounds.
+   */
+  def pageRankInt(edges: DataFrame, iterations: Int,
+                  scale: Long = 1000000L,
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && scale >= 1000 && dampNum < dampDen,
+      "pageRankInt needs iterations >= 1, scale >= 1000, damping < 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    var pr = nodes.select(col("id"), lit(scale).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contribs = pr.join(outdeg, "id")
+        .join(e, col("id") === col("src"))
+        // integer floor division keeps every engine bit-identical
+        .select(col("dst"),
+          expr(s"(pr * $dampNum) div ($dampDen * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+}

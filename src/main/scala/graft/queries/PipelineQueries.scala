@@ -617,6 +617,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q71_pagerank" -> ((s, d) => {
+      // fixed-point PageRank over the supplier↔customer bipartite graph
+      // (who-supplies-whom via lineitem ⋈ orders, both edge directions for
+      // symmetric flow). Scaled-integer arithmetic makes 4 iterations of
+      // rank propagation bit-identical in any engine — the oracle unrolls
+      // the SAME iterations in SQL — where float PageRank would be
+      // partition-order-dependent. Top-20 is TakeOrdered, not a global sort.
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.operators.Graph.pageRankInt(edges, iterations = 4)
+        .select(col("id"),
+          when(col("id") % 2 === 0, "supplier").otherwise("customer").as("node_type"),
+          col("pr"))
+        .orderBy(col("pr").desc, col("id")).limit(20)
+    }),
+
     "q70_zorder_layout" -> ((s, d) => {
       // Z-order layout key over (user bucket, hour-of-day): rows sharing a
       // z-range are close in BOTH dimensions, so range-partitioning by z and
@@ -1166,6 +1187,28 @@ object PipelineQueries {
                      ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
                 END AS dup_gram_frac
          FROM g ORDER BY doc_id""",
+    // Unrolls the SAME 4 fixed-point iterations — integer floor divisions and
+    // exact long sums, so the ranks are bit-identical.
+    "q71_pagerank" -> {
+      def iter(k: Int) =
+        s"""pr$k AS (SELECT n.id, 150000 + COALESCE(x.c, 0) AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum((p.pr * 85) // (100 * d.outdeg)) AS c
+                FROM edges e JOIN pr${k - 1} p ON p.id = e.src
+                             JOIN outdeg d ON d.id = e.src
+                GROUP BY e.dst) x USING (id))"""
+      s"""WITH pairs AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+                         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT s AS src, c AS dst FROM pairs
+                   UNION ALL SELECT c, s FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         outdeg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
+         pr0 AS (SELECT id, 1000000::BIGINT AS pr FROM nodes),
+         ${(1 to 4).map(iter).mkString(",\n         ")}
+         SELECT id, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+                CAST(pr AS BIGINT) AS pr
+         FROM pr4 ORDER BY pr DESC, id LIMIT 20"""
+    },
     // Same interleave arithmetic in DuckDB bit operators.
     "q70_zorder_layout" -> {
       val z = (0 until 8).map(i =>
