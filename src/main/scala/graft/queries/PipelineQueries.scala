@@ -617,6 +617,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q72_span_dedup" -> ((s, d) => {
+      // C4-style SPAN-level exact dedup: documents split into 10-word spans,
+      // every span occurrence after the first (global first = smallest
+      // (doc_id, span_idx)) is dropped, and surviving spans reassemble into
+      // the cleaned document in position order. Dedup below document
+      // granularity is what catches boilerplate exact dedup (q30) can't.
+      // Plan: explode → ONE span aggregation (min(struct) keeper, map-side
+      // combined) → equi-join back → per-doc rebuild; the span exchange
+      // carries one row per DISTINCT span, never the corpus².
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(ws) - 1) div 10), " +
+            "i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+        .withColumnRenamed("pos", "span_idx")
+        .withColumnRenamed("col", "txt")
+      val keepers = spans.groupBy(col("txt"))
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("k"))
+        .select(col("txt"), col("k.doc_id").as("kdoc"), col("k.span_idx").as("kidx"))
+      spans.join(keepers, "txt")
+        .withColumn("keep", col("doc_id") === col("kdoc") && col("span_idx") === col("kidx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("span_idx"), col("txt"))))),
+            e => e.getField("txt")))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q71_pagerank" -> ((s, d) => {
       // fixed-point PageRank over the supplier↔customer bipartite graph
       // (who-supplies-whom via lineitem ⋈ orders, both edge directions for
@@ -1187,6 +1218,21 @@ object PipelineQueries {
                      ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
                 END AS dup_gram_frac
          FROM g ORDER BY doc_id""",
+    // Same spans, keep-first via window rank, positional string_agg rebuild.
+    "q72_span_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sp AS (SELECT doc_id, i AS span_idx,
+                  array_to_string(ws[i*10+1:i*10+10], ' ') AS txt
+                FROM s CROSS JOIN unnest(range((len(ws) - 1) // 10 + 1)) AS t(i)),
+         rk AS (SELECT doc_id, span_idx, txt,
+                  row_number() OVER (PARTITION BY txt
+                    ORDER BY doc_id, span_idx) AS rn
+                FROM sp)
+         SELECT doc_id, count(*) AS n_spans,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN txt END, ' '
+                      ORDER BY span_idx), '')) AS clean_md5
+         FROM rk GROUP BY doc_id ORDER BY doc_id""",
     // Unrolls the SAME 4 fixed-point iterations — integer floor divisions and
     // exact long sums, so the ranks are bit-identical.
     "q71_pagerank" -> {
