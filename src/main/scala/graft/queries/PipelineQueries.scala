@@ -617,6 +617,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q73_cluster_survivors" -> ((s, d) => {
+      // quality-aware dedup survivor selection: q41's verified near-dup
+      // clusters, but the keeper is the member with the HIGHEST q27 quality
+      // score (ties → smallest doc_id) — the production refinement over
+      // keep-min-id, via one max(struct(quality, -id)) per cluster (map-side
+      // combined argmax, no window over members).
+      val docs = docShingles(s, d, 2)
+      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      val w = T.tokens(col("text"))
+      val nTok = size(w).cast("double")
+      val stopRatio = size(filter(w, x => x.isin("the", "a"))).cast("double") / nTok
+      val qual = Tables.documents(s, d).select(col("doc_id").as("id"),
+        (least(lit(1.0), nTok / 50.0) * (lit(1.0) - stopRatio)).as("quality"))
+      Dedup.components(pairs).join(qual, "id")
+        .groupBy(col("component"))
+        .agg(max(struct(col("quality"), (-col("id")).as("negid"))).as("b"),
+          count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string")), ",").as("members"))
+        .select((-col("b.negid")).as("keep_id"),
+          round(col("b.quality"), 4).as("best_quality"),
+          col("n_members"), col("members"))
+        .orderBy(col("keep_id"))
+    }),
+
     "q72_span_dedup" -> ((s, d) => {
       // C4-style SPAN-level exact dedup: documents split into 10-word spans,
       // every span occurrence after the first (global first = smallest
@@ -1218,6 +1243,41 @@ object PipelineQueries {
                      ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
                 END AS dup_gram_frac
          FROM g ORDER BY doc_id""",
+    // q41's transitive closure + q27's quality; argmax via window rank.
+    "q73_cluster_survivors" ->
+      s"""WITH RECURSIVE
+         ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.8),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id),
+         q AS (SELECT doc_id AS id,
+                 least(1.0, len(string_split(text, ' ')) / 50.0)
+                   * (1.0 - len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the', 'a')))::DOUBLE
+                      / len(string_split(text, ' '))) AS quality
+               FROM documents),
+         m AS (SELECT l.id, l.component, q.quality
+               FROM labeled l JOIN q ON q.id = l.id),
+         best AS (SELECT component, id, quality,
+                    row_number() OVER (PARTITION BY component
+                      ORDER BY quality DESC, id) AS rn
+                  FROM m),
+         g AS (SELECT component, count(*) AS n_members,
+                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+               FROM m GROUP BY component)
+         SELECT b.id AS keep_id, round(b.quality, 4) AS best_quality,
+                g.n_members, g.members
+         FROM g JOIN best b ON b.component = g.component AND b.rn = 1
+         ORDER BY keep_id""",
     // Same spans, keep-first via window rank, positional string_agg rebuild.
     "q72_span_dedup" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
