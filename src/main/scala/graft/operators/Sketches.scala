@@ -107,7 +107,11 @@ object Sketches {
     val h = TextFunctions.hash60(item)
     val w = shiftright(h, p)
     val rho = when(w === 0, lit(maxRho)).otherwise(lit(maxRho) - length(bin(w)))
+    // null items carry no distinct-count information and would otherwise
+    // produce a null register row (and a null-ordering divergence vs the
+    // oracle) — drop them at the source
     val regs = df
+      .where(item.isNotNull)
       .select(group.as("g"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("rho"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("r"))
@@ -139,7 +143,11 @@ object Sketches {
                 lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 2 && hi > lo, "histogram needs bins >= 2 and hi > lo")
     val width = (hi - lo) / bins
-    df.select(group.as("g"),
+    // null values would land in a null bin, which Spark windows order FIRST
+    // and DuckDB orders LAST — an engine-divergence trap; they carry no
+    // quantile information, so drop them at the source
+    df.where(value.isNotNull)
+      .select(group.as("g"),
         least(greatest(floor((value - lo) / width), lit(0L)), lit(bins - 1L)).as("bin"))
       .groupBy(col("g"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
@@ -190,7 +198,9 @@ object Sketches {
    */
   def bloomBits(df: DataFrame, item: Column, m: Int, k: Int): DataFrame = {
     require(m >= 64 && k >= 1, "Bloom needs m >= 64 bits and k >= 1 hashes")
-    df.select(explode(bloomPositions(item, m, k)).as("pos")).distinct()
+    // a null item hashes to null positions — meaningless bits; drop at source
+    df.where(item.isNotNull)
+      .select(explode(bloomPositions(item, m, k)).as("pos")).distinct()
   }
 
   /**
