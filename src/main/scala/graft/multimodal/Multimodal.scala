@@ -150,23 +150,6 @@ object Multimodal {
   }
 
   /**
-   * STUB frame-sample: emits `nFrames` fixed-width byte windows per video
-   * payload (1 record → N records — the Generator/flatMap shape a real frame
-   * sampler has).
-   */
-  def frameSampleStub(media: Dataset[MediaRecord], nFrames: Int, frameBytes: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.filter(_.modality == "video").flatMap { r =>
-      (0 until nFrames).iterator.map { f =>
-        val start = (f * frameBytes) % math.max(1, r.bytes.length)
-        val frame = r.bytes.slice(start, math.min(start + frameBytes, r.bytes.length))
-        (r.doc_id, f, frame.length, frame)
-      }
-    }.toDF("doc_id", "frame", "frame_len", "frame_bytes")
-  }
-
-  /**
    * Synthesize REAL media payloads from the documents table: binary PPM (P6)
    * images and RIFF/WAV PCM16 audio, both built byte-for-byte by [[Codecs]].
    * Pixels/samples derive deterministically from the text's UTF-8 bytes

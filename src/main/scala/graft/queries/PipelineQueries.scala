@@ -617,6 +617,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q74_json_extract" -> ((s, d) => {
+      // semi-structured ingestion, the JSON sibling of the XML engine: JSON
+      // records built with a FIXED serialization (both engines parse the
+      // identical string), schema-on-read via from_json into a typed struct
+      // + array, fields extracted with struct getters. Narrow and codegen'd
+      // — scan speed; at 100 TB this is the standard JSONL ingest shape.
+      val js = concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"n\":"), col("n_chars"),
+        lit(",\"tags\":[\""), col("source"),
+        lit("\",\"t"), (col("doc_id") % 7).cast("string"), lit("\"]}"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, lang STRING, n BIGINT, tags ARRAY<STRING>")
+      Tables.documents(s, d)
+        .select(from_json(js, schema).as("j"))
+        .select(col("j.id").as("doc_id"), col("j.lang").as("j_lang"),
+          col("j.n").as("j_n"), size(col("j.tags")).as("n_tags"),
+          element_at(col("j.tags"), 2).as("tag2"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q73_cluster_survivors" -> ((s, d) => {
       // quality-aware dedup survivor selection: q41's verified near-dup
       // clusters, but the keeper is the member with the HIGHEST q27 quality
@@ -1243,6 +1264,18 @@ object PipelineQueries {
                      ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
                 END AS dup_gram_frac
          FROM g ORDER BY doc_id""",
+    // Identical JSON string, extracted with DuckDB's JSON functions.
+    "q74_json_extract" ->
+      """WITH j AS (SELECT '{"id":' || doc_id || ',"lang":"' || lang
+                      || '","n":' || n_chars || ',"tags":["' || source
+                      || '","t' || (doc_id % 7) || '"]}' AS js
+                    FROM documents)
+         SELECT json_extract(js, '$.id')::BIGINT AS doc_id,
+                json_extract_string(js, '$.lang') AS j_lang,
+                json_extract(js, '$.n')::BIGINT AS j_n,
+                json_array_length(js, '$.tags') AS n_tags,
+                json_extract_string(js, '$.tags[1]') AS tag2
+         FROM j ORDER BY doc_id""",
     // q41's transitive closure + q27's quality; argmax via window rank.
     "q73_cluster_survivors" ->
       s"""WITH RECURSIVE

@@ -82,12 +82,4 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frameSampleStub emits nFrames rows per video record") {
-    val media = Multimodal.synthesize(Tables.documents(spark, sf))
-    val nVideos = media.filter(_.modality == "video").count()
-    val frames = Multimodal.frameSampleStub(media, nFrames = 3, frameBytes = 32)
-    assert(frames.count() == nVideos * 3)
-    assert(frames.columns.toSeq ==
-      Seq("doc_id", "frame", "frame_len", "frame_bytes"))
-  }
 }
