@@ -42,16 +42,18 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // the denominator (dampDen * outdeg) is static — pre-join it onto the
+    // edge list ONCE so each iteration is a single pr ⋈ edges join + one
+    // map-side-combined sum, not an extra degree join per round
+    val eDen = e.join(
+        e.groupBy(col("src")).agg((count(lit(1)) * dampDen).as("den")), "src")
+      .localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var pr = nodes.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to iterations) {
-      val contribs = pr.join(outdeg, "id")
-        .join(e, col("id") === col("src"))
+      val contribs = pr.join(eDen, col("id") === col("src"))
         // integer floor division keeps every engine bit-identical
-        .select(col("dst"),
-          expr(s"(pr * $dampNum) div ($dampDen * outdeg)").as("c"))
+        .select(col("dst"), expr(s"(pr * $dampNum) div den").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       pr = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("pr"))
