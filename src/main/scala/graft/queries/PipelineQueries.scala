@@ -827,6 +827,17 @@ object PipelineQueries {
       graft.multimodal.Multimodal.frameSampleQuery(s, d)),
 
     // ---------------------------------------------------------------- streaming op (batch mode)
+    "q75_hopping_windows" -> ((s, d) => {
+      // hopping (sliding) windows: 1-hour windows every 30 minutes — each
+      // event lands in exactly two overlapping windows, the smoothing shape
+      // tumbling q38 can't express; same streaming code path, batch-run for
+      // the oracle (which materializes each event's two window starts)
+      graft.streaming.StreamingExtraction.hoppingEventStats(Tables.events(s, d))
+        .select(unix_micros(col("window_start")).as("win_us"),
+          col("event_type"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("win_us"), col("event_type"))
+    }),
+
     "q38_windowed_events" -> ((s, d) => {
       // the Structured Streaming tumbling-window aggregation run in batch mode
       // (same code path as StreamingExtraction's stream); window start exported
@@ -1498,6 +1509,18 @@ object PipelineQueries {
                 CAST(list_sum(list_transform(range(0, 3*w*h),
                        j -> tb[((j + 7*frame) % L) + 1])) AS BIGINT) AS sum_rgb
          FROM f WHERE frame % 2 = 0 ORDER BY doc_id, frame""",
+    // Each event contributes to exactly two 1h/30min hopping windows: the
+    // 30-min-aligned start at-or-before it, and that minus 30 minutes.
+    "q75_hopping_windows" ->
+      """WITH ev AS (SELECT event_type, value,
+                            epoch_ns(ts) // 1000 AS tus FROM events),
+         w AS (SELECT event_type, value,
+                 unnest([(tus // 1800000000) * 1800000000,
+                         (tus // 1800000000) * 1800000000 - 1800000000]) AS win_us
+               FROM ev)
+         SELECT win_us, event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM w GROUP BY win_us, event_type ORDER BY win_us, event_type""",
     "q38_windowed_events" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value

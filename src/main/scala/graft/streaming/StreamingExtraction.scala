@@ -67,6 +67,25 @@ object StreamingExtraction {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /**
+   * HOPPING (sliding) event-time windows: length `windowLen`, advancing every
+   * `slide` — each event lands in `windowLen / slide` overlapping windows
+   * (the smoothing shape tumbling windows can't express). Same watermark
+   * state story as [[windowedEventStats]]; the state multiplier is the
+   * overlap factor, still bounded.
+   */
+  def hoppingEventStats(events: DataFrame,
+                        watermark: String = "10 minutes",
+                        windowLen: String = "1 hour",
+                        slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /**
    * Event-time SESSIONIZATION: per-user sessions separated by ≥ `gap` of
    * inactivity, via `session_window` — Spark's dynamic-gap session windows,
    * the same operator batch and streaming (in streaming, watermark passage
