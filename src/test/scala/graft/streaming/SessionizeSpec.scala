@@ -87,6 +87,38 @@ class SessionizeSpec extends SparkSpec {
     assert(diff.isEmpty, s"streamed sessions must match their batch twins: $diff")
   }
 
+  test("streaming hopping windows emit watermark-closed windows equal to batch") {
+    val inDir = Files.createTempDirectory("graft-hop-in").toFile
+    val ckDir = Files.createTempDirectory("graft-hop-ck").toFile
+    val ev = Tables.events(spark, sf).select(col("ts"), col("event_type"), col("value"))
+    val cut = ev.select(percentile_approx(col("ts").cast("double"), lit(0.5), lit(100)))
+      .head().getDouble(0)
+    ev.where(col("ts").cast("double") <= cut).coalesce(1)
+      .write.parquet(s"$inDir/chunk=0")
+    ev.where(col("ts").cast("double") > cut).coalesce(1)
+      .write.parquet(s"$inDir/chunk=1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.hoppingEventStats(stream)
+      .select(unix_micros(col("window_start")).as("win_us"), col("event_type"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .writeStream.format("memory").queryName("stream_hop")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_hop")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = StreamingExtraction.hoppingEventStats(ev)
+      .select(unix_micros(col("window_start")).as("win_us"), col("event_type"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty, "watermark passage should close and emit windows")
+    val diff = streamed -- batch
+    assert(diff.isEmpty, s"streamed windows must match their batch twins: $diff")
+  }
+
   test("stream-stream interval join emits rows that match the batch twin") {
     val inDir = Files.createTempDirectory("graft-ssj-in").toFile
     val ckDir = Files.createTempDirectory("graft-ssj-ck").toFile
