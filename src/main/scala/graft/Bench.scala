@@ -106,9 +106,13 @@ object Bench {
         execute(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
         best(name) = best.get(name).filter(_ >= 0).map(math.min(_, sec)).getOrElse(sec)
+        errors.remove(name) // a transient earlier failure is superseded
       } catch {
         case e: Throwable =>
-          errors(name) = e.toString.replaceAll("[\"\\n\\r]", " ").take(300)
+          // backslash first: a '\' in an exception message would otherwise
+          // form an illegal JSON escape and void the whole artifact
+          errors(name) = e.toString
+            .replace("\\", " ").replaceAll("[\"\\n\\r\\t]", " ").take(300)
           if (!best.contains(name) || best(name) < 0) best(name) = -1.0
       }
       flush(complete = false)
@@ -119,9 +123,12 @@ object Bench {
     passesDone = 1
     flush(complete = false)
     // Passes 2..runs: refine minima only while wall-clock budget remains.
+    // passes_done counts only passes that visited EVERY query — a pass the
+    // budget cut short must not overstate the refinement coverage.
     for (_ <- 2 to runs if elapsed < budgetSec) {
-      for (name <- names if elapsed < budgetSec) timeQuery(name)
-      passesDone += 1
+      var visited = 0
+      for (name <- names if elapsed < budgetSec) { timeQuery(name); visited += 1 }
+      if (visited == names.size) passesDone += 1
       flush(complete = false)
     }
 

@@ -63,11 +63,15 @@ object PipelineScaleSmoke {
     }
     val shingled = docs.select(col("id"),
       call_function("word_ngrams", col("text"), lit(2)).as("shingles"))
+    // checkpoint the candidate set so the verify timing measures ONLY the
+    // verification join, not a second candidate-generation run
+    var candidates: org.apache.spark.sql.DataFrame = null
     val nCand = timed("minhash candidates") {
-      Dedup.minhashCandidates(shingled, 36, 12).count()
+      candidates = Dedup.minhashCandidates(shingled, 36, 12).localCheckpoint()
+      candidates.count()
     }
     val nVerified = timed("jaccard verify") {
-      Dedup.verifyJaccard(Dedup.minhashCandidates(shingled, 36, 12), shingled, 0.8).count()
+      Dedup.verifyJaccard(candidates, shingled, 0.8).count()
     }
     val planted = nDocs / 100
     println(s"[pipeline-smoke] docs=$nDocs exact_groups=$nExact " +

@@ -111,9 +111,12 @@ object TextFunctions {
 
   /** PII patterns for the redaction pass — deliberately restricted to the
    * ASCII syntax subset on which Java regex (Spark) and RE2 (DuckDB) agree,
-   * so the redacted text itself is oracle-comparable. */
-  final val EmailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  final val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+   * so the redacted text itself is oracle-comparable. Explicit [A-Za-z]
+   * classes stand in for case-insensitivity ((?i) is NOT in the common
+   * subset); the phone pattern takes 2-4 digit groups, covering both
+   * +1-555-0423 and +1-555-123-4567 shapes. */
+  final val EmailRe = "[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PhoneRe = "\\+[0-9]{1,2}(-[0-9]{3,4}){2,3}"
   final val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /**

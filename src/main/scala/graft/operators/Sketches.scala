@@ -41,7 +41,13 @@ object Sketches {
    */
   def kmvDistinct(df: DataFrame, group: Column, item: Column, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val hashed = df.select(group.as("g"), TextFunctions.hash60(item).as("h"))
+    // null items are not distinct values: drop them BEFORE hashing, like the
+    // other sketch builders — without this the native branch would crash on
+    // an all-null group (empty bottom-k set -> element_at(.., 0)) and the
+    // two branches would disagree on mixed-null groups (the window fallback
+    // would count the null hash row)
+    val hashed = df.where(item.isNotNull)
+      .select(group.as("g"), TextFunctions.hash60(item).as("h"))
     val bottomKAgg =
       if (df.sparkSession.catalog.functionExists("bottomk_distinct"))
         hashed.groupBy(col("g"))
@@ -216,7 +222,11 @@ object Sketches {
         explode(bloomPositions(item, m, k)).as("pos"))
       .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
       .groupBy(col("id"), col("item"))
-      .agg((count(col("hit")) === k).as("maybe_present"))
+      // hits == TOTAL position rows, not == k: duplicated (id, item) probe
+      // rows contribute 2k position rows, and `== k` would turn a true
+      // member into a false negative — the one failure mode the filter's
+      // one-sided guarantee forbids
+      .agg((count(col("hit")) === count(lit(1))).as("maybe_present"))
 
   /** The d seeded bucket columns of the Count-Min family: row i buckets by
    * `hash60("i:" + item) mod w` — md5-deterministic, so an oracle rebuilds

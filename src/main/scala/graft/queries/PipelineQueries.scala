@@ -1178,9 +1178,11 @@ object PipelineQueries {
          WHERE levenshtein(a.t, b.t) <= 20 ORDER BY a, b""",
     // Same regex chain in RE2; the scrubbed text md5 must match byte-for-byte.
     "q59_pii_redact" -> {
-      val email = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      // the SAME constants the Spark side compiles — a second copy of the
+      // literals would silently drift if either were tuned
+      val email = T.EmailRe
+      val phone = T.PhoneRe
+      val ip = T.Ipv4Re
       s"""WITH dirty AS (SELECT doc_id,
            text || ' contact user' || CAST(doc_id AS VARCHAR)
                 || '@mail.example.com tel +1-555-'

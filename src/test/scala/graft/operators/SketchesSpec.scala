@@ -71,6 +71,28 @@ class SketchesSpec extends SparkSpec {
     assert(unseen.getLong(1) >= 0L)
   }
 
+  test("kmv ignores null items: all-null groups vanish, mixed groups count non-nulls") {
+    import spark.implicits._
+    val df = Seq(("allnull", None), ("allnull", None),
+      ("mixed", None), ("mixed", Some("a")), ("mixed", Some("b")))
+      .toDF("g", "item")
+    val got = Sketches.kmvDistinct(df, col("g"), col("item"), k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("mixed" -> 2L)) // nulls are not distinct values
+  }
+
+  test("bloomProbe stays false-negative-free for duplicated probe rows") {
+    import spark.implicits._
+    val bits = Sketches.bloomBits(Seq("present").toDF("g"), col("g"), m = 256, k = 3)
+    // the same (id, item) probe row twice: 2k position rows in one group —
+    // a member must STILL probe true (the one-sided contract)
+    val probes = Seq((1L, "present"), (1L, "present"), (2L, "absent-item-xyz"))
+      .toDF("id", "g")
+    val got = Sketches.bloomProbe(bits, probes, col("g"), m = 256, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(1L), "duplicated member probe must not turn into a false negative")
+  }
+
   test("histogram quantiles land within one bin width of the exact quantile; histograms merge") {
     import spark.implicits._
     val vals = (0 until 9973).map(i => ("g", (i * 37 % 1000) / 10.0)) // [0, 100)
