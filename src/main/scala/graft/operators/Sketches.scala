@@ -105,22 +105,38 @@ object Sketches {
    * sketches combine losslessly: the same posture as the KMV bottom-k sets
    * and the Count-Min counter tables, at 48 bytes × m per group.
    */
-  def hllDistinct(df: DataFrame, group: Column, item: Column, p: Int = 5): DataFrame = {
+  def hllDistinct(df: DataFrame, group: Column, item: Column, p: Int = 5): DataFrame =
+    hllEstimate(hllRegisters(df, group, item, p), p)
+
+  /**
+   * The sketch half of [[hllDistinct]]: per-(group, bucket) max-rho register
+   * rows — the ≤ m-row-per-group summary a 100 TB pipeline would STORE per
+   * partition/day. Register sets merge by per-bucket max (q76 gates the
+   * merged estimate against a from-scratch oracle recomputation).
+   */
+  def hllRegisters(df: DataFrame, group: Column, item: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 12, "HLL needs 4 <= p <= 12")
     val m = 1 << p
     val maxRho = 61 - p // h < 2^60, so h >> p has 60-p bits; rho in [1, 61-p]
-    val alphaNum = hllAlphaNum(p)
     val h = TextFunctions.hash60(item)
     val w = shiftright(h, p)
     val rho = when(w === 0, lit(maxRho)).otherwise(lit(maxRho) - length(bin(w)))
     // null items carry no distinct-count information and would otherwise
     // produce a null register row (and a null-ordering divergence vs the
     // oracle) — drop them at the source
-    val regs = df
-      .where(item.isNotNull)
+    df.where(item.isNotNull)
       .select(group.as("g"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("rho"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** The estimator half of [[hllDistinct]]: (g, bucket, r) register rows →
+   * (g, n_buckets, estimate) via the scaled-integer harmonic mean. */
+  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 12, "HLL needs 4 <= p <= 12")
+    val m = 1 << p
+    val maxRho = 61 - p
+    val alphaNum = hllAlphaNum(p)
     val agg = regs.groupBy(col("g"))
       .agg(count(lit(1)).as("n_buckets"),
         // column shift amounts are only reachable through the SQL parser

@@ -748,6 +748,28 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "q76_hll_merge" -> ((s, d) => {
+      // the sketch MERGE property as an oracle-gated query: per-event-type
+      // register vectors (the summaries a 100 TB pipeline stores per
+      // partition/day) merge by per-bucket max into the GLOBAL distinct-user
+      // estimate — the raw data is never rescanned. The oracle computes the
+      // global registers FROM SCRATCH, so the hash match proves
+      // merge(per-part sketches) == sketch(whole), the property that makes
+      // sketches storable.
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("item"))
+      val perType = graft.operators.Sketches
+        .hllRegisters(ev, col("event_type"), col("item"), p = 5)
+      val merged = perType.groupBy(col("bucket"))
+        .agg(max(col("r")).as("r"))
+        .withColumn("g", lit("all"))
+      val est = graft.operators.Sketches.hllEstimate(merged, p = 5)
+      val exact = ev.agg(countDistinct(col("item")).as("exact_distinct"))
+      est.crossJoin(exact)
+        .select(col("n_buckets"), round(col("estimate"), 4).as("estimate"),
+          col("exact_distinct"))
+    }),
+
     "q61_hll_distinct" -> ((s, d) => {
       // deterministic HyperLogLog: per-event-type distinct-user estimate from
       // 32 md5-derived registers. The harmonic mean runs in scaled integers
@@ -1393,6 +1415,28 @@ object PipelineQueries {
                         (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE), 4) AS estimate
          FROM pick JOIN c ON c.g = pick.g AND c.bin = pick.b
          ORDER BY event_type, q""",
+    // Global registers computed FROM SCRATCH — equality with Spark's merge of
+    // the per-type register sets is exactly the merge-correctness statement.
+    "q76_hll_merge" -> {
+      val alphaNum = graft.operators.Sketches.hllAlphaNum(5)
+      s"""WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+         h AS (SELECT ${duckHash60("item")} AS h FROM items),
+         b AS (SELECT h % 32 AS bucket, h // 32 AS w FROM h),
+         reg AS (SELECT bucket,
+                   max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS r
+                 FROM b GROUP BY bucket),
+         agg AS (SELECT count(*) AS n_buckets,
+                   sum(1::BIGINT << (56 - r)) AS s_present FROM reg),
+         est AS (SELECT n_buckets,
+                   $alphaNum / (s_present + (32 - n_buckets) * (1::BIGINT << 56))::DOUBLE AS e_raw,
+                   (32 - n_buckets)::DOUBLE AS zeros
+                 FROM agg)
+         SELECT n_buckets,
+                round(CASE WHEN e_raw <= 80.0 AND zeros > 0
+                           THEN 32.0 * ln(32.0 / zeros) ELSE e_raw END, 4) AS estimate,
+                (SELECT count(DISTINCT item) FROM items) AS exact_distinct
+         FROM est"""
+    },
     // Rebuilds the IDENTICAL 32 HLL registers (same md5 hashes, same scaled-
     // integer harmonic sum), so the approximate estimate hash-matches exactly.
     "q61_hll_distinct" -> {
