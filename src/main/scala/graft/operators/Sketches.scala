@@ -272,6 +272,20 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group Count-Min counter tables — the independently-built summaries
+   * a pipeline stores per source/partition/day. Tables merge by CELL-WISE
+   * ADDITION (sum over groups per (r, bucket)); q77 gates the merged table
+   * and its probe estimates against a from-scratch oracle recomputation. */
+  def countMinBy(df: DataFrame, group: Column, item: Column,
+                 d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, "Count-Min needs d >= 1 rows and w >= 2 buckets")
+    df.select(group.as("g"), cmBuckets(item, d, w))
+      .withColumnRenamed("pos", "r")
+      .withColumnRenamed("col", "bucket")
+      .groupBy(col("g"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /**
    * Count-Min point queries: each probe's estimate is the MINIMUM of its d
    * counters. `probes` carries a `term` column; the counter table is tiny by

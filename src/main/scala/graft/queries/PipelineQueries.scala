@@ -748,6 +748,55 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "q77_countmin_merge" -> ((s, d) => {
+      // Count-Min merge law, oracle-gated: per-source counter tables (the
+      // independently-built summaries a pipeline stores) merge by CELL-WISE
+      // ADDITION into the global table, and the merged table's point
+      // estimates for the top terms must hash-match an oracle that builds
+      // the global table from scratch — counters are storable.
+      val tokens = Tables.documents(s, d)
+        .select(col("source"), explode(T.tokens(col("text"))).as("term"))
+      val perSource = graft.operators.Sketches
+        .countMinBy(tokens, col("source"), col("term"), d = 3, w = 16)
+      val merged = perSource.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val probes = tokens.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(10)
+      probes.join(
+          graft.operators.Sketches.countMinEstimate(merged, probes, d = 3, w = 16),
+          "term")
+        .select(col("term"), col("exact_cnt"), col("cm_estimate"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    }),
+
+    "q78_kmv_merge" -> ((s, d) => {
+      // KMV merge law, oracle-gated: per-source bottom-16 hash SETS (the
+      // stored sketches) union and re-take the 16 minima — exactly the
+      // native aggregate's partial merge, here spelled explicitly as
+      // explode + re-aggregate over the per-source sets — while the oracle
+      // computes the global bottom-16 from scratch. The merged approximate
+      // estimate hash-matches: bottom-k sets are storable.
+      val tokens = Tables.documents(s, d)
+        .select(col("source"), explode(T.tokens(col("text"))).as("term"))
+      val perSrcSets = tokens
+        .select(col("source"), T.hash60(col("term")).as("h"))
+        .groupBy(col("source"))
+        .agg(call_function("bottomk_distinct", col("h"), lit(16)).as("bk"))
+      val mergedTop = perSrcSets
+        .select(explode(col("bk")).as("h"))
+        .groupBy()
+        .agg(call_function("bottomk_distinct", col("h"), lit(16)).as("bk"))
+        .select(size(col("bk")).cast("long").as("n_hashes"),
+          element_at(col("bk"), size(col("bk"))).as("kth_min"))
+      val exact = tokens.agg(countDistinct(col("term")).as("exact_distinct"))
+      mergedTop.crossJoin(exact)
+        .select(col("n_hashes"), col("kth_min"),
+          round(when(col("n_hashes") < 16, col("n_hashes").cast("double"))
+            .otherwise(lit(15.0) * lit(math.pow(2, 60)) / col("kth_min").cast("double")), 4)
+            .as("estimate"),
+          col("exact_distinct"))
+    }),
+
     "q76_hll_merge" -> ((s, d) => {
       // the sketch MERGE property as an oracle-gated query: per-event-type
       // register vectors (the summaries a 100 TB pipeline stores per
@@ -1415,6 +1464,39 @@ object PipelineQueries {
                         (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE), 4) AS estimate
          FROM pick JOIN c ON c.g = pick.g AND c.bin = pick.b
          ORDER BY event_type, q""",
+    // Global counter table from scratch; Spark merges per-source tables.
+    "q77_countmin_merge" -> {
+      def h(i: Int) = s"${duckHash60(s"concat('$i:', term)")} % 16"
+      s"""WITH tokens AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         exact AS (SELECT term, count(*) AS exact_cnt FROM tokens GROUP BY term),
+         probes AS (SELECT term, exact_cnt FROM exact
+                    ORDER BY exact_cnt DESC, term LIMIT 10),
+         buckets AS (SELECT 0 AS r, ${h(0)} AS bucket FROM tokens
+                     UNION ALL SELECT 1, ${h(1)} FROM tokens
+                     UNION ALL SELECT 2, ${h(2)} FROM tokens),
+         counters AS (SELECT r, bucket, count(*) AS cnt FROM buckets GROUP BY r, bucket),
+         pb AS (SELECT term, 0 AS r, ${h(0)} AS bucket FROM probes
+                UNION ALL SELECT term, 1, ${h(1)} FROM probes
+                UNION ALL SELECT term, 2, ${h(2)} FROM probes),
+         est AS (SELECT pb.term, min(coalesce(c.cnt, 0)) AS cm_estimate
+                 FROM pb LEFT JOIN counters c USING (r, bucket) GROUP BY pb.term)
+         SELECT p.term, p.exact_cnt, e.cm_estimate
+         FROM probes p JOIN est e USING (term)
+         ORDER BY exact_cnt DESC, term"""
+    },
+    // Global bottom-16 from scratch; Spark merges the per-source sets.
+    "q78_kmv_merge" ->
+      s"""WITH tokens AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         hashed AS (SELECT DISTINCT ${duckHash60("term")} AS h FROM tokens),
+         bk AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hashed),
+         agg AS (SELECT count(*) AS n_hashes, max(h) AS kth_min
+                 FROM bk WHERE rk <= 16)
+         SELECT n_hashes, kth_min,
+                round(CASE WHEN n_hashes < 16 THEN n_hashes::DOUBLE
+                      ELSE 15.0 * 1152921504606846976 / kth_min::DOUBLE END, 4)
+                  AS estimate,
+                (SELECT count(DISTINCT term) FROM tokens) AS exact_distinct
+         FROM agg""",
     // Global registers computed FROM SCRATCH — equality with Spark's merge of
     // the per-type register sets is exactly the merge-correctness statement.
     "q76_hll_merge" -> {
