@@ -748,6 +748,41 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "q79_kmv_intersect" -> ((s, d) => {
+      // KMV SET ALGEBRA from stored sketches: estimate |A ∩ B| for two doc
+      // populations (doc_id%2==0 vs doc_id%3==0, items = content digests)
+      // using ONLY their bottom-64 sketches — union the sketches, re-take
+      // the minima, and scale the union estimate by the fraction of kept
+      // hashes present in BOTH sketches (any union-bottom-k hash that is in
+      // A is provably in A's sketch, so sketch membership is exact). Every
+      // step is deterministic, so the approximate intersection itself is
+      // oracle-gated.
+      val k = 64
+      val items = Tables.documents(s, d)
+        .select(col("doc_id"), T.hash60(md5(col("text"))).as("h"))
+      def sketch(pred: Column) = items.where(pred)
+        .agg(call_function("bottomk_distinct", col("h"), lit(k)).as("bk"))
+      val joined = sketch(col("doc_id") % 2 === 0).withColumnRenamed("bk", "ka")
+        .crossJoin(sketch(col("doc_id") % 3 === 0).withColumnRenamed("bk", "kb"))
+        .select(col("ka"), col("kb"),
+          // union the two sketches and re-take the k minima
+          slice(array_sort(array_union(col("ka"), col("kb"))), 1, k).as("ku"))
+      val nKu = size(col("ku"))
+      val estU = when(nKu < k, nKu.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          element_at(col("ku"), nKu).cast("double"))
+      val rho = size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+      val exact = Tables.documents(s, d)
+        .where(col("doc_id") % 6 === 0)
+        .agg(countDistinct(md5(col("text"))).as("exact_intersection"))
+      joined.crossJoin(exact)
+        .select(nKu.cast("long").as("n_union_hashes"),
+          rho.cast("long").as("rho_count"),
+          round(rho.cast("double") / nKu.cast("double") * estU, 4)
+            .as("est_intersection"),
+          col("exact_intersection"))
+    }),
+
     "q77_countmin_merge" -> ((s, d) => {
       // Count-Min merge law, oracle-gated: per-source counter tables (the
       // independently-built summaries a pipeline stores) merge by CELL-WISE
@@ -1464,6 +1499,34 @@ object PipelineQueries {
                         (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE), 4) AS estimate
          FROM pick JOIN c ON c.g = pick.g AND c.bin = pick.b
          ORDER BY event_type, q""",
+    // Same sketches, same union-and-count algebra in SQL.
+    "q79_kmv_intersect" -> {
+      val h = duckHash60("md5(text)")
+      s"""WITH ka AS (SELECT h FROM (
+             SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (
+               SELECT DISTINCT $h AS h FROM documents WHERE doc_id % 2 = 0))
+           WHERE rk <= 64),
+         kb AS (SELECT h FROM (
+             SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (
+               SELECT DISTINCT $h AS h FROM documents WHERE doc_id % 3 = 0))
+           WHERE rk <= 64),
+         ku AS (SELECT h FROM (
+             SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (
+               SELECT h FROM ka UNION SELECT h FROM kb))
+           WHERE rk <= 64),
+         stats AS (SELECT count(*) AS n_ku, max(h) AS kth FROM ku),
+         rho AS (SELECT count(*) AS c FROM ku
+                 WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+         exact AS (SELECT count(DISTINCT md5(text)) AS exact_intersection
+                   FROM documents WHERE doc_id % 6 = 0)
+         SELECT n_ku AS n_union_hashes, c AS rho_count,
+                round(c::DOUBLE / n_ku *
+                  (CASE WHEN n_ku < 64 THEN n_ku::DOUBLE
+                        ELSE 63.0 * 1152921504606846976 / kth::DOUBLE END), 4)
+                  AS est_intersection,
+                exact_intersection
+         FROM stats, rho, exact"""
+    },
     // Global counter table from scratch; Spark merges per-source tables.
     "q77_countmin_merge" -> {
       def h(i: Int) = s"${duckHash60(s"concat('$i:', term)")} % 16"
