@@ -748,6 +748,26 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "q80_scd2_intervals" -> ((s, d) => {
+      // slowly-changing-dimension (type 2) build from a change log: each
+      // user's purchase events become validity intervals [valid_from,
+      // valid_to) for the then-current value, closed by the next change
+      // (lead over the user's time-ordered events; open intervals carry
+      // null). One shuffle on the dimension key — the standard warehouse
+      // history-table build, here over the events stream.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("user_id"), round(col("value"), 4).as("value"),
+          col("ts_us").as("valid_from"),
+          lead(col("ts_us"), 1).over(w).as("valid_to"),
+          (lead(col("ts_us"), 1).over(w).isNull).as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("value"))
+    }),
+
     "q79_kmv_intersect" -> ((s, d) => {
       // KMV SET ALGEBRA from stored sketches: estimate |A ∩ B| for two doc
       // populations (doc_id%2==0 vs doc_id%3==0, items = content digests)
@@ -1499,6 +1519,16 @@ object PipelineQueries {
                         (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE), 4) AS estimate
          FROM pick JOIN c ON c.g = pick.g AND c.bin = pick.b
          ORDER BY event_type, q""",
+    "q80_scd2_intervals" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT user_id, round(value, 4) AS value,
+                ts_us AS valid_from,
+                lead(ts_us, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS valid_to,
+                lead(ts_us, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) IS NULL AS is_current
+         FROM p ORDER BY user_id, valid_from, value""",
     // Same sketches, same union-and-count algebra in SQL.
     "q79_kmv_intersect" -> {
       val h = duckHash60("md5(text)")
