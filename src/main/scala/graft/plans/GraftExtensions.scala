@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(BottomKDistinctExpr.descriptor)
     extensions.injectFunction(MinKByExpr.descriptor)
     extensions.injectFunction(WordNgramsExpr.descriptor)
+    extensions.injectFunction(CdcBoundsExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

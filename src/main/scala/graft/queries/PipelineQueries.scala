@@ -748,6 +748,52 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "q81_cdc_chunks" -> ((s, d) => {
+      // content-defined chunking (the FastCDC/backup-dedup shape): an 8-byte
+      // polynomial rolling hash over the text, chunk boundaries where
+      // h % 32 == 0 — boundaries move WITH the content, so an insertion
+      // shifts one chunk instead of re-aligning every fixed-width block.
+      // Chunks then dedup across the corpus by digest. Scalar per-row hash
+      // work (hashes/bounds/chunks all MATERIALIZED columns — the q62
+      // lesson), one chunk-digest aggregation, one join back.
+      val L = length(col("text"))
+      // boundary detection runs through the native one-pass cdc_bounds
+      // kernel — the value-identical HOF twin (filter + per-position Horner
+      // fold) evaluates interpreted at ~0.25 s PER ROW and exists as the
+      // oracle SQL only; the fallback keeps the query runnable without the
+      // extension installed
+      def rollingHash(i: Column): Column =
+        aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, k) =>
+          pmod(acc * 31 + ascii(col("text").substr(i - 7 + k, lit(1))),
+            lit(1048576L)))
+      val boundsCol =
+        if (s.catalog.functionExists("cdc_bounds"))
+          call_function("cdc_bounds", col("text"))
+        else filter(
+          when(L >= 8, sequence(lit(8L), L.cast("long")))
+            .otherwise(array().cast("array<bigint>")),
+          i => rollingHash(i.cast("int")) % 32 === 0)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("bounds", boundsCol)
+        .withColumn("bs", array_sort(array_distinct(concat(
+          array(lit(0L)), col("bounds"), array(L.cast("long"))))))
+        .withColumn("chunks", transform(sequence(lit(0), size(col("bs")) - 2),
+          j => col("text").substr(
+            element_at(col("bs"), j + 1).cast("int") + 1,
+            (element_at(col("bs"), j + 2) - element_at(col("bs"), j + 1)).cast("int"))))
+      val chunkDocs = base
+        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("cmd5"))
+      val sharing = chunkDocs.groupBy(col("cmd5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      chunkDocs.join(sharing, "cmd5")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q80_scd2_intervals" -> ((s, d) => {
       // slowly-changing-dimension (type 2) build from a change log: each
       // user's purchase events become validity intervals [valid_from,
@@ -1519,6 +1565,33 @@ object PipelineQueries {
                         (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE), 4) AS estimate
          FROM pick JOIN c ON c.g = pick.g AND c.bin = pick.b
          ORDER BY event_type, q""",
+    // Same rolling hash (Horner with per-step mod == left fold from zero),
+    // same boundaries, same chunk digests.
+    "q81_cdc_chunks" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS L,
+                 CASE WHEN length(text) >= 8 THEN
+                   list_transform(range(8, length(text) + 1),
+                     i -> list_reduce(list_transform(range(0, 8),
+                            k -> ascii(substr(text, (i - 7 + k)::INT, 1))::BIGINT),
+                          (acc, c) -> (acc * 31 + c) % 1048576))
+                 ELSE [] END AS hs
+               FROM documents),
+         bd AS (SELECT doc_id, text, L,
+                  list_sort(list_distinct(list_concat(list_concat([0::BIGINT],
+                    list_filter(range(8, L + 1),
+                      i -> hs[(i - 7)::INT] % 32 = 0)), [L::BIGINT]))) AS bs
+                FROM b),
+         ch AS (SELECT doc_id,
+                  unnest(list_transform(range(0, len(bs) - 1),
+                    j -> substr(text, (bs[(j + 1)::INT] + 1)::INT,
+                           (bs[(j + 2)::INT] - bs[(j + 1)::INT])::INT))) AS chunk
+                FROM bd),
+         cd AS (SELECT doc_id, md5(chunk) AS cmd5 FROM ch),
+         sh AS (SELECT cmd5, count(DISTINCT doc_id) AS n_docs FROM cd GROUP BY cmd5)
+         SELECT doc_id, count(*) AS n_chunks,
+                sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks
+         FROM cd JOIN sh USING (cmd5)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q80_scd2_intervals" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
                     FROM events WHERE event_type = 'purchase')

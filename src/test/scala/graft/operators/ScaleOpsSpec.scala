@@ -104,6 +104,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native cdc_bounds equals the HOF rolling-hash filter on adversarial inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val texts = Seq("", "1234567", "12345678", "123456789",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", ("word " * 60).trim) ++
+      (0 until 50).map(_ => (0 until rnd.nextInt(200))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val df = texts.toDF("text")
+    val native = df.select(call_function("cdc_bounds", col("text")))
+      .collect().map(_.getSeq[Long](0).toList)
+    // the HOF twin (and the oracle SQL's formulation)
+    val L = length(col("text"))
+    def rollingHash(i: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, k) =>
+        pmod(acc * 31 + ascii(col("text").substr(i - 7 + k, lit(1))),
+          lit(1048576L)))
+    val hof = df.select(filter(
+        when(L >= 8, sequence(lit(8L), L.cast("long")))
+          .otherwise(array().cast("array<bigint>")),
+        i => rollingHash(i.cast("int")) % 32 === 0))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(native.toList == hof.toList)
+    assert(native.flatten.nonEmpty, "some boundary should exist across the corpus")
+  }
+
   test("native word_ngrams equals the HOF shingle chain on adversarial inputs") {
     import spark.implicits._
     val texts = Seq(
