@@ -782,9 +782,13 @@ object PipelineQueries {
           j => col("text").substr(
             element_at(col("bs"), j + 1).cast("int") + 1,
             (element_at(col("bs"), j + 2) - element_at(col("bs"), j + 1)).cast("int"))))
+      // checkpoint once: the digest table feeds BOTH the sharing aggregate
+      // and the join back — without it the whole scalar chunk pipeline runs
+      // twice (the componentsStar input-checkpoint idiom)
       val chunkDocs = base
         .select(col("doc_id"), explode(col("chunks")).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("cmd5"))
+        .localCheckpoint()
       val sharing = chunkDocs.groupBy(col("cmd5"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
       chunkDocs.join(sharing, "cmd5")
