@@ -134,6 +134,11 @@ object Bench {
 
     flush(complete = true)
     println(renderJson(complete = true))
+    // FINAL stdout line: a compact total-only summary. The full per-query line
+    // above is ~3 KB and gets head-truncated by tail-capture harnesses; this
+    // one stays parseable no matter how few trailing bytes survive.
+    val total = names.flatMap(best.get).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"measured":${best.size},"of":${names.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

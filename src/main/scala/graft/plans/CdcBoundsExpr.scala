@@ -19,9 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * The HOF formulation (`filter(sequence(...), i -> aggregate(...substr...))`)
  * is the value-identical oracle twin but evaluates interpreted at ~0.25 s PER
  * ROW (nested lambdas, per-character `substr` scans); this kernel is one
- * O(len) byte pass. ASCII corpus precondition: the kernel reads bytes, the
- * SQL twin reads characters — identical only while every character is one
- * byte (asserted against the corpus by the q81 oracle gate itself).
+ * O(len) pass. Positions and the hashed values are CODE POINTS — matching
+ * `ascii(substr(text, i, 1))` in both Spark and DuckDB — via a single
+ * inline UTF-8 decode, so non-ASCII text chunks identically to the SQL twin
+ * (on all-ASCII input the decode degenerates to the byte values).
  *
  * SQL surface (registered by [[GraftExtensions]]): `cdc_bounds(text)`.
  */
@@ -64,14 +65,33 @@ object CdcBoundsKernel {
 
   def bounds(text: UTF8String): GenericArrayData = {
     val b = text.getBytes
-    val len = b.length
+    val nBytes = b.length
+    // one-pass UTF-8 → code-point decode (UTF8String guarantees valid UTF-8);
+    // nBytes is an upper bound on the code-point count
+    val cps = new Array[Int](nBytes)
+    var len = 0
+    var p = 0
+    while (p < nBytes) {
+      val b0 = b(p) & 0xff
+      if (b0 < 0x80) { cps(len) = b0; p += 1 }
+      else if (b0 < 0xe0) {
+        cps(len) = ((b0 & 0x1f) << 6) | (b(p + 1) & 0x3f); p += 2
+      } else if (b0 < 0xf0) {
+        cps(len) = ((b0 & 0x0f) << 12) | ((b(p + 1) & 0x3f) << 6) |
+          (b(p + 2) & 0x3f); p += 3
+      } else {
+        cps(len) = ((b0 & 0x07) << 18) | ((b(p + 1) & 0x3f) << 12) |
+          ((b(p + 2) & 0x3f) << 6) | (b(p + 3) & 0x3f); p += 4
+      }
+      len += 1
+    }
     val out = new java.util.ArrayList[Any]()
     var i = Window
     while (i <= len) {
       var acc = 0L
       var k = i - Window
       while (k < i) {
-        acc = (acc * 31 + (b(k) & 0xffL)) % HashMod
+        acc = (acc * 31 + cps(k)) % HashMod
         k += 1
       }
       if (acc % BoundaryMod == 0) out.add(java.lang.Long.valueOf(i.toLong))

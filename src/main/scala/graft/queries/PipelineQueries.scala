@@ -644,6 +644,13 @@ object PipelineQueries {
       // score (ties → smallest doc_id) — the production refinement over
       // keep-min-id, via one max(struct(quality, -id)) per cluster (map-side
       // combined argmax, no window over members).
+      // RECALL PRECONDITION (like q81's ASCII note): the oracle computes the
+      // exact all-pairs Jaccard>=0.8 closure while this side feeds components
+      // from LSH candidates (36 hashes, 12 bands); the gate holds because the
+      // banding recalls every true pair on the shipped corpus (asserted by
+      // the q32-vs-quadratic-oracle gate, which shares the candidate path) —
+      // a testdata refresh that defeats banding would flip this red, not
+      // silently degrade.
       val docs = docShingles(s, d, 2)
       val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       val w = T.tokens(col("text"))
@@ -815,7 +822,11 @@ object PipelineQueries {
           col("ts_us").as("valid_from"),
           lead(col("ts_us"), 1).over(w).as("valid_to"),
           (lead(col("ts_us"), 1).over(w).isNull).as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("value"))
+        // valid_to NULLS LAST as tiebreaker: (user_id, valid_from, value)
+        // alone is not total when a user logs equal-value purchases in the
+        // same microsecond; remaining ties are fully identical rows
+        .orderBy(col("user_id"), col("valid_from"),
+          col("valid_to").asc_nulls_last, col("value"))
     }),
 
     "q79_kmv_intersect" -> ((s, d) => {
@@ -1272,7 +1283,7 @@ object PipelineQueries {
                      AND ${h(102)} IN (SELECT pos FROM bits)) AS maybe
                   FROM posts)
          SELECT doc_id,
-                sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_maybe_grams,
+                CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_grams,
                 bool_or(maybe) AS maybe_contaminated
          FROM flag GROUP BY doc_id ORDER BY doc_id"""
     },
@@ -1413,7 +1424,7 @@ object PipelineQueries {
                       row_number() OVER (PARTITION BY term
                         ORDER BY tf DESC, doc_id) AS rk
                     FROM tf),
-         agg AS (SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term),
+         agg AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
          top AS (SELECT term,
                    string_agg(doc_id || ':' || tf, ',' ORDER BY rk) AS postings
                  FROM ranked WHERE rk <= 3 GROUP BY term)
@@ -1511,7 +1522,7 @@ object PipelineQueries {
                     ORDER BY doc_id, span_idx) AS rn
                 FROM sp)
          SELECT doc_id, count(*) AS n_spans,
-                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 md5(coalesce(string_agg(CASE WHEN rn = 1 THEN txt END, ' '
                       ORDER BY span_idx), '')) AS clean_md5
          FROM rk GROUP BY doc_id ORDER BY doc_id""",
@@ -1593,7 +1604,7 @@ object PipelineQueries {
          cd AS (SELECT doc_id, md5(chunk) AS cmd5 FROM ch),
          sh AS (SELECT cmd5, count(DISTINCT doc_id) AS n_docs FROM cd GROUP BY cmd5)
          SELECT doc_id, count(*) AS n_chunks,
-                sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks
+                CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
          FROM cd JOIN sh USING (cmd5)
          GROUP BY doc_id ORDER BY doc_id""",
     "q80_scd2_intervals" ->
@@ -1605,7 +1616,7 @@ object PipelineQueries {
                   ORDER BY ts_us, event_id) AS valid_to,
                 lead(ts_us, 1) OVER (PARTITION BY user_id
                   ORDER BY ts_us, event_id) IS NULL AS is_current
-         FROM p ORDER BY user_id, valid_from, value""",
+         FROM p ORDER BY user_id, valid_from, valid_to NULLS LAST, value""",
     // Same sketches, same union-and-count algebra in SQL.
     "q79_kmv_intersect" -> {
       val h = duckHash60("md5(text)")

@@ -24,6 +24,66 @@ class SparkEntryContractSpec extends AnyFunSuite {
       s"duplicate query numbers: ${numbers.diff(numbers.distinct).distinct}")
   }
 
+  test("no oracle ships an uncast sum() — the DuckDB HUGEINT driver-hash trap") {
+    // DuckDB widens an integer sum() to HUGEINT (Arrow decimal128); the
+    // driver's value hash is type-sensitive, so a widened sum that reaches an
+    // output column fails hash_match even when every value is equal (the r3
+    // q63/q67/q72/q81 regression). Rule: every `sum(` in an oracle must sit
+    // inside a CAST(...) or round(...) span. Queries where the widened value
+    // is provably consumed internally (grouping key, ::DOUBLE division, or
+    // re-cast before the final projection) are audited exceptions below;
+    // tools/compare_oracle.py's Arrow-schema gate backstops the audit.
+    val audited = Map(
+      "q40_sessionize" -> "window sum(brk) is the session grouping key only",
+      "q68_histogram_quantiles" -> "cum/n consumed via ::DOUBLE division; n re-CAST in final select",
+      "q71_pagerank" -> "fixed-point pr re-CAST AS BIGINT in final select",
+      "q61_hll_distinct" -> "s_present consumed via ::DOUBLE division",
+      "q76_hll_merge" -> "s_present consumed via ::DOUBLE division",
+      "q78_kmv_merge" -> "sum feeds the estimator's ::DOUBLE division"
+    )
+
+    // Balanced-paren spans of `fn(...)` calls, case-insensitive.
+    def callSpans(sql: String, fn: String): Seq[(Int, Int)] = {
+      val lower = sql.toLowerCase
+      val out = Seq.newBuilder[(Int, Int)]
+      var i = lower.indexOf(fn + "(")
+      while (i >= 0) {
+        val wordStart = i == 0 || !Character.isLetterOrDigit(lower(i - 1)) && lower(i - 1) != '_'
+        if (wordStart) {
+          var depth = 0; var j = i + fn.length
+          var end = -1
+          while (j < sql.length && end < 0) {
+            sql(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (end > 0) out += ((i, end))
+        }
+        i = lower.indexOf(fn + "(", i + 1)
+      }
+      out.result()
+    }
+
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val safe = callSpans(sql, "cast") ++ callSpans(sql, "round")
+      val bare = callSpans(sql, "sum").filterNot { case (s, _) =>
+        safe.exists { case (cs, ce) => cs < s && s < ce }
+      }
+      if (bare.nonEmpty && !audited.contains(name))
+        Some(s"$name: uncast sum( at offsets ${bare.map(_._1).mkString(",")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "oracles with a sum() outside any CAST/round span (add CAST(... AS BIGINT) " +
+        "or an audited-exception entry):\n  " + offenders.mkString("\n  "))
+
+    val staleAudits = audited.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(staleAudits.isEmpty, s"audited exceptions for unknown queries: $staleAudits")
+  }
+
   test("every oracle is non-empty SQL touching at least one known table") {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

@@ -108,9 +108,21 @@ class ScaleOpsSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
     val texts = Seq("", "1234567", "12345678", "123456789",
-      "aaaaaaaaaaaaaaaaaaaaaaaa", ("word " * 60).trim) ++
+      "aaaaaaaaaaaaaaaaaaaaaaaa", ("word " * 60).trim,
+      // non-ASCII: the kernel must fold CODE POINTS (2- and 3-byte UTF-8,
+      // positions counted in characters) to match ascii(substr(text, i, 1))
+      "héllo wörld déjà vu résumé naïve café crème brûlée",
+      "日本語のテキストとmixed ascii content here",
+      "αβγδεζηθικλμνξοπρστυφχψω " * 3) ++
       (0 until 50).map(_ => (0 until rnd.nextInt(200))
-        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString) ++
+      // random mixed-width strings: ASCII + Latin-1 + CJK interleaved
+      (0 until 20).map(_ => (0 until rnd.nextInt(120)).map(_ =>
+        rnd.nextInt(3) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar
+          case 1 => ('à' + rnd.nextInt(20)).toChar
+          case _ => ('一' + rnd.nextInt(100)).toChar
+        }).mkString)
     val df = texts.toDF("text")
     val native = df.select(call_function("cdc_bounds", col("text")))
       .collect().map(_.getSeq[Long](0).toList)
