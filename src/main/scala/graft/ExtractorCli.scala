@@ -10,12 +10,19 @@ import graft.xml.XmlExtraction
  *
  * `inPath` may be a directory/glob of XML documents or a SequenceFile
  * (`--seq` flag) in the reference's `Text uuid -> Text xml` layout.
+ *
+ * `--stream` runs the SAME extraction DAG as a Structured Streaming job over
+ * the input directory (each landing file = one document) and writes delimited
+ * text incrementally. Uses `Trigger.AvailableNow` — drain everything present,
+ * checkpoint, exit — so repeated invocations are incremental (already-seen
+ * files are skipped via the checkpoint under `<outPath>/_checkpoint`); a
+ * resident watcher would use the default trigger instead.
  */
 object ExtractorCli {
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     if (positional.length != 3) {
-      System.err.println("Usage: ExtractorCli [--seq] <in path> <out path> <config>")
+      System.err.println("Usage: ExtractorCli [--seq|--stream] <in path> <out path> <config>")
       sys.exit(2)
     }
     val Array(inPath, outPath, configFile) = positional
@@ -29,10 +36,23 @@ object ExtractorCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val corpus =
-        if (flags.contains("--seq")) XmlExtraction.corpusFromSequenceFile(spark, inPath)
-        else XmlExtraction.corpusFromXmlFiles(spark, inPath)
-      XmlExtraction.run(corpus, config).write.mode("overwrite").text(outPath)
+      if (flags.contains("--stream")) {
+        val query = graft.streaming.StreamingExtraction
+          .streamingExtractLines(spark, inPath, config)
+          .writeStream
+          .format("text")
+          .option("path", outPath)
+          .option("checkpointLocation", s"$outPath/_checkpoint")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } else {
+        val corpus =
+          if (flags.contains("--seq")) XmlExtraction.corpusFromSequenceFile(spark, inPath)
+          else XmlExtraction.corpusFromXmlFiles(spark, inPath)
+        XmlExtraction.run(corpus, config).write.mode("overwrite").text(outPath)
+      }
     } finally spark.stop()
   }
 }

@@ -40,6 +40,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("incremental arrival: delimited file sink accumulates across micro-batches " +
+    "and byte-equals the batch output") {
+    val inDir = Files.createTempDirectory("graft-stream-inc-in").toFile
+    val outDir = Files.createTempDirectory("graft-stream-inc-out").toFile
+    val ckDir = Files.createTempDirectory("graft-stream-inc-ck").toFile
+    val config = ExtractionConfig.fromXml(resourceText("ExtractInventory.xml"))
+
+    def outLines(): Seq[String] =
+      outDir.listFiles.filter(f => f.getName.startsWith("part-"))
+        .flatMap(f => scala.jdk.CollectionConverters
+          .CollectionHasAsScala(Files.readAllLines(f.toPath)).asScala)
+        .toSeq.sorted
+
+    val query = StreamingExtraction
+      .streamingExtractLines(spark, inDir.getAbsolutePath, config)
+      .writeStream
+      .format("text")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try {
+      // micro-batch 1: one document lands
+      Files.writeString(new java.io.File(inDir, "InventorySoho.xml").toPath,
+        resourceText("InventorySoho.xml"))
+      query.processAllAvailable()
+      val afterFirst = outLines()
+      assert(afterFirst.nonEmpty)
+      // micro-batch 2: a second document lands — output must ACCUMULATE
+      // (append-only), never rewrite batch-1 rows
+      Files.writeString(new java.io.File(inDir, "InventoryBanks.xml").toPath,
+        resourceText("InventoryBanks.xml"))
+      query.processAllAvailable()
+      val afterSecond = outLines()
+      assert(afterFirst.forall(afterSecond.contains), "batch-1 lines must survive batch 2")
+      assert(afterSecond.size > afterFirst.size)
+      // final content byte-equals the batch engine over the same directory
+      val batch = XmlExtraction.run(
+        XmlExtraction.corpusFromXmlFiles(spark, inDir.getAbsolutePath), config)
+        .collect().map(_.getString(0)).toSeq.sorted
+      assert(afterSecond == batch)
+    } finally query.stop()
+  }
+
   test("windowed event stats with watermark over the events table (batch run)") {
     // window+watermark plan also runs in batch mode — validate the aggregation
     // semantics against a plain groupBy on truncated hours
