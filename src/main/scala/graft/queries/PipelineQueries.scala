@@ -38,6 +38,70 @@ object PipelineQueries {
     Tables.embeddings(s, d).where(pred)
       .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
 
+  /** documents → one row per bigram occurrence, in document order:
+   * (doc_id, pos, w1, w2). Narrow (array transform + posexplode). */
+  private def docBigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))")))
+      .select(col("doc_id"), col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+
+  /**
+   * Fixed-point BM25 (k1=1.2, b=0.75) for `terms` over the documents table —
+   * (doc_id, score_fp, n_terms). EVERY step is 64-bit integer arithmetic so
+   * the score is engine-independent bits (the q71 scaled-integer idiom):
+   * avgdl is fixed-pointed to 3 decimals (A = 1000·Σdl div N), the term
+   * saturation tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) becomes
+   * (2200000·tf·1000·A) div (1000·A·tf + 300·A + 900000·dl) — ×1e6 scaled —
+   * and idf uses the exact rational (2(N−df)+1)/(2df+1), the classic
+   * (N−df+0.5)/(df+0.5) with numerator and denominator doubled to stay
+   * integral. Magnitudes stay < 2^63 for tf ≤ 1e4, dl ≤ 1e6, N ≤ 1e9.
+   * Shapes: tiny df/stats tables broadcast; one groupBy(doc_id, term).
+   */
+  private def bm25Fixed(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("t"))
+    val dl = Tables.documents(s, d)
+      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tot")) // 1 row
+    val tf = toks.where(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats)).join(dl, "doc_id")
+      .selectExpr("doc_id",
+        "(1000000 * (2 * (nn - df) + 1)) div (2 * df + 1) as idf_fp",
+        "(2200000 * tf * 1000 * ((1000 * tot) div nn)) div " +
+          "(1000 * ((1000 * tot) div nn) * tf + 300 * ((1000 * tot) div nn) + 900000 * dl) as sat_fp")
+      .selectExpr("doc_id", "(idf_fp * sat_fp) div 1000000 as term_score_fp")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+  }
+
+  /** DuckDB twin of [[bm25Fixed]] as WITH-clause text binding `bm25(doc_id,
+   * score_fp, n_terms)` — same fixed-point formulas, `//` for `div`. */
+  private def duckBm25(terms: Seq[String]): String = {
+    val lst = terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN ($lst) GROUP BY doc_id, t),
+       dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       parts AS (SELECT doc_id,
+           (1000000::BIGINT * (2 * (nn - df) + 1)) // (2 * df + 1) AS idf_fp,
+           (2200000::BIGINT * tf * 1000 * ((1000 * tot) // nn)) //
+             (1000::BIGINT * ((1000 * tot) // nn) * tf + 300 * ((1000 * tot) // nn) + 900000 * dl) AS sat_fp
+         FROM tf JOIN dfreq USING (t) CROSS JOIN stats JOIN dl USING (doc_id)),
+       bm25 AS (SELECT doc_id, CAST(sum((idf_fp * sat_fp) // 1000000) AS BIGINT) AS score_fp,
+                       count(*) AS n_terms
+                FROM parts GROUP BY doc_id)"""
+  }
+
+  /** The fixed 3-term search query shared by q85 (BM25) and q89 (RRF). */
+  private val searchTerms = Seq("join", "filter", "scan")
+
   // ------------------------------------------------------------------ SQL twins
   /** DuckDB twin of [[T.shingles]] given a `ws` (split words) and `text` binding. */
   private def duckShingles(n: Int): String =
@@ -1033,6 +1097,185 @@ object PipelineQueries {
         .select(unix_micros(col("window_start")).as("win_us"),
           col("event_type"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy(col("win_us"), col("event_type"))
+    }),
+
+    // ---------------------------------------------------------------- product analytics
+    "q82_funnel_conversion" -> ((s, d) => {
+      // sequential conversion funnel view→click→purchase, each stage anchored
+      // at the user's FIRST qualifying event and bounded by a 1-hour step
+      // window. ONE shuffle: the three stage minima are chained unordered
+      // windows over the SAME user_id partitioning (each references the
+      // previous stage's column, so no per-stage join/re-shuffle), then the
+      // per-user dedup aggregate reuses that partitioning too.
+      val hourUs = 3600000000L
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      ev.withColumn("v_us",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("c_us",
+          min(when(col("event_type") === "click" &&
+            col("us") >= col("v_us") && col("us") <= col("v_us") + hourUs,
+            col("us"))).over(w))
+        .withColumn("p_us",
+          min(when(col("event_type") === "purchase" &&
+            col("us") >= col("c_us") && col("us") <= col("c_us") + hourUs,
+            col("us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("v_us")).as("v_us"), max(col("c_us")).as("c_us"),
+          max(col("p_us")).as("p_us"))
+        .agg(count(col("v_us")).as("n_view"),
+          count(col("c_us")).as("n_click"),
+          count(col("p_us")).as("n_purchase"))
+    }),
+
+    "q83_cohort_retention" -> ((s, d) => {
+      // weekly cohort retention matrix: cohort = week of the user's first
+      // event, k = weeks since cohort start, cell = distinct active users.
+      // Day/week indexes are exact integer floor divisions of epoch micros.
+      // Two keyed shuffles (per-user min, then the distinct+count).
+      val ev = Tables.events(s, d)
+        .selectExpr("user_id", "unix_micros(ts) div 86400000000 as day")
+      val c0 = ev.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+      ev.join(c0, "user_id")
+        .selectExpr("user_id", "day0 div 7 as cohort_week", "(day - day0) div 7 as k")
+        .distinct()
+        .groupBy(col("cohort_week"), col("k")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("k"))
+    }),
+
+    "q88_rolling_anomaly" -> ((s, d) => {
+      // rolling z-score anomaly detection in EXACT integer arithmetic: value
+      // fixed-pointed to 2 decimals, the trailing-100-row window carries
+      // (n, Σv, Σv²), and |z| > 3 is the integer inequality
+      // (n·v − S)²·(n−1) > 9·n·(n·SS − S²) — no stddev doubles to drift
+      // between engines (bounds: v_fp ≤ 6e4 keeps every product < 2^63).
+      // One shuffle (the per-type window), row-bounded frame state.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(-100, -1)
+      Tables.events(s, d)
+        .selectExpr("event_type", "event_id", "unix_micros(ts) as us",
+          "cast(round(value * 100) as long) as v_fp")
+        .select(col("event_type"), col("v_fp"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("v_fp")).over(w).as("sv"),
+          sum(col("v_fp") * col("v_fp")).over(w).as("svv"))
+        .where(col("n") >= 30)
+        .selectExpr("event_type",
+          "case when (n*v_fp - sv)*(n*v_fp - sv)*(n - 1) > 9*n*(n*svv - sv*sv) " +
+            "then 1L else 0L end as hit")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"), sum(col("hit")).as("n_anomalies"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---------------------------------------------------------------- text / IR scoring
+    "q84_bigram_lm_score" -> ((s, d) => {
+      // add-one-smoothed bigram LM trained ON the corpus, scoring every doc
+      // by its average conditional bigram probability — the quality-filter
+      // LM-scoring op, in EXACT fixed point: p_fp = (1e6·(c12+1)) div (c1+V),
+      // integer-summed and integer-averaged (no ln(), no float sums).
+      // Shapes: unigram/bigram count tables shuffle on their keys (the
+      // LM-training shape), the word-vocab model broadcasts (≈1e6 rows at
+      // web scale), the occurrence join is keyed on the bigram.
+      val bg = docBigrams(s, d)
+      val uni = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("vv")) // 1-row model cardinality
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      bg.join(c12, Seq("w1", "w2")).join(broadcast(uni), "w1")
+        .crossJoin(broadcast(vocab))
+        .selectExpr("doc_id", "(1000000 * (c12 + 1)) div (c1 + vv) as p_fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_p"))
+        .selectExpr("doc_id", "n_bigrams", "sum_p div n_bigrams as avg_p_fp")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q85_bm25_search" -> ((s, d) =>
+      // classic lexical retrieval: fixed-point BM25 (see bm25Fixed) top-10
+      // for a fixed 3-term query; deterministic total order (score, doc_id)
+      bm25Fixed(s, d, searchTerms)
+        .orderBy(col("score_fp").desc, col("doc_id")).limit(10)),
+
+    "q86_ngram_novelty" -> ((s, d) => {
+      // bigram novelty scoring: the fraction of a doc's DISTINCT bigrams
+      // whose FIRST corpus occurrence (min doc_id) is this doc — the
+      // novelty/coverage ordering used to pick crawl snapshots for training.
+      // Exact integers; one distinct, one groupBy(bigram), one keyed join.
+      val bgd = docBigrams(s, d).select(col("doc_id"), col("w1"), col("w2")).distinct()
+      val first = bgd.groupBy(col("w1"), col("w2")).agg(min(col("doc_id")).as("first_doc"))
+      bgd.join(first, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .selectExpr("doc_id", "n_bigrams", "n_novel",
+          "(1000000 * n_novel) div n_bigrams as novelty_fp")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q89_rrf_fusion" -> ((s, d) => {
+      // hybrid search: lexical (fixed-point BM25) and dense (exact cosine to
+      // the vec_id-0 query embedding) retrievers, each returning its top-100,
+      // fused by Reciprocal Rank Fusion with integer 1e6 div (60+rank)
+      // contributions. Ranking happens AFTER each retriever's top-k cut, so
+      // the single-partition window only ever sees k rows — the bounded
+      // fusion shape, not a global sort. Docs absent from one list simply
+      // contribute nothing (full outer join), as in the RRF paper.
+      val W = org.apache.spark.sql.expressions.Window
+      val lex = bm25Fixed(s, d, searchTerms)
+        .orderBy(col("score_fp").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), row_number()
+          .over(W.orderBy(col("score_fp").desc, col("doc_id"))).cast("long").as("ra"))
+      val qv = embVecs(s, d, col("vec_id") === 0).select(col("vec").as("qvec"))
+      val dense = embVecs(s, d, col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("id").as("doc_id"), V.cosine(col("vec"), col("qvec")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), row_number()
+          .over(W.orderBy(col("cos").desc, col("doc_id"))).cast("long").as("rb"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .selectExpr("doc_id", "ra", "rb",
+          "coalesce(1000000 div (60 + ra), 0L) + coalesce(1000000 div (60 + rb), 0L) as rrf_fp")
+        .orderBy(col("rrf_fp").desc, col("doc_id")).limit(20)
+    }),
+
+    // ---------------------------------------------------------------- vector ops
+    "q87_pq_assign" -> ((s, d) => {
+      // product quantization: the 64-dim embedding splits into two 32-dim
+      // subspaces, each half assigned to its nearest of 16 deterministic
+      // centroids (vec_id < 16 — train-free selection, the Ivf precedent);
+      // cell = the (cell1, cell2) code pair. Centroids are a driver-held
+      // bounded model; assignment is a NARROW argmin over literal arrays
+      // (array_min of (dist, cid) structs — ties to the lowest cid), zero
+      // shuffles before the final per-cell aggregate. Distance folds run
+      // left-to-right in index order, so the doubles are bit-identical to
+      // the SQL twin (the duckCos discipline).
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val cents = emb.where(col("vec_id") < 16)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      def dist(half: Column, c: Seq[Double]): Column =
+        aggregate(zip_with(half, typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      def best(half: Column, sub: Int): Column =
+        array_min(array(cents.map { case (cid, vec) =>
+          val cslice = if (sub == 0) vec.slice(0, 32) else vec.slice(32, 64)
+          struct(dist(half, cslice).as("dd"), lit(cid).as("cid"))
+        }: _*))
+      emb.select(col("vec_id"),
+          best(expr("slice(v, 1, 32)"), 0).as("b1"),
+          best(expr("slice(v, 33, 32)"), 1).as("b2"))
+        .select(col("vec_id"), col("b1.cid").as("cell1"), col("b2.cid").as("cell2"),
+          (col("b1.dd") + col("b2.dd")).as("err"))
+        .groupBy(col("cell1"), col("cell2"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min(col("err")), 6).as("min_err"),
+          round(max(col("err")), 6).as("max_err"))
+        .orderBy(col("cell1"), col("cell2"))
     })
   )
 
@@ -1833,6 +2076,139 @@ object PipelineQueries {
     "q38_windowed_events" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY win_us, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""",
+
+    // Same three keyed first-event aggregations; stage windows as filters.
+    "q82_funnel_conversion" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+         v AS (SELECT user_id, min(us) AS v_us FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT ev.user_id, min(ev.us) AS c_us
+               FROM ev JOIN v ON ev.user_id = v.user_id
+               WHERE ev.event_type = 'click'
+                 AND ev.us >= v.v_us AND ev.us <= v.v_us + 3600000000
+               GROUP BY ev.user_id),
+         p AS (SELECT ev.user_id, min(ev.us) AS p_us
+               FROM ev JOIN c ON ev.user_id = c.user_id
+               WHERE ev.event_type = 'purchase'
+                 AND ev.us >= c.c_us AND ev.us <= c.c_us + 3600000000
+               GROUP BY ev.user_id)
+         SELECT count(*) AS n_view, count(c.c_us) AS n_click, count(p.p_us) AS n_purchase
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id""",
+
+    // Same integer day/week floor divisions.
+    "q83_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+         c0 AS (SELECT user_id, min(day) AS day0 FROM ev GROUP BY user_id),
+         cells AS (SELECT DISTINCT user_id, day0 // 7 AS cohort_week, (day - day0) // 7 AS k
+                   FROM ev JOIN c0 USING (user_id))
+         SELECT cohort_week, k, count(*) AS n_users
+         FROM cells GROUP BY cohort_week, k ORDER BY cohort_week, k""",
+
+    // Same integer inequality — the window sums are CAST back to BIGINT
+    // (DuckDB widens window sums to HUGEINT; exact either way).
+    "q88_rolling_anomaly" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_ns(ts) // 1000 AS us,
+                       CAST(round(value * 100) AS BIGINT) AS v_fp FROM events),
+         st AS (SELECT event_type, v_fp,
+                  CAST(count(*) OVER w AS BIGINT) AS n,
+                  CAST(sum(v_fp) OVER w AS BIGINT) AS sv,
+                  CAST(sum(v_fp * v_fp) OVER w AS BIGINT) AS svv
+                FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, count(*) AS n_scored,
+                CAST(sum(CASE WHEN (n*v_fp - sv)*(n*v_fp - sv)*(n - 1)
+                                   > 9*n*(n*svv - sv*sv)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+         FROM st WHERE n >= 30
+         GROUP BY event_type ORDER BY event_type""",
+
+    // Same fixed-point smoothing: (1e6·(c12+1)) // (c1+V), integer-averaged.
+    "q84_bigram_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bg AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+                FROM w CROSS JOIN unnest(range(len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 2),
+         uni AS (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+         c1t AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+         vocab AS (SELECT count(*) AS vv FROM c1t),
+         c12t AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         scored AS (SELECT doc_id, (1000000::BIGINT * (c12 + 1)) // (c1 + vv) AS p_fp
+                    FROM bg JOIN c12t USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(p_fp) AS BIGINT) // count(*) AS avg_p_fp
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q85_bm25_search" -> {
+      s"""WITH ${duckBm25(searchTerms)}
+         SELECT doc_id, score_fp, n_terms FROM bm25
+         ORDER BY score_fp DESC, doc_id LIMIT 10"""
+    },
+
+    // Same first-occurrence attribution over distinct bigrams.
+    "q86_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bgd AS (SELECT DISTINCT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+                 FROM w CROSS JOIN unnest(range(len(ws) - 1)) AS t(i)
+                 WHERE len(ws) >= 2),
+         first_t AS (SELECT w1, w2, min(doc_id) AS first_doc FROM bgd GROUP BY w1, w2),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                 FROM bgd JOIN first_t USING (w1, w2) GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, n_novel,
+                (1000000::BIGINT * n_novel) // n_bigrams AS novelty_fp
+         FROM agg ORDER BY doc_id""",
+
+    // Same two retriever rankings (ranks identical on the shared total
+    // orders), same integer RRF contributions.
+    "q89_rrf_fusion" -> {
+      s"""WITH ${duckBm25(searchTerms)},
+         lexr AS (SELECT doc_id, CAST(rn AS BIGINT) AS ra FROM (
+                    SELECT doc_id, row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+                    FROM bm25)
+                  WHERE rn <= 100),
+         qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+         cosr AS (SELECT doc_id, CAST(rn AS BIGINT) AS rb FROM (
+                    SELECT ev.vec_id AS doc_id,
+                           row_number() OVER (ORDER BY ${duckCos("v", "q")} DESC, ev.vec_id) AS rn
+                    FROM ev CROSS JOIN qv)
+                  WHERE rn <= 100)
+         SELECT COALESCE(lexr.doc_id, cosr.doc_id) AS doc_id, ra, rb,
+                COALESCE(1000000 // (60 + ra), 0) + COALESCE(1000000 // (60 + rb), 0) AS rrf_fp
+         FROM lexr FULL OUTER JOIN cosr ON lexr.doc_id = cosr.doc_id
+         ORDER BY rrf_fp DESC, doc_id LIMIT 20"""
+    },
+
+    // Same subspace distances (identical left-fold order), same argmin
+    // tie-break toward the lowest centroid id via (dist, cid) ordering.
+    "q87_pq_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         d1 AS (SELECT e.vec_id, c.cid,
+                  list_reduce(list_concat([0.0::DOUBLE],
+                    list_transform(list_zip(e.v[1:32], c.cv[1:32]),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (x, y) -> x + y) AS dd
+                FROM e CROSS JOIN cents c),
+         d2 AS (SELECT e.vec_id, c.cid,
+                  list_reduce(list_concat([0.0::DOUBLE],
+                    list_transform(list_zip(e.v[33:64], c.cv[33:64]),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (x, y) -> x + y) AS dd
+                FROM e CROSS JOIN cents c),
+         p1 AS (SELECT vec_id, cid AS cell1, dd AS e1 FROM (
+                  SELECT vec_id, cid, dd,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         p2 AS (SELECT vec_id, cid AS cell2, dd AS e2 FROM (
+                  SELECT vec_id, cid, dd,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+                  FROM d2) WHERE rn = 1)
+         SELECT cell1, cell2, count(*) AS n_vecs,
+                round(min(e1 + e2), 6) AS min_err, round(max(e1 + e2), 6) AS max_err
+         FROM p1 JOIN p2 USING (vec_id)
+         GROUP BY cell1, cell2 ORDER BY cell1, cell2"""
   )
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
 
 import graft.SparkSpec
 import graft.SparkEntry
@@ -14,25 +13,18 @@ class PlanShapeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): SparkPlan =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
-
-  private def nodes(p: SparkPlan): Seq[String] = {
-    val b = Seq.newBuilder[String]
-    def walk(n: SparkPlan): Unit = {
-      b += n.nodeName
-      n.children.foreach(walk)
-      n.subqueries.foreach(walk)
-    }
-    walk(p)
-    b.result()
-  }
+  // The physical plan as its printed tree. NOTE: under AQE (on by default)
+  // `executedPlan` is an AdaptiveSparkPlanExec, which is a LEAF node — a
+  // `children`-walk sees exactly one node and every assertion over it is
+  // vacuous. The printed tree always contains the full initial plan, so the
+  // string is the reliable surface to assert against.
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   private def assertNever(name: String, banned: String*): Unit = {
-    val ns = nodes(planOf(name))
+    val p = planOf(name)
     banned.foreach { bad =>
-      assert(!ns.exists(_.contains(bad)),
-        s"$name must not plan a $bad (got: ${ns.distinct.mkString(", ")})")
+      assert(!p.contains(bad), s"$name must not plan a $bad")
     }
   }
 
@@ -59,5 +51,39 @@ class PlanShapeSpec extends SparkSpec {
     // ORDER BY exchange may appear — in particular no aggregate, no join
     Seq("q62_repetition", "q64_quantize_embed").foreach(
       assertNever(_, "Join", "HashAggregate", "Window"))
+  }
+
+  private def exchanges(name: String): Int =
+    "Exchange".r.findAllIn(planOf(name)).length
+
+  test("funnel stages chain over ONE user_id partitioning — no per-stage join") {
+    // the three stage minima are windows over the same partitioning; a
+    // regression back to stage-wise join+groupBy shows up as joins and a
+    // pile of exchanges
+    assertNever("q82_funnel_conversion", "SortMergeJoin", "BroadcastHashJoin")
+    assert(exchanges("q82_funnel_conversion") <= 3,
+      "funnel must reuse a single user_id exchange across stages")
+  }
+
+  test("PQ assignment is a narrow argmin — no join, one aggregation exchange") {
+    // centroids are a driver-held literal model: nothing joins, nothing
+    // explodes; only the final per-cell aggregate (and its ORDER BY) shuffle
+    assertNever("q87_pq_assign", "Join", "Window", "Generate")
+    assert(exchanges("q87_pq_assign") <= 2)
+  }
+
+  test("rolling anomaly scoring shuffles once for the per-type window") {
+    assertNever("q88_rolling_anomaly", "Join")
+    assert(exchanges("q88_rolling_anomaly") <= 3)
+  }
+
+  test("RRF windows rank only bounded top-k candidate sets") {
+    // both retriever rankings run AFTER a limit — the single-partition
+    // window is bounded by k, so a Window under an unlimited input would
+    // show as a plan with no preceding GlobalLimit
+    val p = planOf("q89_rrf_fusion")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("GlobalLimit") || p.contains("TakeOrdered"),
+      "rankings must be cut to top-k before the rank window")
   }
 }
