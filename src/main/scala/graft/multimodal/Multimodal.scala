@@ -297,6 +297,45 @@ object Multimodal {
     }
   }
 
+  /**
+   * Integer average-hash (aHash) over REAL-decoded PPM pixels: per-pixel
+   * gray = r+g+b, an 8×4 grid of block sums, each cell's bit set when its
+   * mean exceeds the image mean — compared as the EXACT integer inequality
+   * `cell_sum · n_pixels > total_sum · cell_pixels` (no divisions, so the
+   * 32-bit hash is engine-independent). The grid is 8 wide × 4 tall because
+   * the synthesized corpus guarantees w ≥ 8, h ≥ 6 — every cell is non-empty.
+   * Output: (doc_id, phash). Narrow: decode + hash per partition, no shuffle.
+   */
+  def imagePhash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "image").mapPartitions { it =>
+      it.flatMap { r =>
+        Codecs.ppmDecode(r.bytes).map { img =>
+          val w = img.width; val h = img.height; val n = w * h
+          val cs = new Array[Long](32)
+          val cn = new Array[Long](32)
+          var ts = 0L
+          var p = 0
+          while (p < n) {
+            val g = (img.rgb(3 * p) & 0xff) + (img.rgb(3 * p + 1) & 0xff) +
+              (img.rgb(3 * p + 2) & 0xff)
+            val cell = (p / w * 4 / h) * 8 + (p % w * 8 / w)
+            cs(cell) += g; cn(cell) += 1; ts += g
+            p += 1
+          }
+          var hash = 0L
+          var c = 0
+          while (c < 32) {
+            if (cn(c) > 0 && cs(c) * n > ts * cn(c)) hash |= 1L << c
+            c += 1
+          }
+          (r.doc_id, hash)
+        }
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** The oracle-gated REAL-decode query (q47). */
   def decodeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1241,6 +1241,34 @@ object PipelineQueries {
         .orderBy(col("rrf_fp").desc, col("doc_id")).limit(20)
     }),
 
+    // ---------------------------------------------------------------- multimodal dedup
+    "q90_image_phash_neardup" -> ((s, d) => {
+      // image near-duplicate detection by perceptual hash: REAL PPM payloads
+      // (Codecs round-trip) decode to pixels, an integer aHash (8×4 block
+      // means vs image mean — Multimodal.imagePhash) gives 32 bits per image,
+      // candidates come from an 8×4-bit banded equi-join and verify with
+      // bit_count(xor) ≤ 6. With ≤ 6 differing bits and 8 bands, pigeonhole
+      // GUARANTEES one identical band — recall vs the quadratic oracle is a
+      // theorem, not a corpus property. The hash table is checkpointed once
+      // (it feeds both the bands and the verification); a production corpus
+      // would add q32's hot-bucket guard for degenerate all-dark buckets.
+      val ph = graft.multimodal.Multimodal.imagePhash(
+        graft.multimodal.Multimodal.synthesizeReal(Tables.documents(s, d)))
+        .localCheckpoint()
+      val bands = ph.select(col("doc_id"), col("phash"), explode(expr(
+        "transform(sequence(0, 7), b -> struct(b AS bidx, shiftright(phash, b * 4) & 15 AS bval))")).as("bb"))
+        .select(col("doc_id"), col("phash"), col("bb.bidx").as("bidx"), col("bb.bval").as("bval"))
+      bands.as("a").join(bands.as("b"),
+          col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.phash").bitwiseXOR(col("b.phash")).as("x"))
+        .distinct()
+        .select(col("id_a"), col("id_b"), expr("bit_count(x)").cast("long").as("ham"))
+        .where(col("ham") <= 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---------------------------------------------------------------- vector ops
     "q87_pq_assign" -> ((s, d) => {
       // product quantization: the 64-dim embedding splits into two 32-dim
@@ -2180,6 +2208,36 @@ object PipelineQueries {
          FROM lexr FULL OUTER JOIN cosr ON lexr.doc_id = cosr.doc_id
          ORDER BY rrf_fp DESC, doc_id LIMIT 20"""
     },
+
+    // The oracle rebuilds the SAME 32-bit aHash from the source text bytes
+    // (pixels are the text tiled, the q47 discipline; corpus is ASCII so
+    // ascii(substr) == byte) and takes the FULL quadratic pair scan — the
+    // banded Spark path must recall every pair (pigeonhole theorem).
+    "q90_image_phash_neardup" ->
+      """WITH im AS (SELECT doc_id, text, strlen(text) AS L,
+                       strlen(text) % 16 + 8 AS w, strlen(text) % 12 + 6 AS h
+                     FROM documents WHERE doc_id % 3 = 0 AND strlen(text) > 0),
+         px AS (SELECT doc_id, w, h,
+                  ascii(substr(text, ((3*i) % L) + 1, 1)) +
+                  ascii(substr(text, ((3*i + 1) % L) + 1, 1)) +
+                  ascii(substr(text, ((3*i + 2) % L) + 1, 1)) AS g,
+                  (i % w) AS x, (i // w) AS y
+                FROM im CROSS JOIN unnest(range(w * h)) AS t(i)),
+         cells AS (SELECT doc_id, (y * 4) // h AS gy, (x * 8) // w AS gx,
+                     CAST(sum(g) AS BIGINT) AS cs, count(*) AS cn
+                   FROM px GROUP BY doc_id, (y * 4) // h, (x * 8) // w),
+         tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS ts, count(*) AS tn
+                 FROM px GROUP BY doc_id),
+         ph AS (SELECT c.doc_id,
+                  CAST(sum(CASE WHEN c.cs * t.tn > t.ts * c.cn
+                                THEN 1::BIGINT << (c.gy * 8 + c.gx)
+                                ELSE 0 END) AS BIGINT) AS phash
+                FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
+         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 6
+         ORDER BY id_a, id_b""",
 
     // Same subspace distances (identical left-fold order), same argmin
     // tie-break toward the lowest centroid id via (dist, cid) ordering.
