@@ -132,6 +132,29 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT |A∩B| / |A| over directed pairs — the excerpt
+   * detector: a short document wholly quoted inside a long one scores ~1.0
+   * here while its Jaccard (÷ the union) can be arbitrarily small. Same
+   * postings co-occurrence join as [[allPairsJaccard]] (shared counts only,
+   * never per-pair array work; cost Σ df², bounded by the same df reasoning),
+   * and the ratio is FIXED-POINT — (1e6·shared) div |A| — so the gate is
+   * engine-independent integer bits. `thresholdFp` is the ×1e6 cut.
+   */
+  def containmentPairs(docs: DataFrame, thresholdFp: Long): DataFrame = {
+    val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    val p1 = posts.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
+    val p2 = posts.select(col("id").as("b"), col("sh"))
+    p1.join(p2, "sh")
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"), col("sa"))
+      .agg(count(lit(1)).as("shared"))
+      .selectExpr("a", "b", "shared", "sa",
+        "(1000000 * shared) div sa as cont_fp")
+      .where(col("cont_fp") >= thresholdFp)
+  }
+
+  /**
    * Exact all-pairs Jaccard with PREFIX FILTERING — the candidate-pruned
    * twin of [[allPairsJaccard]], value-identical by the prefix-filter
    * theorem: order every shingle set by a global canonical order (document

@@ -102,6 +102,23 @@ object PipelineQueries {
   /** The fixed 3-term search query shared by q85 (BM25) and q89 (RRF). */
   private val searchTerms = Seq("join", "filter", "scan")
 
+  /** SCD-2 validity intervals from the purchase change log — shared by q80
+   * (the history build) and q91 (the point-in-time join):
+   * (user_id, value, valid_from, valid_to, is_current), open intervals carry
+   * a null valid_to. One shuffle on the dimension key. */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .select(col("user_id"), round(col("value"), 4).as("value"),
+        col("ts_us").as("valid_from"),
+        lead(col("ts_us"), 1).over(w).as("valid_to"),
+        (lead(col("ts_us"), 1).over(w).isNull).as("is_current"))
+  }
+
   // ------------------------------------------------------------------ SQL twins
   /** DuckDB twin of [[T.shingles]] given a `ws` (split words) and `text` binding. */
   private def duckShingles(n: Int): String =
@@ -216,6 +233,14 @@ object PipelineQueries {
       Dedup.allPairsJaccard(docShingles(s, d, 2, col("doc_id") % 3 === 0), 0.5)
         .orderBy(col("a"), col("b"))
     }),
+
+    "q92_containment_dedup" -> ((s, d) =>
+      // asymmetric near-dup: containment |A∩B|/|A| over directed pairs finds
+      // documents that are EXCERPTS of a larger one — Jaccard's union
+      // denominator hides exactly those. Counts-only postings join (q31
+      // shape), fixed-point ratio ≥ 0.8 (engine-independent bits).
+      Dedup.containmentPairs(docShingles(s, d, 2, col("doc_id") % 3 === 0), 800000L)
+        .orderBy(col("a"), col("b"))),
 
     "q32_dedup_minhash_lsh" -> ((s, d) => {
       // the scale path: MinHash(36) → 12 bands × 3 rows → bucket equi-join →
@@ -869,28 +894,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "q80_scd2_intervals" -> ((s, d) => {
+    "q80_scd2_intervals" -> ((s, d) =>
       // slowly-changing-dimension (type 2) build from a change log: each
       // user's purchase events become validity intervals [valid_from,
       // valid_to) for the then-current value, closed by the next change
       // (lead over the user's time-ordered events; open intervals carry
       // null). One shuffle on the dimension key — the standard warehouse
       // history-table build, here over the events stream.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-      Tables.events(s, d)
-        .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"), col("value"))
-        .select(col("user_id"), round(col("value"), 4).as("value"),
-          col("ts_us").as("valid_from"),
-          lead(col("ts_us"), 1).over(w).as("valid_to"),
-          (lead(col("ts_us"), 1).over(w).isNull).as("is_current"))
+      scd2Intervals(s, d)
         // valid_to NULLS LAST as tiebreaker: (user_id, valid_from, value)
         // alone is not total when a user logs equal-value purchases in the
         // same microsecond; remaining ties are fully identical rows
         .orderBy(col("user_id"), col("valid_from"),
-          col("valid_to").asc_nulls_last, col("value"))
+          col("valid_to").asc_nulls_last, col("value"))),
+
+    "q91_pit_feature_join" -> ((s, d) => {
+      // point-in-time feature join (the feature-store correctness op): each
+      // click is enriched with the purchase value that was VALID at the
+      // click's timestamp — never a future leak — by joining the q80 SCD-2
+      // intervals on user_id with the containment range as join predicates
+      // (a left join keeps pre-first-purchase clicks with a null feature).
+      // Intervals are disjoint per user by construction, so each click
+      // matches at most once — deterministic without tie-breaks. Equi-key
+      // user_id carries the shuffle; the range is a post-locate filter.
+      val clicks = Tables.events(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val iv = scd2Intervals(s, d)
+        .select(col("user_id"), col("value"), col("valid_from"), col("valid_to"))
+      clicks.join(iv,
+          clicks("user_id") === iv("user_id") &&
+            col("us") >= col("valid_from") &&
+            (col("valid_to").isNull || col("us") < col("valid_to")),
+          "left")
+        .select(col("event_id"), clicks("user_id").as("user_id"),
+          col("us"), col("value").as("pit_value"))
+        .orderBy(col("event_id"))
     }),
 
     "q79_kmv_intersect" -> ((s, d) => {
@@ -1361,6 +1400,35 @@ object PipelineQueries {
          SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE $duckJac >= 0.5 ORDER BY a, b""",
+    // Same directed containment over the same distinct shingles, quadratic.
+    "q92_containment_dedup" ->
+      s"""${withDocShingles(2, "doc_id % 3 = 0")}
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared,
+                CAST(len(a.s) AS BIGINT) AS sa,
+                (1000000::BIGINT * len(list_intersect(a.s, b.s))) // len(a.s) AS cont_fp
+         FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         WHERE (1000000::BIGINT * len(list_intersect(a.s, b.s))) // len(a.s) >= 800000
+         ORDER BY a, b""",
+
+    // Same interval build (the q80 CTE) and the same containment-located
+    // left join — at most one interval matches (disjoint by construction).
+    "q91_pit_feature_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+                    FROM events WHERE event_type = 'purchase'),
+         iv AS (SELECT user_id, round(value, 4) AS value,
+                  ts_us AS valid_from,
+                  lead(ts_us, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS valid_to
+                FROM p),
+         clicks AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                    FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.us, iv.value AS pit_value
+         FROM clicks c LEFT JOIN iv
+           ON c.user_id = iv.user_id AND c.us >= iv.valid_from
+              AND (iv.valid_to IS NULL OR c.us < iv.valid_to)
+         ORDER BY c.event_id""",
+
     "q32_dedup_minhash_lsh" ->
       s"""${withDocShingles(2, "TRUE")}
          SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac

@@ -77,6 +77,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q88_rolling_anomaly") <= 3)
   }
 
+  test("banded/postings/PIT joins always locate on an equi-key") {
+    // phash bands, containment postings, and the point-in-time interval
+    // locate are equi-joins with range/verify predicates as filters — a
+    // regression to a pure-inequality join plans a nested loop and fails here
+    Seq("q90_image_phash_neardup", "q92_containment_dedup", "q91_pit_feature_join")
+      .foreach(assertNever(_, "BroadcastNestedLoopJoin", "CartesianProduct"))
+  }
+
   test("RRF windows rank only bounded top-k candidate sets") {
     // both retriever rankings run AFTER a limit — the single-partition
     // window is bounded by k, so a Window under an unlimited input would
