@@ -134,4 +134,21 @@ object CorpusOps {
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("shard", expr(s"tokens_before div $tokensPerShard"))
   }
+
+  /**
+   * Persist a table BUCKETED (and per-bucket sorted) by `key` — the 100 TB
+   * co-location technique: every later equi-join or aggregation on `key`
+   * between same-bucketed tables reads co-located buckets and plans NO
+   * shuffle at all (Spark's bucketing metadata lives in the session catalog,
+   * so this writes through `saveAsTable`). Pay one shuffle at WRITE time,
+   * never again across the pipeline reruns that dominate a curation
+   * workload — the q43 corpus-shuffle output and the q30 content-hash dedup
+   * input are the natural candidates. BucketingSpec proves the no-Exchange
+   * plan and result-equality against the unbucketed join.
+   */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
 }
