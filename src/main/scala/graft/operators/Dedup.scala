@@ -144,13 +144,20 @@ object Dedup {
     val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("sh"))
     val p1 = posts.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
-    val p2 = posts.select(col("id").as("b"), col("sh"))
+    val p2 = posts.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
+    // join each unordered pair ONCE (a < b halves the co-occurrence
+    // exchange), then emit the two directed rows from the same shared count
     p1.join(p2, "sh")
-      .where(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b"), col("sa"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("shared"))
-      .selectExpr("a", "b", "shared", "sa",
-        "(1000000 * shared) div sa as cont_fp")
+      .select(explode(array(
+        struct(col("a").as("a"), col("b").as("b"),
+          col("shared").as("shared"), col("sa").as("sa")),
+        struct(col("b").as("a"), col("a").as("b"),
+          col("shared").as("shared"), col("sb").as("sa")))).as("r"))
+      .selectExpr("r.a as a", "r.b as b", "r.shared as shared", "r.sa as sa",
+        "(1000000 * r.shared) div r.sa as cont_fp")
       .where(col("cont_fp") >= thresholdFp)
   }
 

@@ -55,10 +55,17 @@ object PipelineQueries {
    * the score is engine-independent bits (the q71 scaled-integer idiom):
    * avgdl is fixed-pointed to 3 decimals (A = 1000·Σdl div N), the term
    * saturation tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) becomes
-   * (2200000·tf·1000·A) div (1000·A·tf + 300·A + 900000·dl) — ×1e6 scaled —
-   * and idf uses the exact rational (2(N−df)+1)/(2df+1), the classic
-   * (N−df+0.5)/(df+0.5) with numerator and denominator doubled to stay
-   * integral. Magnitudes stay < 2^63 for tf ≤ 1e4, dl ≤ 1e6, N ≤ 1e9.
+   * (22000·tf·A) div (10·A·tf + 3·A + 9000·dl) — the ×1e6-scaled fraction
+   * with numerator and denominator divided by their common factor 100
+   * (floor-exact: ⌊ka/kb⌋ = ⌊a/b⌋) — and idf uses the exact rational
+   * (2(N−df)+1)/(2df+1) ×1e3, the classic (N−df+0.5)/(df+0.5) doubled to
+   * stay integral; the ×1e3 (not 1e6) idf scale is what keeps the final
+   * idf·sat product in range at a BILLION documents.
+   *
+   * Proven overflow-free domain (FixedPointSpec replays every step in
+   * BigInt): N ≤ 1e9 docs, tf ≤ 1e4, dl ≤ 1e6, avgdl ≤ 1e4 — the sat
+   * numerator 2.2e4·tf·A ≤ 2.2e4·1e4·1e7 ≈ 2.2e15 and the score product
+   * idf(≤2e12)·sat(≤2.2e6) ≈ 4.4e18 both clear 2^63.
    * Shapes: tiny df/stats tables broadcast; one groupBy(doc_id, term).
    */
   private def bm25Fixed(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
@@ -72,10 +79,10 @@ object PipelineQueries {
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats)).join(dl, "doc_id")
       .selectExpr("doc_id",
-        "(1000000 * (2 * (nn - df) + 1)) div (2 * df + 1) as idf_fp",
-        "(2200000 * tf * 1000 * ((1000 * tot) div nn)) div " +
-          "(1000 * ((1000 * tot) div nn) * tf + 300 * ((1000 * tot) div nn) + 900000 * dl) as sat_fp")
-      .selectExpr("doc_id", "(idf_fp * sat_fp) div 1000000 as term_score_fp")
+        "(1000 * (2 * (nn - df) + 1)) div (2 * df + 1) as idf_fp",
+        "(22000 * tf * ((1000 * tot) div nn)) div " +
+          "(10 * ((1000 * tot) div nn) * tf + 3 * ((1000 * tot) div nn) + 9000 * dl) as sat_fp")
+      .selectExpr("doc_id", "(idf_fp * sat_fp) div 1000 as term_score_fp")
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
   }
@@ -90,11 +97,11 @@ object PipelineQueries {
        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN ($lst) GROUP BY doc_id, t),
        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
        parts AS (SELECT doc_id,
-           (1000000::BIGINT * (2 * (nn - df) + 1)) // (2 * df + 1) AS idf_fp,
-           (2200000::BIGINT * tf * 1000 * ((1000 * tot) // nn)) //
-             (1000::BIGINT * ((1000 * tot) // nn) * tf + 300 * ((1000 * tot) // nn) + 900000 * dl) AS sat_fp
+           (1000::BIGINT * (2 * (nn - df) + 1)) // (2 * df + 1) AS idf_fp,
+           (22000::BIGINT * tf * ((1000 * tot) // nn)) //
+             (10::BIGINT * ((1000 * tot) // nn) * tf + 3 * ((1000 * tot) // nn) + 9000 * dl) AS sat_fp
          FROM tf JOIN dfreq USING (t) CROSS JOIN stats JOIN dl USING (doc_id)),
-       bm25 AS (SELECT doc_id, CAST(sum((idf_fp * sat_fp) // 1000000) AS BIGINT) AS score_fp,
+       bm25 AS (SELECT doc_id, CAST(sum((idf_fp * sat_fp) // 1000) AS BIGINT) AS score_fp,
                        count(*) AS n_terms
                 FROM parts GROUP BY doc_id)"""
   }
