@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding merge learning — THE tokenizer-training primitive of an
+ * LLM data pipeline (Sennrich et al. 2016, "Neural Machine Translation of
+ * Rare Words with Subword Units"). Each round counts adjacent symbol pairs
+ * across the word-frequency vocabulary, picks the most frequent pair
+ * (ties: lexicographically smallest), and merges every greedy-leftmost
+ * occurrence into a new symbol.
+ *
+ * Scale shape: the corpus collapses to a WORD-FREQUENCY table first (one
+ * explode + groupBy — Heaps' law keeps the vocabulary sublinear in corpus
+ * size, and a top-`vocabSize` cut bounds it outright), so the k merge rounds
+ * iterate over a bounded table, never the corpus. Each round is one narrow
+ * pair-explode + one map-side-combined groupBy + a 1-row argmax; the chosen
+ * pair is a driver-held bounded model (the Ivf centroid precedent). The
+ * per-round table is localCheckpointed so round k's lineage does not replay
+ * rounds 1..k-1.
+ *
+ * Symbol sequences are encoded as `(sym)(sym)…` strings: because `(` occurs
+ * only at a symbol start, the literal pattern `(l)(r)` matches EXACTLY the
+ * adjacent symbol pair l,r — never inside a longer symbol — and one
+ * left-to-right non-overlapping `replace` pass IS the greedy-leftmost BPE
+ * merge (`(a)(a)(a)(a)` → `(aa)(aa)`). DuckDB's `replace` scans the same
+ * way, which is what makes the unrolled SQL twin value-identical.
+ */
+object Bpe {
+
+  /** Learn `rounds` merges from the top-`vocabSize` words (count desc, word
+   * asc) of `docs`. Returns (merge_round, lhs, rhs, pair_count), one row per
+   * round in learning order. */
+  def learnMerges(docs: DataFrame, rounds: Int, vocabSize: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+
+    val words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("cnt"))
+
+    var cur = words.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val best = cur
+        .select(col("cnt"),
+          split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        merges += ((round.toLong, l, r, best(0).getLong(2)))
+        cur = cur
+          .select(expr(s"replace(seq, '($l)($r)', '($l$r)')").as("seq"), col("cnt"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
+
+  /**
+   * Apply learned merges: segment EVERY document's words with the merge
+   * table replayed in learning order. The merges are a driver-held bounded
+   * model (8 string pairs), so the whole pass is one narrow, whole-stage-
+   * codegen'd chain of scalar `replace` calls — zero shuffles over the
+   * corpus, the right shape for tokenizing 100 TB. Words are wrapped
+   * `(c)(h)(a)(r)` and joined with spaces, so a merge pattern can never
+   * span two words; the subword count is simply the count of `(` in the
+   * merged string. Returns (doc_id, n_words, n_subwords).
+   */
+  def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val wrapped = "concat_ws(' ', transform(" +
+      "regexp_extract_all(lower(text), '[a-z]+', 0), " +
+      "w -> regexp_replace(w, '(.)', '($1)')))"
+    val applied = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
+      s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    docs
+      .select(col("doc_id"),
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z]+', 0)) as bigint)")
+          .as("n_words"),
+        expr(applied).as("seg"))
+      .select(col("doc_id"), col("n_words"),
+        expr("cast(length(seg) - length(replace(seg, '(', '')) as bigint)")
+          .as("n_subwords"))
+  }
+}

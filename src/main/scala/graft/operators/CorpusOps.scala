@@ -136,6 +136,45 @@ object CorpusOps {
   }
 
   /**
+   * NEXT-FIT sequence packing: docs stream in id order through each worker
+   * and a doc that would overflow the current bin's `tokensPerBin` budget
+   * CLOSES it and opens the next — leftover capacity is wasted, exactly the
+   * training-sequence packing a pretraining loader does. This differs from
+   * `packShards`' divisible running-sum (`cumsum div B`), which lets one
+   * document straddle a boundary; next-fit state (bin, fill) is a genuine
+   * sequential fold with no closed form, so it runs as the classic
+   * SECONDARY-SORT pattern: one hash shuffle on worker, a per-partition
+   * (worker, id) sort, then a single streaming O(1)-state pass over the
+   * sorted iterator (`mapPartitions` — the "genuine per-partition imperative
+   * logic" carve-out). A worker never splits across partitions, several
+   * workers per partition are handled by state reset, and nothing is
+   * materialized per group — a worker with a billion docs streams through in
+   * constant memory.
+   */
+  def packNextFit(df: DataFrame, idCol: Column, nTokens: Column,
+                  tokensPerBin: Int, nWorkers: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select((idCol % nWorkers).cast("long").as("worker"),
+        idCol.cast("long").as("id"), nTokens.cast("long").as("n_tokens"))
+      .repartition(col("worker"))
+      .sortWithinPartitions(col("worker"), col("id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curWorker = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (w, id, t) =>
+          if (w != curWorker) { curWorker = w; bin = 0L; fill = t }
+          else if (fill + t <= tokensPerBin) fill += t
+          else { bin += 1L; fill = t }
+          (id, w, bin, t)
+        }
+      }
+      .toDF("doc_id", "worker", "bin", "n_tokens")
+  }
+
+  /**
    * Persist a table BUCKETED (and per-bucket sorted) by `key` — the 100 TB
    * co-location technique: every later equi-join or aggregation on `key`
    * between same-bucketed tables reads co-located buckets and plans NO

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{CorpusOps, Dedup, Ivf, Similarity, Skew}
+import graft.operators.{Bpe, CorpusOps, Dedup, Ivf, Similarity, Skew}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -1350,10 +1350,102 @@ object PipelineQueries {
           round(min(col("err")), 6).as("min_err"),
           round(max(col("err")), 6).as("max_err"))
         .orderBy(col("cell1"), col("cell2"))
+    }),
+
+    // ---------------------------------------------------------------- tokenizer / packing
+    "q93_bpe_merges" -> ((s, d) =>
+      // BPE tokenizer training: 8 merge rounds over the top-1000 word-
+      // frequency vocabulary (see Bpe.learnMerges for the scale argument —
+      // the corpus collapses to a bounded vocab before any iteration).
+      Bpe.learnMerges(Tables.documents(s, d), rounds = 8, vocabSize = 1000)
+        .orderBy(col("merge_round"))),
+
+    "q94_seq_packing" -> ((s, d) =>
+      // training-sequence packing with NEXT-FIT (wasted-tail) semantics —
+      // the loader-faithful variant of q45's divisible running sum; one
+      // shuffle + a streaming O(1)-state pass (secondary-sort pattern)
+      CorpusOps.packNextFit(Tables.documents(s, d), col("doc_id"),
+        size(T.tokens(col("text"))).cast("long"), tokensPerBin = 512, nWorkers = 8)
+        .orderBy(col("doc_id"))),
+
+    "q95_bpe_tokenize" -> ((s, d) => {
+      // tokenizer APPLY: the 8 learned merges (a driver-held bounded model)
+      // replayed corpus-wide as a narrow codegen'd replace chain — zero
+      // shuffles over the documents being segmented
+      val m = Bpe.learnMerges(Tables.documents(s, d), rounds = 8, vocabSize = 1000)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.tokenize(Tables.documents(s, d), m).orderBy(col("doc_id"))
     })
   )
 
   // ===================================================================== oracles
+
+  /** Unrolled DuckDB twin of Bpe.learnMerges: stage i splits the wrapped
+   * sequences of stage i-1 into symbols, counts adjacent pairs, argmaxes,
+   * and applies the merge via the same non-overlapping replace. */
+  private def duckBpe(rounds: Int, vocab: Int): String = {
+    val sb = new StringBuilder
+    sb ++= duckBpeStages(rounds, vocab)
+    sb ++= "\n         "
+    sb ++= (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString("", "\n         UNION ALL ", "\n         ORDER BY merge_round")
+    sb.toString
+  }
+
+  /** duckBpe's learning stages plus the Bpe.tokenize twin: every document's
+   * words wrapped and space-joined, the learned merges replayed as nested
+   * replaces (scalar subqueries on the materialized b_i argmaxes), subwords
+   * counted as `(` occurrences. */
+  private def duckBpeTokenize(rounds: Int, vocab: Int): String = {
+    val base = "array_to_string(ws, ' ')"
+    val applied = (1 to rounds).foldLeft(base) { (acc, i) =>
+      s"""replace($acc,
+                   '(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')',
+                   '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')')"""
+    }
+    duckBpeStages(rounds, vocab) +
+      s""",
+         tok AS (SELECT doc_id, list_transform(
+                   regexp_extract_all(lower(text), '[a-z]+'),
+                   w -> regexp_replace(w, '(.)', '(\\1)', 'g')) AS ws
+                 FROM documents),
+         seg AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, $applied AS s
+                 FROM tok)
+         SELECT doc_id, n_words,
+                CAST(strlen(s) - strlen(replace(s, '(', '')) AS BIGINT) AS n_subwords
+         FROM seg ORDER BY doc_id"""
+  }
+
+  private def duckBpeStages(rounds: Int, vocab: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                 FROM documents)
+           WHERE strlen(w) >= 2 GROUP BY w ORDER BY cnt DESC, w LIMIT $vocab),
+         s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seq, cnt
+                             FROM words)"""
+    // every stage MATERIALIZED: DuckDB inlines plain CTEs, and each stage
+    // references its predecessor ~4× (pairs + three argmax scalar
+    // subqueries) — inlined, the 8-round unroll would expand to 4^8 scans
+    for (i <- 1 to rounds) {
+      sb ++=
+        s""",
+         p$i AS MATERIALIZED (SELECT sy.syms[t.k + 1] AS l, sy.syms[t.k + 2] AS r,
+                        CAST(sum(sy.cnt) AS BIGINT) AS c
+                 FROM (SELECT cnt, string_split(seq[2:-2], ')(') AS syms FROM s${i - 1}) sy
+                 CROSS JOIN unnest(range(len(sy.syms) - 1)) AS t(k)
+                 GROUP BY 1, 2),
+         b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         s$i AS MATERIALIZED (SELECT replace(seq,
+                   '(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')',
+                   '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')') AS seq, cnt
+                 FROM s${i - 1})"""
+    }
+    sb.toString
+  }
 
   private def withDocShingles(n: Int, pred: String): String =
     s"""WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws
@@ -2342,6 +2434,37 @@ object PipelineQueries {
          SELECT cell1, cell2, count(*) AS n_vecs,
                 round(min(e1 + e2), 6) AS min_err, round(max(e1 + e2), 6) AS max_err
          FROM p1 JOIN p2 USING (vec_id)
-         GROUP BY cell1, cell2 ORDER BY cell1, cell2"""
+         GROUP BY cell1, cell2 ORDER BY cell1, cell2""",
+
+    // The SAME 8 BPE rounds, loop-unrolled: per round, pair counts from the
+    // wrapped `(sym)(sym)` encoding, argmax (count desc, pair asc), one
+    // left-to-right non-overlapping replace — DuckDB's `replace` scans
+    // exactly like Spark's, and `(` only ever starts a symbol, so the
+    // literal pattern is boundary-exact (see Bpe.scala).
+    "q93_bpe_merges" -> duckBpe(rounds = 8, vocab = 1000),
+
+    // Learning stages shared with q93; the apply tail re-derives the same
+    // wrapped encoding over ALL words (1-char ones included — they take no
+    // merges) and counts `(` per document.
+    "q95_bpe_tokenize" -> duckBpeTokenize(rounds = 8, vocab = 1000),
+
+    // Next-fit is a sequential fold — the oracle replays it as a recursive
+    // CTE stepping each worker's rows in id order.
+    "q94_seq_packing" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 8 AS worker,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+             FROM documents),
+         pack AS (
+           SELECT worker, rn, doc_id, n_tokens,
+                  CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.worker, d.rn, d.doc_id, d.n_tokens,
+                  CASE WHEN p.fill + d.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+                  CASE WHEN p.fill + d.n_tokens <= 512 THEN p.fill + d.n_tokens ELSE d.n_tokens END
+           FROM pack p JOIN d ON d.worker = p.worker AND d.rn = p.rn + 1)
+         SELECT doc_id, CAST(worker AS BIGINT) AS worker, bin, n_tokens
+         FROM pack ORDER BY doc_id"""
   )
 }
