@@ -85,6 +85,33 @@ class PlanShapeSpec extends SparkSpec {
       .foreach(assertNever(_, "BroadcastNestedLoopJoin", "CartesianProduct"))
   }
 
+  test("BPE apply is one narrow codegen'd projection — nothing shuffles") {
+    // the learned merges are driver-held literals; tokenizing the corpus
+    // must plan as scan → project, full stop (the 100 TB tokenize claim)
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Bpe.tokenize(
+        Tables.documents(spark, sf), Seq(("e", "s"), ("es", "t")))
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "HashAggregate", "Window", "Generate").foreach { bad =>
+      assert(!p.contains(bad), s"tokenize must not plan a $bad")
+    }
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      "plan string must contain the real scan (anti-vacuousness check)")
+  }
+
+  test("next-fit packing shuffles exactly once — the worker hash") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val p = graft.operators.CorpusOps.packNextFit(
+        Tables.documents(spark, sf), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), 512, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "one hash exchange on worker, then the streaming per-partition fold")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "the fold must appear in the plan (anti-vacuousness check)")
+  }
+
   test("RRF windows rank only bounded top-k candidate sets") {
     // both retriever rankings run AFTER a limit — the single-partition
     // window is bounded by k, so a Window under an unlimited input would
