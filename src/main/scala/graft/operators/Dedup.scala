@@ -37,8 +37,10 @@ object Dedup {
    * The band bucket join is the scale path: corpus-size shuffle on the band
    * key, pair enumeration only inside buckets.
    */
-  def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
-                        maxBucket: Int = 10000): DataFrame = {
+  /** (id, band, band_key) for every doc with features: the MinHash signature
+   * cut into `bands` row-groups — the shared front half of the symmetric and
+   * incremental LSH paths. */
+  private def bandedKeys(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // Operator boundary: a doc with no features has no signature (the native
@@ -58,13 +60,18 @@ object Dedup {
           .select(col("id"),
             TextFunctions.minhashSignatureFromBases(col("b1"), col("b2"), k).as("sig"))
       }
-    val banded = sigs.select(
+    sigs.select(
       col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         j => slice(col("sig"), j * r + 1, lit(r)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+  }
+
+  def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
+                        maxBucket: Int = 10000): DataFrame = {
+    val banded = bandedKeys(docs, k, bands)
     val buckets = banded
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
@@ -82,6 +89,28 @@ object Dedup {
         y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))).as("p"))
     small.unionByName(hot)
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /**
+   * INCREMENTAL near-dup candidates: pair each NEW doc against the EXISTING
+   * corpus only — the daily-crawl posture. Both sides band identically, then
+   * ONE equi-join on (band, band_key) with the new side as the (small) probe:
+   * existing×existing pairs never materialize, so re-checking a 0.1% daily
+   * increment against a 100 TB corpus costs the increment's bands joined to
+   * the (pre-computable, bucketable) corpus band table — not a corpus-wide
+   * re-pairing. Candidate recall is the same per-band collision bound as
+   * [[minhashCandidates]]; verify with [[verifyJaccard]] over the union.
+   * Returns (a, b) = (new id, existing id), distinct.
+   */
+  def incrementalCandidates(newDocs: DataFrame, oldDocs: DataFrame,
+                            k: Int, bands: Int): DataFrame = {
+    val nb = bandedKeys(newDocs, k, bands)
+      .select(col("id").as("a"), col("band"), col("band_key"))
+    val ob = bandedKeys(oldDocs, k, bands)
+      .select(col("id").as("b"), col("band"), col("band_key"))
+    nb.join(ob, Seq("band", "band_key"))
+      .select(col("a"), col("b"))
       .distinct()
   }
 

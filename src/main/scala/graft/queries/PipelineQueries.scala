@@ -1376,6 +1376,44 @@ object PipelineQueries {
         .orderBy(col("merge_round")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.tokenize(Tables.documents(s, d), m).orderBy(col("doc_id"))
+    }),
+
+    "q96_token_budget_mix" -> ((s, d) => {
+      // assemble the training mix: each source contributes its best docs (the
+      // q27 quality heuristic in ×1e6 fixed point — integer bits, engine-
+      // independent) until a per-source TOKEN budget fills; strict prefix
+      // rule (inclusive running sum ≤ budget). One shuffle on source + one
+      // window — sources number in the thousands at corpus scale, ample
+      // parallelism
+      val w = T.tokens(col("text"))
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(w).cast("long").as("n_tokens"),
+        size(filter(w, x => x.isin("the", "a"))).cast("long").as("n_stop"))
+      val q = base.selectExpr("doc_id", "source", "n_tokens",
+        "(1000000 * least(n_tokens, 50) * (n_tokens - n_stop)) div (50 * n_tokens) as quality_fp")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality_fp").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      q.withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+        .where(col("cum_tokens") <= 1024)
+        .select(col("doc_id"), col("source"), col("quality_fp"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q97_incremental_neardup" -> ((s, d) => {
+      // daily-crawl dedup: NEW docs (upper id half — the split point is a
+      // 1-row max aggregate, a driver-held scalar) against the EXISTING
+      // corpus (lower half) only — one banded equi-join, existing×existing
+      // pairs never materialize; exact Jaccard verify of candidates, same
+      // (36, 12) parameters whose recall q32's quadratic oracle proves
+      val all = docShingles(s, d, 2).localCheckpoint()
+      val half = (all.agg(max(col("id"))).head.getLong(0) + 1) / 2
+      val newDocs = all.where(col("id") >= half)
+      val oldDocs = all.where(col("id") < half)
+      Dedup.verifyJaccard(
+          Dedup.incrementalCandidates(newDocs, oldDocs, k = 36, bands = 12), all, 0.8)
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -2447,6 +2485,35 @@ object PipelineQueries {
     // wrapped encoding over ALL words (1-char ones included — they take no
     // merges) and counts `(` per document.
     "q95_bpe_tokenize" -> duckBpeTokenize(rounds = 8, vocab = 1000),
+
+    // Same ×1e6 fixed-point quality surrogate, same strict-prefix window.
+    "q96_token_budget_mix" ->
+      """WITH q AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+             FROM documents),
+         f AS (SELECT doc_id, source, n_tokens,
+               (1000000 * least(n_tokens, 50) * (n_tokens - n_stop))
+                 // (50 * n_tokens) AS quality_fp
+             FROM q),
+         c AS (SELECT doc_id, source, quality_fp, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY quality_fp DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             FROM f)
+         SELECT doc_id, source, quality_fp, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens <= 1024 ORDER BY doc_id""",
+
+    // The quadratic scan restricted to cross-boundary pairs — the banded
+    // one-sided join must recall every (new, existing) pair.
+    "q97_incremental_neardup" ->
+      s"""${withDocShingles(2, "TRUE")},
+         m AS (SELECT (max(doc_id) + 1) // 2 AS half FROM documents)
+         SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
+         FROM sh a JOIN sh b
+           ON a.doc_id >= (SELECT half FROM m) AND b.doc_id < (SELECT half FROM m)
+         WHERE $duckJac >= 0.8 ORDER BY a, b""",
 
     // Next-fit is a sequential fold — the oracle replays it as a recursive
     // CTE stepping each worker's rows in id order.

@@ -38,6 +38,55 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)))
   }
 
+  test("learnMerges equals a driver-side reference BPE on random corpora") {
+    // independent in-memory implementation (explicit pair-count map, argmax
+    // with the same tie-break, index-walking greedy-leftmost merge) — the
+    // string-replace encoding trick must agree with it everywhere
+    def reference(vocab: Seq[(Vector[String], Int)], rounds: Int): Seq[(String, String, Long)] = {
+      var cur = vocab
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        cur.foreach { case (seq, cnt) =>
+          (0 until seq.length - 1).foreach { i =>
+            counts((seq(i), seq(i + 1))) = counts.getOrElse((seq(i), seq(i + 1)), 0L) + cnt
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), c) = counts.toSeq.minBy { case ((l, rr), c) => (-c, l, rr) }
+          out += ((l, rr, c))
+          cur = cur.map { case (seq, cnt) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < seq.length) {
+              if (i < seq.length - 1 && seq(i) == l && seq(i + 1) == rr) { b += (l + rr); i += 2 }
+              else { b += seq(i); i += 1 }
+            }
+            (b.result(), cnt)
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val words = Seq.fill(40)(
+        Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString)
+      import spark.implicits._
+      val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = Bpe.learnMerges(docs, rounds = 6, vocabSize = 1000)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val vocab = words.groupBy(identity).toSeq
+        .map { case (w, g) => (w.toVector.map(_.toString), g.size) }
+      assert(got == reference(vocab, 6), s"corpus: ${words.mkString(" ")}")
+    }
+  }
+
   test("tokenize segments with the merge table in learning order") {
     import spark.implicits._
     // merges (e,s) then (es,t): newest → n|e|w|est (4), widest → w|i|d|est

@@ -37,6 +37,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(banded == allPairs)
   }
 
+  test("incremental candidates equal the cross-boundary slice of symmetric LSH") {
+    // one-sided (new ⋈ existing) banding must find exactly the verified
+    // pairs the symmetric path finds that cross the split — no more
+    // (existing×existing never materializes) and no fewer (recall)
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+    val half = (all.agg(org.apache.spark.sql.functions.max(col("id")))
+      .head.getLong(0) + 1) / 2
+    val sym = Dedup.verifyJaccard(
+        Dedup.minhashCandidates(all, k = 36, bands = 12), all, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // symmetric emits a < b; reorient to (new, existing)
+      .collect { case (a, b, j) if a < half && b >= half => (b, a, j) }.toSet
+    val inc = Dedup.verifyJaccard(
+        Dedup.incrementalCandidates(
+          all.where(col("id") >= half), all.where(col("id") < half), 36, 12),
+        all, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sym.nonEmpty, "corpus should contain cross-boundary near-dups")
+    assert(inc == sym)
+  }
+
   test("embedding near-dup LSH returns exactly the all-pairs result (recall 1.0)") {
     val e = embSubset
     val a = e.select(col("id").as("a"), col("vec").as("va"))
