@@ -112,6 +112,17 @@ class PlanShapeSpec extends SparkSpec {
       "the fold must appear in the plan (anti-vacuousness check)")
   }
 
+  test("token-budget mixing shuffles on source once (plus the output sort)") {
+    assertNever("q96_token_budget_mix", "Join")
+    assert(exchanges("q96_token_budget_mix") <= 2,
+      "one source hash exchange for the window, one range exchange for the ORDER BY")
+  }
+
+  test("incremental near-dup locates on the band equi-key") {
+    assertNever("q97_incremental_neardup",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+  }
+
   test("RRF windows rank only bounded top-k candidate sets") {
     // both retriever rankings run AFTER a limit — the single-partition
     // window is bounded by k, so a Window under an unlimited input would
