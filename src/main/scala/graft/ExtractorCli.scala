@@ -25,6 +25,12 @@ object ExtractorCli {
       System.err.println("Usage: ExtractorCli [--seq|--stream] <in path> <out path> <config>")
       sys.exit(2)
     }
+    // the streaming source reads XML files only; silently ignoring --seq
+    // would misparse a SequenceFile as one XML document per file
+    if (flags.contains("--seq") && flags.contains("--stream")) {
+      System.err.println("--seq and --stream are mutually exclusive (no streaming SequenceFile source)")
+      sys.exit(2)
+    }
     val Array(inPath, outPath, configFile) = positional
     val config = ExtractionConfig.fromFile(configFile)
     val spark = SparkSession.builder()

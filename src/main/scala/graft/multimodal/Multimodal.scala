@@ -302,10 +302,19 @@ object Multimodal {
    * gray = r+g+b, an 8×4 grid of block sums, each cell's bit set when its
    * mean exceeds the image mean — compared as the EXACT integer inequality
    * `cell_sum · n_pixels > total_sum · cell_pixels` (no divisions, so the
-   * 32-bit hash is engine-independent). The grid is 8 wide × 4 tall because
+   * 32-bit hash is engine-independent). The cross-products reach 765·n² —
+   * past Long for images near the decoder's 3wh ≤ Int.MaxValue bound — so
+   * the compare runs in 128 bits via multiplyHigh. The grid is 8 wide × 4 tall because
    * the synthesized corpus guarantees w ≥ 8, h ≥ 6 — every cell is non-empty.
    * Output: (doc_id, phash). Narrow: decode + hash per partition, no shuffle.
    */
+  /** Exact `a·b > c·d` for non-negative longs, in 128 bits. */
+  private[graft] def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   def imagePhash(media: Dataset[MediaRecord]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -327,7 +336,7 @@ object Multimodal {
           var hash = 0L
           var c = 0
           while (c < 32) {
-            if (cn(c) > 0 && cs(c) * n > ts * cn(c)) hash |= 1L << c
+            if (cn(c) > 0 && mulGt(cs(c), n.toLong, ts, cn(c))) hash |= 1L << c
             c += 1
           }
           (r.doc_id, hash)

@@ -29,14 +29,6 @@ object Dedup {
     df.groupBy(md5(textCol).as("content_md5"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /**
-   * MinHash-LSH candidate pairs: signature → `bands` bands of `k/bands` rows →
-   * equi-join on (band index, band slice). Input must have columns `id` and
-   * `shingles` (distinct feature array). Output: distinct (a, b) with a < b.
-   *
-   * The band bucket join is the scale path: corpus-size shuffle on the band
-   * key, pair enumeration only inside buckets.
-   */
   /** (id, band, band_key) for every doc with features: the MinHash signature
    * cut into `bands` row-groups — the shared front half of the symmetric and
    * incremental LSH paths. */
@@ -69,6 +61,14 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
+  /**
+   * MinHash-LSH candidate pairs: signature → `bands` bands of `k/bands` rows →
+   * equi-join on (band index, band slice). Input must have columns `id` and
+   * `shingles` (distinct feature array). Output: distinct (a, b) with a < b.
+   *
+   * The band bucket join is the scale path: corpus-size shuffle on the band
+   * key, pair enumeration only inside buckets.
+   */
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
                         maxBucket: Int = 10000): DataFrame = {
     val banded = bandedKeys(docs, k, bands)

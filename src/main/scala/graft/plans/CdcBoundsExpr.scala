@@ -66,17 +66,27 @@ object CdcBoundsKernel {
   def bounds(text: UTF8String): GenericArrayData = {
     val b = text.getBytes
     val nBytes = b.length
-    // one-pass UTF-8 → code-point decode (UTF8String guarantees valid UTF-8);
-    // nBytes is an upper bound on the code-point count
+    // one-pass UTF-8 → code-point decode; nBytes is an upper bound on the
+    // code-point count. UTF8String does not guarantee valid UTF-8 (a binary
+    // cast to string reaches this kernel unchecked), so malformed bytes —
+    // a lone continuation byte, or a lead byte whose sequence is truncated —
+    // are consumed as single one-byte code points instead of reading past
+    // the buffer. Valid input decodes identically to before.
     val cps = new Array[Int](nBytes)
     var len = 0
     var p = 0
     while (p < nBytes) {
       val b0 = b(p) & 0xff
-      if (b0 < 0x80) { cps(len) = b0; p += 1 }
-      else if (b0 < 0xe0) {
+      val step =
+        if (b0 < 0x80) 1
+        else if (b0 < 0xc0) 1 // invalid lone continuation byte
+        else if (b0 < 0xe0) 2
+        else if (b0 < 0xf0) 3
+        else 4
+      if (step == 1 || p + step > nBytes) { cps(len) = b0; p += 1 }
+      else if (step == 2) {
         cps(len) = ((b0 & 0x1f) << 6) | (b(p + 1) & 0x3f); p += 2
-      } else if (b0 < 0xf0) {
+      } else if (step == 3) {
         cps(len) = ((b0 & 0x0f) << 12) | ((b(p + 1) & 0x3f) << 6) |
           (b(p + 2) & 0x3f); p += 3
       } else {

@@ -42,15 +42,18 @@ class SparkEntryContractSpec extends AnyFunSuite {
       "q78_kmv_merge" -> "sum feeds the estimator's ::DOUBLE division"
     )
 
-    // Balanced-paren spans of `fn(...)` calls, case-insensitive.
+    // Balanced-paren spans of `fn(...)` calls, case-insensitive; whitespace
+    // between the name and '(' is legal SQL and must not evade the gate.
     def callSpans(sql: String, fn: String): Seq[(Int, Int)] = {
       val lower = sql.toLowerCase
       val out = Seq.newBuilder[(Int, Int)]
-      var i = lower.indexOf(fn + "(")
+      var i = lower.indexOf(fn)
       while (i >= 0) {
         val wordStart = i == 0 || !Character.isLetterOrDigit(lower(i - 1)) && lower(i - 1) != '_'
-        if (wordStart) {
-          var depth = 0; var j = i + fn.length
+        var j = i + fn.length
+        while (j < sql.length && sql(j).isWhitespace) j += 1
+        if (wordStart && j < sql.length && sql(j) == '(') {
+          var depth = 0
           var end = -1
           while (j < sql.length && end < 0) {
             sql(j) match {
@@ -62,7 +65,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
           }
           if (end > 0) out += ((i, end))
         }
-        i = lower.indexOf(fn + "(", i + 1)
+        i = lower.indexOf(fn, i + 1)
       }
       out.result()
     }

@@ -163,6 +163,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(native.flatten.nonEmpty, "some boundary should exist across the corpus")
   }
 
+  test("cdc_bounds kernel survives malformed UTF-8 (truncated and lone-continuation bytes)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.CdcBoundsKernel
+    val rnd = new scala.util.Random(7)
+    val cases = Seq[Array[Byte]](
+      Array(0xc3.toByte),                                  // lone 2-byte lead at EOF
+      Array('a'.toByte, 0xe4.toByte, 0xb8.toByte),          // truncated 3-byte seq
+      Array(0xf0.toByte, 0x9f.toByte),                      // truncated 4-byte seq
+      Array(0x80.toByte, 0xbf.toByte, 'x'.toByte),          // lone continuation bytes
+      ("boilerplate chunk " * 5).getBytes("UTF-8") ++ Array(0xc3.toByte)
+    ) ++ (0 until 200).map { _ =>
+      Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)  // arbitrary byte soup
+    }
+    cases.foreach { bytes =>
+      val out = CdcBoundsKernel.bounds(UTF8String.fromBytes(bytes))
+      // boundaries are 1-based code-point positions within the string
+      (0 until out.numElements()).foreach { i =>
+        val v = out.getLong(i)
+        assert(v >= 8 && v <= bytes.length, s"boundary $v out of range for ${bytes.length} bytes")
+      }
+    }
+    // valid UTF-8 must decode exactly as before the malformed-input hardening
+    val valid = UTF8String.fromString("héllo wörld déjà vu résumé naïve café crème brûlée")
+    val got = CdcBoundsKernel.bounds(valid)
+    assert((0 until got.numElements()).forall(i => got.getLong(i) <= valid.numChars()))
+  }
+
+  test("phash 128-bit compare matches BigInt cross-multiplication") {
+    import graft.multimodal.Multimodal.mulGt
+    val rnd = new scala.util.Random(13)
+    // domain: cell/total sums up to 765 * n with n up to ~7.1e8 pixels
+    def sample(): Long = rnd.nextInt(3) match {
+      case 0 => rnd.nextLong(765L * 715000000L)
+      case 1 => rnd.nextLong(1000L)
+      case _ => 765L * 715000000L - rnd.nextLong(1000L)
+    }
+    (0 until 5000).foreach { _ =>
+      val (a, b, c, d) = (sample(), sample(), sample(), sample())
+      assert(mulGt(a, b, c, d) == (BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)),
+        s"mulGt($a,$b,$c,$d)")
+    }
+    // the exact overflow shape from the finding: ts*cn wraps negative in 64-bit
+    val n = 715000000L; val ts = 765L * n; val cn = n / 32
+    assert(ts * cn < 0, "sanity: this product overflows Long")
+    assert(!mulGt(ts / 32 - 1, n, ts, cn) && mulGt(ts / 32 + 32, n, ts, cn))
+  }
+
   test("native word_ngrams equals the HOF shingle chain on adversarial inputs") {
     import spark.implicits._
     val texts = Seq(

@@ -98,11 +98,12 @@ def main():
             tbl = ds.dataset(f"{out_dir}/{name}").to_table()
             got_names = tbl.column_names
             got_rows = [tuple(row[c] for c in got_names) for row in tbl.to_pylist()]
-            cur = con.execute(sql)
-            exp_names = [c[0] for c in cur.description]
-            exp_rows = cur.fetchall()
-            # second execution purely for the Arrow schema (type gate)
-            duck_schema = con.execute(sql).fetch_arrow_table().schema
+            # single execution: rows and the type-gate schema from one Arrow result
+            exp_tbl = con.execute(sql).fetch_arrow_table()
+            exp_names = exp_tbl.column_names
+            exp_rows = [tuple(row[c] for c in exp_names)
+                        for row in exp_tbl.to_pylist()]
+            duck_schema = exp_tbl.schema
             gn, gr = normalize(got_names, got_rows)
             en, er = normalize(exp_names, exp_rows)
             type_bad = type_mismatches(tbl.schema, duck_schema)
