@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, CorpusOps, Dedup}
+
+/**
+ * Scale smoke for the training-data operators added in round 4: BPE merge
+ * learning, corpus-wide tokenizer application, next-fit sequence packing,
+ * and incremental (new-vs-corpus) near-dup detection. Synthesizes an
+ * N-document corpus of 3-letter dictionary words (deterministic md5-derived
+ * indices into a 500-word vocabulary; ~1% planted near-duplicate pairs whose
+ * NEW member lands in the daily-crawl slice), then reports wall time per
+ * stage and docs/sec. The claims under test:
+ *  - BPE learning cost is bounded by ONE word-count aggregation — the
+ *    corpus collapses to a ≤1000-row vocabulary before any iteration;
+ *  - tokenizer application is a narrow zero-shuffle scalar chain, so it
+ *    scales with scan speed;
+ *  - packing is one hash shuffle + a per-partition streaming fold;
+ *  - incremental LSH candidates track the new slice's similarity mass
+ *    (new×corpus bands only — corpus×corpus pairs never materialize).
+ *
+ * Usage: `runMain graft.TrainingScaleSmoke [nDocs]` (default 100000).
+ */
+object TrainingScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.lift(0).map(_.toInt).getOrElse(100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // doc d with d % 100 == 1 copies doc d-1's words, changing only the last
+    // word — one planted near-duplicate pair per 100 docs, and the changed
+    // member always falls in the id % 10 == 1 "new crawl" slice below. Words
+    // are 3-letter base-26 encodings of an md5-derived index into a 500-term
+    // vocabulary: alphabetic (so BPE has pairs to learn), deterministic,
+    // Zipf-free (the LSH worst case — every shingle distinct-ish).
+    val baseSql =
+      "concat_ws(' ', transform(" +
+        "  transform(sequence(0, 49)," +
+        "    i -> pmod(cast(conv(substring(md5(concat(seed, ':', i)), 1, 15), 16, 10) as bigint), 500))," +
+        "  x -> concat(char(97 + x % 26)," +
+        "              char(97 + cast(x / 26 as bigint) % 26)," +
+        "              char(97 + cast(x / 676 as bigint) % 26))))"
+    val docs = spark.range(nDocs)
+      .select(col("id"),
+        when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id")).as("seed"),
+        (col("id") % 100 === 1).as("isDup"))
+      .select(col("id"), expr(baseSql).as("base"), col("isDup"))
+      .select(col("id"),
+        when(col("isDup"),
+          concat(expr("substring(base, 1, length(base) - 3)"), lit("qqq")))
+          .otherwise(col("base")).as("text"))
+      .localCheckpoint() // corpus built once; the stages below each scan it
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[training-smoke] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // 1. BPE learning: the corpus collapses to a bounded vocabulary in one
+    //    aggregation; 8 pair-count/argmax/merge rounds run on ≤1000 rows.
+    val merges = timed("bpe learn (8 rounds)") {
+      Bpe.learnMerges(docs, 8, 1000)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+
+    // 2. Tokenizer application: driver-held merge model replayed corpus-wide
+    //    as a narrow scalar replace chain — zero shuffles over the documents.
+    val tok = timed("bpe tokenize") {
+      val t = Bpe.tokenize(docs.select(col("id").as("doc_id"), col("text")), merges)
+        .localCheckpoint()
+      t.count()
+      t
+    }
+
+    // 3. Next-fit packing of the tokenized lengths into 4096-token bins:
+    //    one hash shuffle on the worker key, per-partition streaming fold.
+    val nBins = timed("next-fit packing") {
+      CorpusOps.packNextFit(tok, col("doc_id"), col("n_subwords"),
+        tokensPerBin = 4096, nWorkers = cpus.toInt)
+        .select(col("worker"), col("bin")).distinct().count()
+    }
+
+    // 4. Incremental near-dup: the id % 10 == 1 slice is today's crawl (10%,
+    //    contains every planted dup), the rest is the standing corpus. Bands
+    //    join new×corpus only; exact Jaccard verifies the candidates.
+    val shingled = docs.select(col("id"),
+      call_function("word_ngrams", col("text"), lit(2)).as("shingles"))
+      .localCheckpoint()
+    val newDocs = shingled.where(col("id") % 10 === 1)
+    val oldDocs = shingled.where(col("id") % 10 =!= 1)
+    var candidates: org.apache.spark.sql.DataFrame = null
+    val nCand = timed("incremental candidates") {
+      candidates = Dedup.incrementalCandidates(newDocs, oldDocs, 36, 12).localCheckpoint()
+      candidates.count()
+    }
+    val nVerified = timed("jaccard verify") {
+      Dedup.verifyJaccard(candidates, shingled, 0.8).count()
+    }
+
+    val planted = nDocs / 100
+    println(s"[training-smoke] docs=$nDocs merges=${merges.size} bins=$nBins " +
+      s"candidates=$nCand verified=$nVerified planted=$planted")
+    require(merges.size == 8, s"expected 8 learned merges, got ${merges.size}")
+    require(nVerified >= planted * 95 / 100,
+      s"verified pairs $nVerified should recover ~all $planted planted dups")
+    spark.stop()
+  }
+}
