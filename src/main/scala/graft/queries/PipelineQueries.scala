@@ -142,6 +142,12 @@ object PipelineQueries {
     "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4)"
 
   /** DuckDB twin of [[V.cosine]] (same left-fold order → bit-identical). */
+  /** Squared-L2 fold between two DuckDB double lists, left-to-right in index
+   * order — bit-identical to Spark's `aggregate(zip_with(...))` twin. */
+  private def duckD2(a: String, b: String): String =
+    s"list_reduce(list_concat([0.0::DOUBLE], list_transform(list_zip($a, $b), " +
+      s"p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+
   private def duckCos(a: String, b: String): String = {
     def fsum(l: String) = s"list_reduce(list_concat([0.0::DOUBLE], $l), (x, y) -> x + y)"
     val dot = fsum(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
@@ -1352,6 +1358,60 @@ object PipelineQueries {
         .orderBy(col("cell1"), col("cell2"))
     }),
 
+    "q98_ivfpq_adc" -> ((s, d) => {
+      // IVF-PQ search with asymmetric distance computation (ADC) — the
+      // composition of the q39 coarse index and the q87 sub-codebooks, the
+      // billion-scale ANN layout (Jégou et al., Faiss IVFPQ). The stored
+      // index carries ONLY (cell, code1, code2) per vector — a cell id and
+      // two 4-bit codes instead of 64 doubles, a ~100× memory cut that is
+      // the point of PQ. Each query computes a 16-entry L2 lookup table per
+      // subspace ONCE (driver-held codebooks, fused folds), then every
+      // candidate scores by TWO array lookups — the 64-double vector is
+      // never touched during scoring. by_residual=false (Faiss's raw-vector
+      // IVFPQ option): codes quantize the vector itself, not the cell
+      // residual, which keeps ONE codebook corpus-wide. Deterministic
+      // throughout (train-free centroid selection, ties to lowest id), so
+      // the DuckDB oracle rebuilds the identical index and the approximate
+      // distances themselves hash-match.
+      val emb = embVecs(s, d)
+      val coarse = Ivf.selectCentroids(emb, col("id") % 64 === 0)
+      val cb = emb.where(col("id") < 16).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      def d2(half: Column, c: Seq[Double]): Column =
+        aggregate(zip_with(half, typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      def sub(vec: Seq[Double], j: Int): Seq[Double] =
+        if (j == 0) vec.slice(0, 32) else vec.slice(32, 64)
+      def code(half: Column, j: Int): Column =
+        array_min(array(cb.map { case (cid, vec) =>
+          struct(d2(half, sub(vec, j)).as("dd"), lit(cid).as("cid"))
+        }: _*)).getField("cid")
+      val indexed = Ivf.assign(emb, coarse)
+        .select(col("id").as("neighbor_id"), col("cell"),
+          code(expr("slice(vec, 1, 32)"), 0).as("code1"),
+          code(expr("slice(vec, 33, 32)"), 1).as("code2"))
+      def lutOf(half: Column, j: Int): Column =
+        array(cb.map { case (_, vec) => d2(half, sub(vec, j)) }: _*)
+      val probes = embVecs(s, d, col("vec_id") % 100 === 0)
+        .select(col("id").as("query_id"),
+          explode(Ivf.probeCells(col("vec"), coarse, 3)).as("cell"),
+          lutOf(expr("slice(vec, 1, 32)"), 0).as("lut1"),
+          lutOf(expr("slice(vec, 33, 32)"), 1).as("lut2"))
+      val scored = indexed.join(broadcast(probes), Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (element_at(col("lut1"), col("code1").cast("int") + 1) +
+            element_at(col("lut2"), col("code2").cast("int") + 1)).as("adc"))
+      // bounded-heap top-k on the NEGATED distance: topk_by keeps
+      // (score DESC, id ASC) = (adc ASC, neighbor ASC)
+      scored.groupBy(col("query_id"))
+        .agg(call_function("topk_by", -col("adc"), col("neighbor_id"), lit(5)).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neighbor_id"), round(-col("col.score"), 6).as("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---------------------------------------------------------------- tokenizer / packing
     "q93_bpe_merges" -> ((s, d) =>
       // BPE tokenizer training: 8 merge rounds over the top-1000 word-
@@ -2473,6 +2533,56 @@ object PipelineQueries {
                 round(min(e1 + e2), 6) AS min_err, round(max(e1 + e2), 6) AS max_err
          FROM p1 JOIN p2 USING (vec_id)
          GROUP BY cell1, cell2 ORDER BY cell1, cell2""",
+
+    // The identical IVF-PQ index rebuilt relationally: same coarse cells
+    // (q39's cosine argmax), same sub-codebook codes (q87's L2 argmin), and
+    // the ADC score re-derived through the same per-query lookup rows — the
+    // approximate distances themselves hash-match.
+    "q98_ivfpq_adc" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         cb AS (SELECT vec_id AS cid, v AS cbv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, ccid AS cell FROM (
+             SELECT e.vec_id, c.ccid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.ccid ASC) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         c1 AS (SELECT vec_id, cid AS code1 FROM (
+                  SELECT e.vec_id, cb.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                                            ORDER BY ${duckD2("e.v[1:32]", "cb.cbv[1:32]")}, cb.cid) AS rn
+                  FROM e CROSS JOIN cb) WHERE rn = 1),
+         c2 AS (SELECT vec_id, cid AS code2 FROM (
+                  SELECT e.vec_id, cb.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                                            ORDER BY ${duckD2("e.v[33:64]", "cb.cbv[33:64]")}, cb.cid) AS rn
+                  FROM e CROSS JOIN cb) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, ccid AS cell FROM (
+             SELECT q.vec_id AS query_id, c.ccid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.ccid ASC) AS rn
+             FROM e q CROSS JOIN cent c WHERE q.vec_id % 100 = 0) WHERE rn <= 3),
+         l1 AS (SELECT q.vec_id AS query_id, cb.cid,
+                       ${duckD2("q.v[1:32]", "cb.cbv[1:32]")} AS ld
+                FROM e q CROSS JOIN cb WHERE q.vec_id % 100 = 0),
+         l2 AS (SELECT q.vec_id AS query_id, cb.cid,
+                       ${duckD2("q.v[33:64]", "cb.cbv[33:64]")} AS ld
+                FROM e q CROSS JOIN cb WHERE q.vec_id % 100 = 0),
+         scored AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id, l1.ld + l2.ld AS adc
+           FROM assigned a JOIN probes p USING (cell)
+           JOIN c1 ON c1.vec_id = a.vec_id
+           JOIN c2 ON c2.vec_id = a.vec_id
+           JOIN l1 ON l1.query_id = p.query_id AND l1.cid = c1.code1
+           JOIN l2 ON l2.query_id = p.query_id AND l2.cid = c2.code2
+           WHERE a.vec_id != p.query_id)
+         SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc FROM (
+           SELECT query_id, neighbor_id, adc,
+                  row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+           FROM scored) WHERE rank <= 5
+         ORDER BY query_id, rank""",
 
     // The SAME 8 BPE rounds, loop-unrolled: per round, pair counts from the
     // wrapped `(sym)(sym)` encoding, argmax (count desc, pair asc), one

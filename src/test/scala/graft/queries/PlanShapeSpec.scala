@@ -123,6 +123,17 @@ class PlanShapeSpec extends SparkSpec {
       "BroadcastNestedLoopJoin", "CartesianProduct")
   }
 
+  test("IVF-PQ ADC search: broadcast probe equi-join, bounded-heap top-k, no window") {
+    // the index side carries (cell, code1, code2) only; probes broadcast;
+    // scoring is two array lookups; top-k is the topk_by aggregate — a
+    // regression to a nested-loop scan or a rank window fails here
+    assertNever("q98_ivfpq_adc",
+      "BroadcastNestedLoopJoin", "CartesianProduct", "Window", "SortMergeJoin")
+    val p = planOf("q98_ivfpq_adc")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe join must broadcast the query side (anti-vacuousness check)")
+  }
+
   test("RRF windows rank only bounded top-k candidate sets") {
     // both retriever rankings run AFTER a limit — the single-partition
     // window is bounded by k, so a Window under an unlimited input would
