@@ -921,6 +921,29 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("valid_from"),
           col("valid_to").asc_nulls_last, col("value"))),
 
+    "q99_changelog_compact" -> ((s, d) => {
+      // CDC latest-wins compaction — the lakehouse MERGE/upsert apply: a
+      // change log collapses to its current snapshot. Per key the row with
+      // the greatest (ts, event_id) wins; a tombstone there deletes the
+      // key entirely. ONE map-side-combinable max(struct) aggregation —
+      // never a window over the full log, so a hot key's million-row
+      // history folds to one struct inside each task before the exchange
+      // (the q73 argmax discipline applied to upserts). Synthetic feed:
+      // purchases upsert their value, clicks play the tombstone op.
+      val log = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), (col("event_type") === "click").as("is_del"),
+          col("value"))
+      log.groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"),
+          col("is_del"), col("value"))).as("w"))
+        .where(!col("w.is_del"))
+        .select(col("user_id"), round(col("w.value"), 4).as("value"),
+          col("w.ts_us").as("updated_us"))
+        .orderBy(col("user_id"))
+    }),
+
     "q91_pit_feature_join" -> ((s, d) => {
       // point-in-time feature join (the feature-store correctness op): each
       // click is enriched with the purchase value that was VALID at the
@@ -2153,6 +2176,19 @@ object PipelineQueries {
                 lead(ts_us, 1) OVER (PARTITION BY user_id
                   ORDER BY ts_us, event_id) IS NULL AS is_current
          FROM p ORDER BY user_id, valid_from, valid_to NULLS LAST, value""",
+    // Window twin of the max(struct) compaction: latest (ts, event_id) row
+    // per key wins, tombstones drop the key. (ts_us, event_id) is unique
+    // per event, so argmax and row_number agree.
+    "q99_changelog_compact" ->
+      """WITH log AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+                  event_type = 'click' AS is_del, value
+                FROM events WHERE event_type IN ('purchase', 'click')),
+         r AS (SELECT user_id, ts_us, is_del, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+               FROM log)
+         SELECT user_id, round(value, 4) AS value, ts_us AS updated_us
+         FROM r WHERE rn = 1 AND NOT is_del ORDER BY user_id""",
     // Same sketches, same union-and-count algebra in SQL.
     "q79_kmv_intersect" -> {
       val h = duckHash60("md5(text)")

@@ -134,6 +134,17 @@ class PlanShapeSpec extends SparkSpec {
       "the probe join must broadcast the query side (anti-vacuousness check)")
   }
 
+  test("changelog compaction folds map-side — no window over the log") {
+    // latest-wins is ONE max(struct) aggregation: a hot key's history
+    // partially aggregates inside each task before the key exchange
+    assertNever("q99_changelog_compact", "Window", "Join")
+    val p = planOf("q99_changelog_compact")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "the argmax aggregate must appear in the plan (anti-vacuousness check)")
+    assert(exchanges("q99_changelog_compact") <= 2,
+      "one key exchange for the aggregate, one range exchange for the ORDER BY")
+  }
+
   test("RRF windows rank only bounded top-k candidate sets") {
     // both retriever rankings run AFTER a limit — the single-partition
     // window is bounded by k, so a Window under an unlimited input would
