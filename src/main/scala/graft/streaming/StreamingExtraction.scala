@@ -10,6 +10,10 @@ import graft.xml.XmlExtraction
 /** Per-user accumulator state for [[StreamingExtraction.runningUserTotals]]. */
 case class UserTotals(nEvents: Long, sumValue: Double)
 
+/** Per-key winner state for [[StreamingExtraction.latestSnapshot]]: the
+ * greatest (ts, event_id) change seen so far and its payload. */
+case class LatestRow(tsUs: Long, eventId: Long, isDel: Boolean, value: Double)
+
 /**
  * Structured Streaming surface of the engine.
  *
@@ -205,5 +209,38 @@ object StreamingExtraction {
           }
       }
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /**
+   * Streaming twin of q99's CDC latest-wins compaction: a continuously
+   * maintained current-snapshot view of a change log. Per key, state holds
+   * the greatest (ts, event_id) change seen so far (one [[LatestRow]] — the
+   * same per-key bound as the batch argmax); each micro-batch folds the new
+   * changes in and re-emits the key's refreshed winner in update mode —
+   * downstream treats `is_del = true` as "key deleted". Emissions per key
+   * are monotone in (ts, event_id), so the LAST emission is the snapshot
+   * row, which SessionizeSpec proves equal to the batch max(struct)
+   * compaction across micro-batches.
+   */
+  def latestSnapshot(changes: DataFrame): DataFrame = {
+    val session = changes.sparkSession
+    import session.implicits._
+    changes
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("is_del"), col("value"))
+      .as[(Long, Long, Long, Boolean, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LatestRow, (Long, Long, Long, Boolean, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var cur = state.getOption.orNull
+          rows.foreach { case (_, ts, eid, del, v) =>
+            if (cur == null || ts > cur.tsUs || (ts == cur.tsUs && eid > cur.eventId))
+              cur = LatestRow(ts, eid, del, v)
+          }
+          state.update(cur)
+          Iterator.single((user, cur.tsUs, cur.eventId, cur.isDel, cur.value))
+      }
+      .toDF("user_id", "ts_us", "event_id", "is_del", "value")
   }
 }

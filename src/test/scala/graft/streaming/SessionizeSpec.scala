@@ -189,6 +189,45 @@ class SessionizeSpec extends SparkSpec {
     assert(finalPerUser == batch)
   }
 
+  test("streaming latest-wins snapshot converges to the batch compaction") {
+    val inDir = Files.createTempDirectory("graft-snap-in").toFile
+    val ckDir = Files.createTempDirectory("graft-snap-ck").toFile
+    val log = Tables.events(spark, sf)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), (col("event_type") === "click").as("is_del"),
+        col("value"))
+    // split by EVENT parity → both chunks hold (nearly) every key, so the
+    // second micro-batch must fold into existing state, not start fresh
+    log.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$inDir/chunk=0")
+    log.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$inDir/chunk=1")
+    val stream = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.latestSnapshot(stream)
+      .writeStream.format("memory").queryName("stream_snapshot")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // per-key emissions are monotone in (ts_us, event_id): the argmax over
+    // all emissions IS the final state, and must equal q99's batch argmax
+    def snapshot(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = df
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("is_del"), col("value"))).as("w"))
+      .where(!col("w.is_del"))
+      .select(col("user_id"), col("w.ts_us"), col("w.value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = snapshot(spark.table("stream_snapshot"))
+    val batch = snapshot(log)
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "some keys must survive the tombstones (anti-vacuousness)")
+    // tombstone semantics are exercised: at least one key's latest op is a
+    // delete and is absent from the snapshot
+    val allKeys = log.select(col("user_id")).distinct().count()
+    assert(batch.size < allKeys, "at least one key must end on a tombstone")
+  }
+
   test("streaming dedup keeps exactly one row per content digest") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-dedup-in").toFile
