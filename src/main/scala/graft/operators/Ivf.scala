@@ -88,6 +88,12 @@ object Ivf {
   def cellOf(vec: Column, cents: Seq[Centroid]): Column =
     -array_max(scoredCells(vec, cents)).getField("negid")
 
+  /** Cosine similarity to the assigned (nearest) centroid — the score field
+   * of the same argmax [[cellOf]] takes the id from; one narrow expression,
+   * shared by SemDeDup-style survivor selection (q100). */
+  def centroidCos(vec: Column, cents: Seq[Centroid]): Column =
+    array_max(scoredCells(vec, cents)).getField("s")
+
   /** The `nprobe` nearest centroid ids, best first. */
   def probeCells(vec: Column, cents: Seq[Centroid], nprobe: Int): Column =
     transform(

@@ -96,6 +96,58 @@ object Similarity {
    * default (2, 16) has measured recall 1.0 vs the all-pairs oracle — q34 runs
    * THIS path against the quadratic DuckDB oracle, the q32 pattern.
    */
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic deduplication"):
+   * partition the embedding space with the IVF coarse quantizer ([[Ivf]]),
+   * detect duplicate pairs WITHIN each cell only (cosine ≥ `tau`), cluster
+   * them, and keep per cluster the member LEAST similar to its cell centroid
+   * (the paper's diversity-preserving survivor choice), ties to the smallest
+   * id.
+   *
+   * Scale posture: candidate generation is an equi-join on `cell` — the
+   * corpus never joins itself globally; a cell bounds its candidate set the
+   * way an LSH bucket does in [[nearDupLsh]], and at 100 TB the assigned
+   * corpus is written `partitionBy("cell")` once so each cell's pair scan is
+   * partition-local. Components run over the verified pair set only;
+   * survivor selection is ONE map-side-combined `min(struct(ccos, id))` per
+   * cluster (the q73 argmax discipline) — never a window over members.
+   *
+   * Returns one row per duplicate cluster:
+   * (cluster_id = min member id, cell, keep_id, n_members, members).
+   * Every edge is cell-internal, so a cluster lives in exactly one cell.
+   */
+  /** [[semanticDedup]]'s candidate stage: duplicate pairs WITHIN an IVF cell
+   * (cosine ≥ `tau`), as a `cell` equi-join — exposed so PlanShapeSpec can
+   * pin the join shape (the components step checkpoints, hiding this plan
+   * from the final DataFrame). */
+  def semanticPairs(corpus: DataFrame, cents: Seq[Ivf.Centroid],
+                    tau: Double): DataFrame = {
+    val assigned = Ivf.assign(corpus, cents)
+    val l = assigned.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+    val r = assigned.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+    l.join(r, Seq("cell"))
+      .where(col("a") < col("b") && cosineNative(col("va"), col("vb")) >= tau)
+      .select(col("a"), col("b"))
+  }
+
+  def semanticDedup(corpus: DataFrame, cents: Seq[Ivf.Centroid],
+                    tau: Double): DataFrame = {
+    val assigned = Ivf.assign(corpus, cents)
+      .withColumn("ccos", Ivf.centroidCos(col("vec"), cents))
+    Dedup.components(semanticPairs(corpus, cents, tau))
+      .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        min(col("cell")).as("cell"), // constant within the cluster
+        min(struct(col("ccos"), col("id"))).as("k"),
+        count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          x => x.cast("string")), ",").as("members"))
+      .select(col("cluster_id"), col("cell"), col("k.id").as("keep_id"),
+        col("n_members"), col("members"))
+  }
+
   def nearDupLsh(vecs: DataFrame, dim: Int, threshold: Double,
                  bitsPerTable: Int = 2, nTables: Int = 16): DataFrame = {
     val totalBits = bitsPerTable * nTables

@@ -1497,6 +1497,71 @@ object PipelineQueries {
       Dedup.verifyJaccard(
           Dedup.incrementalCandidates(newDocs, oldDocs, k = 36, bands = 12), all, 0.8)
         .orderBy(col("a"), col("b"))
+    }),
+
+    "q100_semantic_dedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): IVF-cell-scoped semantic dedup — the
+      // embedding-space curation pass of a pretraining pipeline. Same
+      // deterministic coarse centroids as q39; duplicate pairs (cosine >=
+      // 0.3) are detected INSIDE a cell only, clustered, and the survivor is
+      // the member LEAST similar to its centroid (the paper's
+      // diversity-keeping choice), ties to the smallest id. The oracle
+      // rebuilds the identical index, pair set, transitive closure, and
+      // survivor ranking — the approximate pipeline is hash-gated end-to-end.
+      val corpus = embVecs(s, d)
+      val cents = Ivf.selectCentroids(corpus, col("id") % 64 === 0)
+      Similarity.semanticDedup(corpus, cents, tau = 0.3)
+        .orderBy(col("cluster_id"))
+    }),
+
+    "q101_split_assign" -> ((s, d) =>
+      // leakage-safe deterministic train/val/test split: the split key
+      // hashes the CONTENT digest, not the doc id — byte-identical
+      // duplicates land in the same split by construction, so exact-dup
+      // test-set leakage is structurally impossible (the q44
+      // decontamination concern solved at assignment time, the standard
+      // split-by-content-hash production rule). hash60 buckets:
+      // 0-89 train / 90-94 val / 95-99 test. Narrow per-doc map + ONE
+      // aggregation — scan speed at any corpus size.
+      Tables.documents(s, d)
+        .select(col("source"),
+          (T.hash60(concat(lit("split:"), md5(col("text")))) % 100).as("bucket"),
+          size(T.tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(col("text")).as("digest"))
+        .select(col("source"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"),
+          col("n_tokens"), col("digest"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("digest")).as("n_uniq"))
+        .orderBy(col("split"), col("source"))),
+
+    "q102_pmi_collocations" -> ((s, d) => {
+      // collocation extraction: top-20 word bigrams by PMI association
+      // strength. PMI = log P(ab)/(P(a)P(b)) is rank-monotone in
+      // c_ab/(c_a*c_b) (N factors are row-constant), so the score is the
+      // ×1e12 fixed-point ((c_ab*1e6) div c_a)*1e6 div c_b — staged so no
+      // intermediate exceeds c_ab*1e6 (overflow-free to c_ab ≤ 9e12
+      // occurrences, i.e. far past a 100 TB corpus) and engine-independent
+      // bits, the q84/q85 discipline. Min support c_ab >= 3.
+      // Shapes: one groupBy per n-gram order; the unigram count table is
+      // vocab-bounded (Heaps' law) and BROADCAST to the bigram side; the
+      // global top-20 is a TakeOrdered, never a full sort.
+      val uni = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val bi = docBigrams(s, d)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 3)
+      bi.join(broadcast(uni.select(col("t").as("w1"), col("c").as("c_a"))), Seq("w1"))
+        .join(broadcast(uni.select(col("t").as("w2"), col("c").as("c_b"))), Seq("w2"))
+        .selectExpr("w1", "w2", "c_ab",
+          "((c_ab * 1000000) div c_a) * 1000000 div c_b as pmi_fp")
+        .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -2678,6 +2743,80 @@ object PipelineQueries {
                   CASE WHEN p.fill + d.n_tokens <= 512 THEN p.fill + d.n_tokens ELSE d.n_tokens END
            FROM pack p JOIN d ON d.worker = p.worker AND d.rn = p.rn + 1)
          SELECT doc_id, CAST(worker AS BIGINT) AS worker, bin, n_tokens
-         FROM pack ORDER BY doc_id"""
+         FROM pack ORDER BY doc_id""",
+
+    // DuckDB twin of [[Similarity.semanticDedup]]: rebuilds the identical
+    // IVF assignment (the q39 pattern), the cell-scoped pair set, the
+    // transitive closure (the q41 pattern), and the least-centroid-affinity
+    // survivor ranking. Heavy CTEs are MATERIALIZED — `assigned` is
+    // referenced three times and would otherwise be inlined (and its
+    // cross-join window recomputed) at each site.
+    "q100_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         scored AS MATERIALIZED (
+           SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS cc
+           FROM e CROSS JOIN cent c),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, v, cid AS cell, cc AS ccos FROM (
+             SELECT vec_id, v, cid, cc,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cc DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1),
+         pairs AS MATERIALIZED (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${duckCos("a.v", "b.v")} >= 0.3),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id),
+         ranked AS (
+           SELECT l.component, l.id, a.cell, a.ccos,
+                  row_number() OVER (PARTITION BY l.component
+                                     ORDER BY a.ccos ASC, l.id ASC) AS rn
+           FROM labeled l JOIN assigned a ON a.vec_id = l.id)
+         SELECT component AS cluster_id, min(cell) AS cell,
+                min(CASE WHEN rn = 1 THEN id END) AS keep_id,
+                count(*) AS n_members,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         FROM ranked GROUP BY component ORDER BY cluster_id""",
+
+    "q101_split_assign" ->
+      s"""WITH b AS (
+           SELECT source,
+                  ${duckHash60("'split:' || md5(text)")} % 100 AS bucket,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  md5(text) AS digest
+           FROM documents)
+         SELECT CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                count(DISTINCT digest) AS n_uniq
+         FROM b GROUP BY 1, 2 ORDER BY split, source""",
+
+    // Same staged integer divisions as the Spark side (`//` = `div`), so the
+    // fixed-point PMI ranking is identical bits.
+    "q102_pmi_collocations" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bi AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM (
+             SELECT unnest(list_transform(range(0, len(ws) - 1),
+                      i -> struct_pack(w1 := ws[i+1], w2 := ws[i+2])), recursive := true)
+             FROM ws WHERE len(ws) >= 2)
+           GROUP BY w1, w2 HAVING count(*) >= 3)
+         SELECT w1, w2, c_ab,
+                ((c_ab * 1000000) // a.c) * 1000000 // b.c AS pmi_fp
+         FROM bi JOIN uni a ON bi.w1 = a.t JOIN uni b ON bi.w2 = b.t
+         ORDER BY pmi_fp DESC, w1 ASC, w2 ASC LIMIT 20"""
   )
 }

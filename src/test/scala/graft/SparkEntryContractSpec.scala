@@ -17,9 +17,9 @@ class SparkEntryContractSpec extends AnyFunSuite {
 
   test("query names are unique qNN_ identifiers with no number collisions") {
     val names = SparkEntry.queries.keys.toSeq
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")),
-      s"non-conforming names: ${names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))}")
-    val numbers = names.map(_.take(3))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")),
+      s"non-conforming names: ${names.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))}")
+    val numbers = names.map(_.takeWhile(_ != '_'))
     assert(numbers.distinct.size == numbers.size,
       s"duplicate query numbers: ${numbers.diff(numbers.distinct).distinct}")
   }

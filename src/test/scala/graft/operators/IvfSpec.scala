@@ -93,6 +93,51 @@ class IvfSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("semanticDedup matches driver-side ground truth: cell-internal clusters, " +
+    "least-centroid-affine survivors") {
+    val tau = 0.3
+    val got = Similarity.semanticDedup(corpus, cents, tau).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got.nonEmpty, "corpus must produce at least one semantic cluster")
+
+    // ground truth recomputed driver-side: assignment argmax, within-cell
+    // pairs, union-find closure, (ccos, id)-min survivor
+    val assigned = Ivf.assign(corpus, cents).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val centOf = cents.map(c => c.cid -> c.vec).toMap
+    val ccos = assigned.map { case (id, vec, cell) => id -> cosine(vec, centOf(cell)) }.toMap
+    val cellOf = assigned.map { case (id, _, cell) => id -> cell }.toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      (_, members) <- assigned.groupBy(_._3)
+      Seq((a, va, _), (b, vb, _)) <- members.toSeq.sortBy(_._1).combinations(2)
+      if cosine(va, vb) >= tau
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusters = parent.keys.++(parent.values).toSeq.distinct
+      .map(id => find(id) -> id).groupBy(_._1)
+      .map { case (root, ms) => root -> ms.map(_._2).sorted }
+    assert(clusters.nonEmpty)
+    assert(got.keySet == clusters.keySet.map(identity))
+    clusters.foreach { case (root, members) =>
+      val (cell, keepId, n, memberStr) = got(root)
+      assert(members.map(cellOf).distinct == Seq(cell),
+        s"cluster $root must live in exactly one cell")
+      assert(n == members.length)
+      assert(memberStr == members.mkString(","))
+      val expectedKeep = members.minBy(id => (ccos(id), id))
+      assert(keepId == expectedKeep,
+        s"cluster $root survivor $keepId, expected least-affine $expectedKeep")
+    }
+  }
+
   test("a Lloyd step moves each centroid to its cell mean, preserving ids") {
     val stepped = Ivf.lloydStep(corpus, cents)
     assert(stepped.map(_.cid).toSeq == cents.map(_.cid).toSeq)

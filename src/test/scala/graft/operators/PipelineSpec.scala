@@ -176,4 +176,30 @@ class PipelineSpec extends SparkSpec {
     assert(m("a") == m("b"))
     assert(m("a") != m("c"))
   }
+
+  test("split assignment is leakage-safe: byte-identical texts always co-locate") {
+    import spark.implicits._
+    // the q101 split key hashes the CONTENT digest — planted exact
+    // duplicates (different doc ids, same bytes) must land in one split,
+    // and the bucket ratios must track the 90/5/5 design
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dupes = base.limit(40).select(col("doc_id") + 100000, col("text"))
+    val split = when(
+      T.hash60(concat(lit("split:"), md5(col("text")))) % 100 < 90, "train")
+      .when(T.hash60(concat(lit("split:"), md5(col("text")))) % 100 < 95, "val")
+      .otherwise("test")
+    val perDigest = base.union(dupes)
+      .select(md5(col("text")).as("digest"), split.as("split"))
+      .groupBy(col("digest"))
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n"))
+      .collect()
+    assert(perDigest.exists(_.getLong(2) > 1), "planted duplicates must exist")
+    assert(perDigest.forall(_.getLong(1) == 1L),
+      "a content digest must map to exactly one split — anything else leaks")
+    val frac = base.select(split.as("s")).groupBy(col("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = frac.values.sum.toDouble
+    assert(frac("train") / n > 0.8, s"train fraction ${frac("train") / n}")
+    assert(frac.getOrElse("val", 0L) + frac.getOrElse("test", 0L) > 0)
+  }
 }

@@ -145,6 +145,39 @@ class PlanShapeSpec extends SparkSpec {
       "one key exchange for the aggregate, one range exchange for the ORDER BY")
   }
 
+  test("semantic-dedup candidates locate on the cell equi-key") {
+    // SemDeDup's pair stage must be an equi-join on the IVF cell — a
+    // regression to a global all-pairs join plans a nested loop and fails
+    // here (the q32/q34 discipline for the embedding-cluster path)
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("vec"))
+    val cents = graft.operators.Ivf.selectCentroids(corpus, col("id") % 64 === 0)
+    val p = graft.operators.Similarity.semanticPairs(corpus, cents, 0.3)
+      .queryExecution.executedPlan.toString
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach { bad =>
+      assert(!p.contains(bad), s"semanticPairs must not plan a $bad")
+    }
+    assert(p.contains("Join"),
+      "the cell equi-join must appear in the plan (anti-vacuousness check)")
+  }
+
+  test("split assignment is one narrow map + aggregation — no join, no window") {
+    assertNever("q101_split_assign", "Join", "Window")
+    assert(exchanges("q101_split_assign") <= 3,
+      "two aggregate exchanges (countDistinct expand) plus the output sort")
+  }
+
+  test("PMI collocations broadcast the vocab-bounded unigram table; top-20 is a TakeOrdered") {
+    assertNever("q102_pmi_collocations", "CartesianProduct", "SortMergeJoin")
+    val p = planOf("q102_pmi_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram-count joins must broadcast (anti-vacuousness check)")
+    assert(p.contains("TakeOrdered"),
+      "the global top-20 must plan as TakeOrdered, never a full sort")
+  }
+
   test("RRF windows rank only bounded top-k candidate sets") {
     // both retriever rankings run AFTER a limit — the single-partition
     // window is bounded by k, so a Window under an unlimited input would
