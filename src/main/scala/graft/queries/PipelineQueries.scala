@@ -1562,7 +1562,44 @@ object PipelineQueries {
           "((c_ab * 1000000) div c_a) * 1000000 div c_b as pmi_fp")
         .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
         .limit(20)
-    })
+    }),
+
+    "q103_priority_sample" -> ((s, d) =>
+      // weighted PRIORITY sampling (Duffield-Lund-Thorup): weight = doc
+      // length, priority = w/u for uniform u — realized deterministically as
+      // priority_fp = (w*1e9) div (h30+1) with h30 a 30-bit content-seeded
+      // hash (u surrogate = (h30+1)/2^30), integer-exact in both engines.
+      // The global top-64 by (priority, id) is a TakeOrdered — per-partition
+      // bounded heaps merged on the driver, never a full sort; exact for
+      // w ≤ 9e6 (w*1e9 stays under 2^53 even if an engine routes through
+      // doubles — document lengths are orders of magnitude below that).
+      // The k+1-th priority is the Horvitz-Thompson threshold if estimation
+      // is needed downstream — same query with limit 65.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          (T.hash60(concat(lit("ps:"), col("doc_id").cast("string")))
+            .bitwiseAND(lit((1L << 30) - 1))).as("h30"))
+        .selectExpr("doc_id", "weight",
+          "(weight * 1000000000) div (h30 + 1) as priority_fp")
+        .orderBy(col("priority_fp").desc, col("doc_id"))
+        .limit(64)),
+
+    "q104_token_windows" -> ((s, d) =>
+      // context-length chunking: each document's token stream split into
+      // overlapping training windows (size 64, stride 48 — the standard
+      // document→sequence step before packing). One narrow Generate per doc,
+      // zero shuffles before the output sort; the window CONTENT is
+      // hash-gated via md5 of the space-joined slice, so the oracle proves
+      // byte-exact window reassembly, not just counts.
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("n"), col("w"),
+          explode(expr("sequence(0, size(w) - 1, 48)")).as("start"))
+        .select(col("doc_id"), col("start"),
+          expr("start div 48").as("win_id"),
+          least(lit(64), col("n") - col("start")).as("n_tok"),
+          md5(array_join(slice(col("w"), col("start") + 1, lit(64)), " ")).as("win_md5"))
+        .orderBy(col("doc_id"), col("win_id")))
   )
 
   // ===================================================================== oracles
@@ -2817,6 +2854,29 @@ object PipelineQueries {
          SELECT w1, w2, c_ab,
                 ((c_ab * 1000000) // a.c) * 1000000 // b.c AS pmi_fp
          FROM bi JOIN uni a ON bi.w1 = a.t JOIN uni b ON bi.w2 = b.t
-         ORDER BY pmi_fp DESC, w1 ASC, w2 ASC LIMIT 20"""
+         ORDER BY pmi_fp DESC, w1 ASC, w2 ASC LIMIT 20""",
+
+    // Same integer priority arithmetic (`//` = `div`, `&` = bitwiseAND).
+    "q103_priority_sample" ->
+      s"""WITH p AS (
+           SELECT doc_id, n_chars AS weight,
+                  ${duckHash60("'ps:' || CAST(doc_id AS VARCHAR)")} & 1073741823 AS h30
+           FROM documents)
+         SELECT doc_id, weight,
+                (weight * 1000000000) // (h30 + 1) AS priority_fp
+         FROM p ORDER BY priority_fp DESC, doc_id ASC LIMIT 64""",
+
+    // DuckDB's range(0, n, 48) = Spark's sequence(0, n-1, 48) (multiples of
+    // 48 strictly below n); 1-based inclusive list slices clamp like Spark's
+    // slice(w, start+1, 64).
+    "q104_token_windows" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         win AS (
+           SELECT doc_id, len(w) AS n, w, unnest(range(0, len(w), 48)) AS start
+           FROM ws)
+         SELECT doc_id, start, start // 48 AS win_id,
+                least(64, n - start) AS n_tok,
+                md5(array_to_string(w[start+1 : least(start+64, n)], ' ')) AS win_md5
+         FROM win ORDER BY doc_id, win_id"""
   )
 }

@@ -178,6 +178,22 @@ class PlanShapeSpec extends SparkSpec {
       "the global top-20 must plan as TakeOrdered, never a full sort")
   }
 
+  test("priority sampling is scan → project → TakeOrdered — nothing else") {
+    assertNever("q103_priority_sample", "Join", "Window", "HashAggregate")
+    val p = planOf("q103_priority_sample")
+    assert(p.contains("TakeOrdered"),
+      "global top-64 must plan as TakeOrdered, never a full sort")
+  }
+
+  test("token windowing is one narrow Generate — no shuffle before the output sort") {
+    assertNever("q104_token_windows", "Join", "Window", "HashAggregate")
+    val p = planOf("q104_token_windows")
+    assert(p.contains("Generate"),
+      "the per-doc window explode must appear in the plan (anti-vacuousness check)")
+    assert(exchanges("q104_token_windows") <= 1,
+      "only the output ORDER BY may exchange")
+  }
+
   test("RRF windows rank only bounded top-k candidate sets") {
     // both retriever rankings run AFTER a limit — the single-partition
     // window is bounded by k, so a Window under an unlimited input would
