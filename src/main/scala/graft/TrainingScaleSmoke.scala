@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, CorpusOps, Dedup}
+import graft.operators.{Bpe, CorpusOps, Dedup, Ivf, Similarity}
 
 /**
  * Scale smoke for the training-data operators added in round 4: BPE merge
@@ -113,6 +113,52 @@ object TrainingScaleSmoke {
     require(merges.size == 8, s"expected 8 learned merges, got ${merges.size}")
     require(nVerified >= planted * 95 / 100,
       s"verified pairs $nVerified should recover ~all $planted planted dups")
+
+    // 5. Semantic dedup (q100's operator), capped at 100k vectors: duplicate
+    //    pairs are detected INSIDE an IVF cell only — the corpus never joins
+    //    itself globally, so cost is Σ n_cell², not N². Synthetic 32-dim
+    //    embeddings (random cosines concentrate at 0 ± 1/√32, so τ=0.95
+    //    isolates the planted pairs); id % 100 == 1 copies the previous
+    //    vector with a +0.05 nudge on dim 0 (cosine ≈ 1). Recall claim: a
+    //    planted pair co-clusters unless the nudge crosses a cell boundary —
+    //    SemDeDup's inherent cell-scoping approximation, so ≥ 95% is required,
+    //    100% is typical.
+    val nVec = math.min(nDocs, 100000)
+    val vecSql =
+      "transform(sequence(0, 31), j -> " +
+        "cast(conv(substring(md5(concat(vseed, ':', j)), 1, 15), 16, 10) as double)" +
+        " / 1152921504606846975.0 - 0.5)"
+    val vecs = spark.range(nVec)
+      .select(col("id"),
+        when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+          .cast("string").as("vseed"),
+        (col("id") % 100 === 1).as("isDup"))
+      .select(col("id"), expr(vecSql).as("base"), col("isDup"))
+      .select(col("id"),
+        when(col("isDup"),
+          expr("transform(base, (x, j) -> CASE WHEN j = 0 THEN x + 0.05d ELSE x END)"))
+          .otherwise(col("base")).as("vec"))
+      .localCheckpoint()
+    val cents = Ivf.selectCentroids(vecs, col("id") % (nVec / 32).max(1) === 7)
+    var semantic: org.apache.spark.sql.DataFrame = null
+    val nClusters = timed(s"semantic dedup ($nVec vecs, ${cents.length} cells)") {
+      semantic = Similarity.semanticDedup(vecs, cents, tau = 0.95).localCheckpoint()
+      semantic.count()
+    }
+    val memberOf = semantic.select(col("cluster_id"),
+        explode(split(col("members"), ",")).as("mid"))
+      .select(col("cluster_id"), col("mid").cast("long").as("id"))
+    val plantedPairs = spark.range(nVec).where(col("id") % 100 === 1)
+      .select((col("id") - 1).as("a"), col("id").as("b"))
+    val nPlantedVec = nVec / 100
+    val coClustered = plantedPairs
+      .join(memberOf.select(col("id").as("a"), col("cluster_id").as("ca")), "a")
+      .join(memberOf.select(col("id").as("b"), col("cluster_id").as("cb")), "b")
+      .where(col("ca") === col("cb")).count()
+    println(s"[training-smoke] semantic clusters=$nClusters " +
+      s"co-clustered=$coClustered planted=$nPlantedVec")
+    require(coClustered >= nPlantedVec * 95 / 100,
+      s"semantic dedup co-clustered $coClustered of $nPlantedVec planted pairs")
     spark.stop()
   }
 }

@@ -117,13 +117,10 @@ object Similarity {
    * (cluster_id = min member id, cell, keep_id, n_members, members).
    * Every edge is cell-internal, so a cluster lives in exactly one cell.
    */
-  /** [[semanticDedup]]'s candidate stage: duplicate pairs WITHIN an IVF cell
-   * (cosine ≥ `tau`), as a `cell` equi-join — exposed so PlanShapeSpec can
-   * pin the join shape (the components step checkpoints, hiding this plan
-   * from the final DataFrame). */
-  def semanticPairs(corpus: DataFrame, cents: Seq[Ivf.Centroid],
-                    tau: Double): DataFrame = {
-    val assigned = Ivf.assign(corpus, cents)
+  /** Cell-scoped pair detection over an already-assigned corpus:
+   * (id, vec, cell) → (a, b) with a < b and cosine ≥ `tau`, as a `cell`
+   * equi-join. */
+  private def pairsWithinCells(assigned: DataFrame, tau: Double): DataFrame = {
     val l = assigned.select(col("cell"), col("id").as("a"), col("vec").as("va"))
     val r = assigned.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
     l.join(r, Seq("cell"))
@@ -131,11 +128,24 @@ object Similarity {
       .select(col("a"), col("b"))
   }
 
+  /** [[semanticDedup]]'s candidate stage: duplicate pairs WITHIN an IVF cell
+   * (cosine ≥ `tau`), as a `cell` equi-join — exposed so PlanShapeSpec can
+   * pin the join shape (the components step checkpoints, hiding this plan
+   * from the final DataFrame). */
+  def semanticPairs(corpus: DataFrame, cents: Seq[Ivf.Centroid],
+                    tau: Double): DataFrame =
+    pairsWithinCells(Ivf.assign(corpus, cents), tau)
+
   def semanticDedup(corpus: DataFrame, cents: Seq[Ivf.Centroid],
                     tau: Double): DataFrame = {
+    // assignment + affinity computed ONCE and checkpointed: the nlist-term
+    // argmax expression otherwise gets planned (and Janino-compiled) again
+    // for each downstream branch — both pair sides and the survivor join —
+    // the q36 oversized-expression lesson applied to plan reuse
     val assigned = Ivf.assign(corpus, cents)
       .withColumn("ccos", Ivf.centroidCos(col("vec"), cents))
-    Dedup.components(semanticPairs(corpus, cents, tau))
+      .localCheckpoint()
+    Dedup.components(pairsWithinCells(assigned, tau))
       .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))
       .groupBy(col("component").as("cluster_id"))
       .agg(
