@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON. Two sbt
+// decorations break that: the logger's "[info] " prefix on forked output and
+// the trailing "[success] Total time: …" banner. StdoutOutput passes the
+// forked child's stdout through verbatim (no prefix); showSuccess drops the
+// banner, so the bench's final compact JSON line is genuinely last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
