@@ -70,17 +70,25 @@ object Dedup {
    * key, pair enumeration only inside buckets.
    */
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
-                        maxBucket: Int = 10000): DataFrame = {
-    val banded = bandedKeys(docs, k, bands)
+                        maxBucket: Int = 10000): DataFrame =
+    bucketedPairs(bandedKeys(docs, k, bands), maxBucket)
+
+  /**
+   * Guarded pair enumeration over ANY banded bucket table `(id, band,
+   * band_key)` — the shared back half of every bucketed candidate generator
+   * (MinHash bands here, phash bands in q90). Hot-bucket guard: a degenerate
+   * bucket (mass-duplicated boilerplate, an all-dark image band) would go
+   * quadratic on one reducer under pairsOf. Above `maxBucket`, emit only star
+   * pairs (every id against the bucket minimum) — O(bucket) work that
+   * preserves the connected component a dedup pass needs, while normal
+   * buckets keep the exact all-pairs enumeration. Bounded-candidate behavior
+   * on a planted mega-bucket is pinned in ScaleOpsSpec.
+   */
+  def bucketedPairs(banded: DataFrame, maxBucket: Int = 10000): DataFrame = {
     val buckets = banded
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-    // Hot-bucket guard: a degenerate bucket (mass-duplicated boilerplate)
-    // would go quadratic on one reducer under pairsOf. Above `maxBucket`,
-    // emit only star pairs (every id against the bucket minimum) — O(bucket)
-    // work that preserves the connected component a dedup pass needs, while
-    // normal buckets keep the exact all-pairs enumeration.
     val small = buckets.where(size(col("ids")) <= maxBucket)
       .select(explode(pairsOf(col("ids"))).as("p"))
     val hot = buckets.where(size(col("ids")) > maxBucket)
@@ -102,14 +110,31 @@ object Dedup {
    * re-pairing. Candidate recall is the same per-band collision bound as
    * [[minhashCandidates]]; verify with [[verifyJaccard]] over the union.
    * Returns (a, b) = (new id, existing id), distinct.
+   *
+   * Hot-bucket guard: a degenerate band value (boilerplate-heavy corpora)
+   * makes the new×existing join quadratic in the bucket's size. Existing-side
+   * buckets above `maxBucket` collapse to ONE deterministic representative
+   * (the minimum id) via a map-side-combinable count/min aggregate — no
+   * window sort ever lands the mega-bucket on one reducer — so a new doc
+   * still learns "this bucket collides" at O(1) join cost per hot bucket,
+   * mirroring [[bucketedPairs]]'s star fallback. Buckets at or under the cap
+   * keep the exact full join.
    */
   def incrementalCandidates(newDocs: DataFrame, oldDocs: DataFrame,
-                            k: Int, bands: Int): DataFrame = {
+                            k: Int, bands: Int,
+                            maxBucket: Int = 10000): DataFrame = {
     val nb = bandedKeys(newDocs, k, bands)
       .select(col("id").as("a"), col("band"), col("band_key"))
-    val ob = bandedKeys(oldDocs, k, bands)
+    val obAll = bandedKeys(oldDocs, k, bands)
       .select(col("id").as("b"), col("band"), col("band_key"))
-    nb.join(ob, Seq("band", "band_key"))
+    val sizes = obAll.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"), min(col("b")).as("rep"))
+    val obSmall = obAll.join(
+      sizes.where(col("n") <= maxBucket).select(col("band"), col("band_key")),
+      Seq("band", "band_key"))
+    val obHot = sizes.where(col("n") > maxBucket)
+      .select(col("band"), col("band_key"), col("rep").as("b"))
+    nb.join(obSmall.unionByName(obHot), Seq("band", "band_key"))
       .select(col("a"), col("b"))
       .distinct()
   }

@@ -119,13 +119,36 @@ object Similarity {
    */
   /** Cell-scoped pair detection over an already-assigned corpus:
    * (id, vec, cell) → (a, b) with a < b and cosine ≥ `tau`, as a `cell`
-   * equi-join. */
-  private def pairsWithinCells(assigned: DataFrame, tau: Double): DataFrame = {
-    val l = assigned.select(col("cell"), col("id").as("a"), col("vec").as("va"))
-    val r = assigned.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
-    l.join(r, Seq("cell"))
+   * equi-join.
+   *
+   * Hot-cell guard (the [[Dedup.bucketedPairs]] pattern): average cell size
+   * is bounded by the coarse quantizer, but one degenerate cell (an all-zero
+   * embedding cluster) would go quadratic. Cells above `maxCell` members
+   * degrade to STAR pairs — every member scored against the cell's minimum-id
+   * anchor only, cosine verification intact — O(cell) work that still ties
+   * the cell's true duplicates of the anchor into one component. Cell sizes
+   * are at most nlist rows, so the size lookup broadcasts. Bounded-candidate
+   * behavior on a planted mega-cell is pinned in ScaleOpsSpec. */
+  private def pairsWithinCells(assigned: DataFrame, tau: Double,
+                               maxCell: Int = 10000): DataFrame = {
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val withN = assigned.join(broadcast(sizes), Seq("cell"))
+    val small = withN.where(col("cell_n") <= maxCell)
+    val l = small.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+    val r = small.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+    val smallPairs = l.join(r, Seq("cell"))
       .where(col("a") < col("b") && cosineNative(col("va"), col("vb")) >= tau)
       .select(col("a"), col("b"))
+    val hot = withN.where(col("cell_n") > maxCell)
+    // one anchor row per hot cell — broadcastable by construction
+    val anchors = hot.groupBy(col("cell"))
+      .agg(min(struct(col("id"), col("vec"))).as("anc"))
+      .select(col("cell"), col("anc.id").as("a"), col("anc.vec").as("va"))
+    val hotPairs = hot.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+      .join(broadcast(anchors), Seq("cell"))
+      .where(col("a") < col("b") && cosineNative(col("va"), col("vb")) >= tau)
+      .select(col("a"), col("b"))
+    smallPairs.unionByName(hotPairs)
   }
 
   /** [[semanticDedup]]'s candidate stage: duplicate pairs WITHIN an IVF cell
@@ -133,11 +156,11 @@ object Similarity {
    * pin the join shape (the components step checkpoints, hiding this plan
    * from the final DataFrame). */
   def semanticPairs(corpus: DataFrame, cents: Seq[Ivf.Centroid],
-                    tau: Double): DataFrame =
-    pairsWithinCells(Ivf.assign(corpus, cents), tau)
+                    tau: Double, maxCell: Int = 10000): DataFrame =
+    pairsWithinCells(Ivf.assign(corpus, cents), tau, maxCell)
 
   def semanticDedup(corpus: DataFrame, cents: Seq[Ivf.Centroid],
-                    tau: Double): DataFrame = {
+                    tau: Double, maxCell: Int = 10000): DataFrame = {
     // assignment + affinity computed ONCE and checkpointed: the nlist-term
     // argmax expression otherwise gets planned (and Janino-compiled) again
     // for each downstream branch — both pair sides and the survivor join —
@@ -145,7 +168,7 @@ object Similarity {
     val assigned = Ivf.assign(corpus, cents)
       .withColumn("ccos", Ivf.centroidCos(col("vec"), cents))
       .localCheckpoint()
-    Dedup.components(pairsWithinCells(assigned, tau))
+    Dedup.components(pairsWithinCells(assigned, tau, maxCell))
       .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))
       .groupBy(col("component").as("cluster_id"))
       .agg(

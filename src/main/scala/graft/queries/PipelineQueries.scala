@@ -1321,25 +1321,24 @@ object PipelineQueries {
       // image near-duplicate detection by perceptual hash: REAL PPM payloads
       // (Codecs round-trip) decode to pixels, an integer aHash (8×4 block
       // means vs image mean — Multimodal.imagePhash) gives 32 bits per image,
-      // candidates come from an 8×4-bit banded equi-join and verify with
-      // bit_count(xor) ≤ 6. With ≤ 6 differing bits and 8 bands, pigeonhole
-      // GUARANTEES one identical band — recall vs the quadratic oracle is a
-      // theorem, not a corpus property. The hash table is checkpointed once
-      // (it feeds both the bands and the verification); a production corpus
-      // would add q32's hot-bucket guard for degenerate all-dark buckets.
+      // candidates come from an 8×4-bit banded equi-join via the GUARDED
+      // Dedup.bucketedPairs (degenerate all-dark bands — every image sharing
+      // one bucket — degrade to star pairs instead of going quadratic), then
+      // verify with bit_count(xor) ≤ 6. With ≤ 6 differing bits and 8 bands,
+      // pigeonhole GUARANTEES one identical band — recall vs the quadratic
+      // oracle is a theorem, not a corpus property. The hash table is
+      // checkpointed once (it feeds both the bands and the verification).
       val ph = graft.multimodal.Multimodal.imagePhash(
         graft.multimodal.Multimodal.synthesizeReal(Tables.documents(s, d)))
         .localCheckpoint()
-      val bands = ph.select(col("doc_id"), col("phash"), explode(expr(
-        "transform(sequence(0, 7), b -> struct(b AS bidx, shiftright(phash, b * 4) & 15 AS bval))")).as("bb"))
-        .select(col("doc_id"), col("phash"), col("bb.bidx").as("bidx"), col("bb.bval").as("bval"))
-      bands.as("a").join(bands.as("b"),
-          col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.phash").bitwiseXOR(col("b.phash")).as("x"))
-        .distinct()
-        .select(col("id_a"), col("id_b"), expr("bit_count(x)").cast("long").as("ham"))
+      val bands = ph.select(col("doc_id").as("id"), explode(expr(
+        "transform(sequence(0, 7), b -> struct(b AS band, shiftright(phash, b * 4) & 15 AS band_key))")).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      Dedup.bucketedPairs(bands)
+        .join(ph.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
+        .join(ph.select(col("doc_id").as("b"), col("phash").as("pb")), "b")
+        .select(col("a").as("id_a"), col("b").as("id_b"),
+          expr("bit_count(pa ^ pb)").cast("long").as("ham"))
         .where(col("ham") <= 6)
         .orderBy(col("id_a"), col("id_b"))
     }),

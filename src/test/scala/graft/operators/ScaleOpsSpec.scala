@@ -114,6 +114,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs.map(_._2).toSet == (2L to 1000L).toSet)
   }
 
+  test("hot IVF cells fall back to anchor-star pairs, preserving connectivity") {
+    import spark.implicits._
+    // 400 identical embeddings: one cell holds everything, all-pairs within
+    // it would be ~80k candidate rows; the guard must emit exactly the star
+    val corpus = (1L to 400L).map(i => (i, Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "vec")
+    val cents = Ivf.selectCentroids(corpus, col("id") === 1)
+    val pairs = Similarity.semanticPairs(corpus, cents, tau = 0.9, maxCell = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star pattern: every member pairs with the cell's minimum-id anchor
+    assert(pairs.length == 399)
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2).toSet == (2L to 400L).toSet)
+    // below the cap the exact all-pairs enumeration is untouched
+    val smallCorpus = (1L to 10L).map(i => (i, Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "vec")
+    val smallCents = Ivf.selectCentroids(smallCorpus, col("id") === 1)
+    assert(Similarity.semanticPairs(smallCorpus, smallCents, 0.9).count() == 45)
+  }
+
+  test("hot existing-side buckets collapse to one representative in incremental LSH") {
+    import spark.implicits._
+    def docs(ids: Range) = ids.map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("id", "text")
+      .select(col("id"), T.shingles(col("text"), 2).as("shingles"))
+    // 500 identical existing docs: every band bucket is a mega-bucket; each
+    // new doc must join ONE representative (the bucket minimum), not all 500
+    val inc = Dedup.incrementalCandidates(
+        docs(1001 to 1005), docs(1 to 500), 36, 12, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == (1001L to 1005L).map(n => (n, 1L)).toSet)
+    // under the cap the full existing side joins — candidates are exhaustive
+    val full = Dedup.incrementalCandidates(
+        docs(1001 to 1002), docs(1 to 20), 36, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == (for (n <- 1001L to 1002L; o <- 1L to 20L) yield (n, o)).toSet)
+  }
+
   test("minhash candidates ignore empty-shingle docs on both kernel paths") {
     import spark.implicits._
     val docs = Seq(
