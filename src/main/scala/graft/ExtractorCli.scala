@@ -21,7 +21,12 @@ import graft.xml.XmlExtraction
 object ExtractorCli {
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
-    if (positional.length != 3) {
+    // an unknown flag must error, never silently fall through to the batch
+    // path (a misspelled --streaming would otherwise overwrite the output)
+    val unknown = flags.filterNot(Set("--seq", "--stream"))
+    if (unknown.nonEmpty || positional.length != 3) {
+      if (unknown.nonEmpty)
+        System.err.println(s"Unknown flag(s): ${unknown.mkString(", ")}")
       System.err.println("Usage: ExtractorCli [--seq|--stream] <in path> <out path> <config>")
       sys.exit(2)
     }

