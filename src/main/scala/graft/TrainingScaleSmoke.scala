@@ -123,12 +123,11 @@ object TrainingScaleSmoke {
     //    planted pair co-clusters unless the nudge crosses a cell boundary —
     //    SemDeDup's inherent cell-scoping approximation, so ≥ 95% is required,
     //    100% is typical.
-    val nVec = math.min(nDocs, 100000)
     val vecSql =
       "transform(sequence(0, 31), j -> " +
         "cast(conv(substring(md5(concat(vseed, ':', j)), 1, 15), 16, 10) as double)" +
         " / 1152921504606846975.0 - 0.5)"
-    val vecs = spark.range(nVec)
+    def mkVecs(n: Long) = spark.range(n)
       .select(col("id"),
         when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
           .cast("string").as("vseed"),
@@ -139,6 +138,8 @@ object TrainingScaleSmoke {
           expr("transform(base, (x, j) -> CASE WHEN j = 0 THEN x + 0.05d ELSE x END)"))
           .otherwise(col("base")).as("vec"))
       .localCheckpoint()
+    val nVec = math.min(nDocs, 100000)
+    val vecs = mkVecs(nVec)
     val cents = Ivf.selectCentroids(vecs, col("id") % (nVec / 32).max(1) === 7)
     var semantic: org.apache.spark.sql.DataFrame = null
     val nClusters = timed(s"semantic dedup ($nVec vecs, ${cents.length} cells)") {
@@ -159,6 +160,34 @@ object TrainingScaleSmoke {
       s"co-clustered=$coClustered planted=$nPlantedVec")
     require(coClustered >= nPlantedVec * 95 / 100,
       s"semantic dedup co-clustered $coClustered of $nPlantedVec planted pairs")
+
+    // 6. IVF-PQ (q98's operator) at the FULL document count (up to 1M): the
+    //    index build is one narrow map (coarse argmax + per-subspace argmin
+    //    over a driver-held codebook) storing (cell, code1, code2) per
+    //    vector — never the embedding; ADC search broadcasts ~100 query LUTs
+    //    against the probed cells and scores by array lookups. The claims
+    //    under test: build cost scales with scan speed, search cost with the
+    //    probed fraction, and every query fills its top-5.
+    val nPq = math.min(nDocs, 1000000).toLong
+    val pqVecs = if (nPq == nVec) vecs else mkVecs(nPq)
+    val pqCoarse = Ivf.selectCentroids(pqVecs, col("id") % (nPq / 64).max(1) === 3)
+    val pqCb = pqVecs.where(col("id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val pqSplits = Seq((1, 16), (17, 16))
+    val index = timed(s"ivfpq index build ($nPq vecs, ${pqCoarse.length} cells)") {
+      val i = Ivf.pqIndex(pqVecs, pqCoarse, pqCb, pqSplits).localCheckpoint()
+      i.count()
+      i
+    }
+    val pqQueries = pqVecs.where(col("id") % (nPq / 100).max(1) === 5)
+    val nQ = pqQueries.count()
+    val nHits = timed(s"ivfpq adc search ($nQ queries, nprobe=3)") {
+      Ivf.adcSearch(index, pqQueries, pqCoarse, pqCb, pqSplits,
+        nprobe = 3, k = 5).count()
+    }
+    println(s"[training-smoke] ivfpq queries=$nQ hits=$nHits")
+    require(nHits == nQ * 5,
+      s"every query should fill its top-5: got $nHits of ${nQ * 5}")
     spark.stop()
   }
 }

@@ -119,6 +119,13 @@ object Dedup {
    * still learns "this bucket collides" at O(1) join cost per hot bucket,
    * mirroring [[bucketedPairs]]'s star fallback. Buckets at or under the cap
    * keep the exact full join.
+   *
+   * The corpus band table is materialized once (localCheckpoint) before the
+   * size aggregate and the join both read it — otherwise the minhash of the
+   * ENTIRE existing corpus recomputes for each branch (a measured 5× at 1M
+   * docs in TrainingScaleSmoke). In production this table is the persisted,
+   * bucketed artifact the docstring above assumes; here the checkpoint is
+   * its in-session stand-in.
    */
   def incrementalCandidates(newDocs: DataFrame, oldDocs: DataFrame,
                             k: Int, bands: Int,
@@ -127,6 +134,7 @@ object Dedup {
       .select(col("id").as("a"), col("band"), col("band_key"))
     val obAll = bandedKeys(oldDocs, k, bands)
       .select(col("id").as("b"), col("band"), col("band_key"))
+      .localCheckpoint()
     val sizes = obAll.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n"), min(col("b")).as("rep"))
     val obSmall = obAll.join(

@@ -126,4 +126,79 @@ object Ivf {
         cosineNative(col("vec"), col("qvec")).as("cos"))
     Similarity.topK(scored, k)
   }
+
+  // ------------------------------------------------------------------ IVF-PQ
+  // Product-quantized variant (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search"; Faiss IVFPQ with by_residual=false): the stored
+  // index carries ONLY (cell, one small code per subspace) per vector — the
+  // ~100× memory cut that makes billion-scale ANN fit — and queries score
+  // candidates by table lookups (asymmetric distance computation), never
+  // touching the original vectors.
+
+  /** Squared L2 between a vector-slice column and a literal codeword. */
+  private def subD2(half: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(half, typedlit(c), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `splits`: one (1-based offset, length) per PQ subspace; `cb` holds the
+   * sub-codebooks as full-dim vectors sliced per subspace (one shared table,
+   * the by_residual=false layout). */
+  private def cbSlice(cw: Seq[Double], split: (Int, Int)): Seq[Double] =
+    cw.slice(split._1 - 1, split._1 - 1 + split._2)
+
+  /**
+   * PQ index build: (`id`, `vec`) → (`neighbor_id`, `cell`, `code1`..`codeM`)
+   * — a narrow map (coarse argmax + one argmin per subspace over the
+   * driver-held codebook), no join, no shuffle. At 100 TB this is the table
+   * to persist (`partitionBy("cell")`); it stores a cell id and M small ints
+   * per vector instead of the embedding.
+   */
+  def pqIndex(corpus: DataFrame, coarse: Seq[Centroid],
+              cb: Seq[(Long, Seq[Double])], splits: Seq[(Int, Int)]): DataFrame = {
+    require(cb.nonEmpty && splits.nonEmpty, "PQ needs a codebook and subspaces")
+    def codeFor(j: Int): Column = {
+      val half = slice(col("vec"), splits(j)._1, splits(j)._2)
+      // argmin via lexicographic struct min: (distance ASC, code id ASC)
+      array_min(array(cb.map { case (cid, cw) =>
+        struct(subD2(half, cbSlice(cw, splits(j))).as("dd"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }
+    assign(corpus, coarse).select(
+      col("id").as("neighbor_id") +: col("cell") +:
+        splits.indices.map(j => codeFor(j).as(s"code${j + 1}")): _*)
+  }
+
+  /**
+   * ADC search over a [[pqIndex]] table: each query computes ONE |cb|-entry
+   * L2 lookup table per subspace (driver-held codebook, fused folds), probes
+   * its `nprobe` nearest coarse cells, and scores every candidate with M
+   * array lookups — a broadcast equi-join on `cell` plus the bounded-heap
+   * `topk_by`, the q39 exchange shape with the vector reads deleted.
+   * Returns (query_id, rank, neighbor_id, adc), adc = approximate squared L2.
+   */
+  def adcSearch(index: DataFrame, queries: DataFrame, coarse: Seq[Centroid],
+                cb: Seq[(Long, Seq[Double])], splits: Seq[(Int, Int)],
+                nprobe: Int, k: Int): DataFrame = {
+    def lutFor(j: Int): Column = {
+      val half = slice(col("vec"), splits(j)._1, splits(j)._2)
+      array(cb.map { case (_, cw) => subD2(half, cbSlice(cw, splits(j))) }: _*)
+    }
+    val probes = queries.select(
+      col("id").as("query_id") +:
+        explode(probeCells(col("vec"), coarse, nprobe)).as("cell") +:
+        splits.indices.map(j => lutFor(j).as(s"lut${j + 1}")): _*)
+    val adc = splits.indices
+      .map(j => element_at(col(s"lut${j + 1}"), col(s"code${j + 1}").cast("int") + 1))
+      .reduce(_ + _)
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    // bounded-heap top-k on the NEGATED distance: topk_by keeps
+    // (score DESC, id ASC) = (adc ASC, neighbor ASC)
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by", -col("adc"), col("neighbor_id"), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), round(-col("col.score"), 6).as("adc"))
+  }
 }

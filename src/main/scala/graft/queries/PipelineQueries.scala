@@ -1398,39 +1398,11 @@ object PipelineQueries {
       val emb = embVecs(s, d)
       val coarse = Ivf.selectCentroids(emb, col("id") % 64 === 0)
       val cb = emb.where(col("id") < 16).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-      def d2(half: Column, c: Seq[Double]): Column =
-        aggregate(zip_with(half, typedLit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-      def sub(vec: Seq[Double], j: Int): Seq[Double] =
-        if (j == 0) vec.slice(0, 32) else vec.slice(32, 64)
-      def code(half: Column, j: Int): Column =
-        array_min(array(cb.map { case (cid, vec) =>
-          struct(d2(half, sub(vec, j)).as("dd"), lit(cid).as("cid"))
-        }: _*)).getField("cid")
-      val indexed = Ivf.assign(emb, coarse)
-        .select(col("id").as("neighbor_id"), col("cell"),
-          code(expr("slice(vec, 1, 32)"), 0).as("code1"),
-          code(expr("slice(vec, 33, 32)"), 1).as("code2"))
-      def lutOf(half: Column, j: Int): Column =
-        array(cb.map { case (_, vec) => d2(half, sub(vec, j)) }: _*)
-      val probes = embVecs(s, d, col("vec_id") % 100 === 0)
-        .select(col("id").as("query_id"),
-          explode(Ivf.probeCells(col("vec"), coarse, 3)).as("cell"),
-          lutOf(expr("slice(vec, 1, 32)"), 0).as("lut1"),
-          lutOf(expr("slice(vec, 33, 32)"), 1).as("lut2"))
-      val scored = indexed.join(broadcast(probes), Seq("cell"))
-        .where(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (element_at(col("lut1"), col("code1").cast("int") + 1) +
-            element_at(col("lut2"), col("code2").cast("int") + 1)).as("adc"))
-      // bounded-heap top-k on the NEGATED distance: topk_by keeps
-      // (score DESC, id ASC) = (adc ASC, neighbor ASC)
-      scored.groupBy(col("query_id"))
-        .agg(call_function("topk_by", -col("adc"), col("neighbor_id"), lit(5)).as("topk"))
-        .select(col("query_id"), posexplode(col("topk")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("col.id").as("neighbor_id"), round(-col("col.score"), 6).as("adc"))
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val splits = Seq((1, 32), (33, 32))
+      Ivf.adcSearch(Ivf.pqIndex(emb, coarse, cb, splits),
+          embVecs(s, d, col("vec_id") % 100 === 0), coarse, cb, splits,
+          nprobe = 3, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
