@@ -179,6 +179,12 @@ object StreamingExtraction {
    * eviction hook for abandoned keys. The SAME code runs in batch mode (all
    * rows of a key arrive as one group, state starts empty), which is what
    * q46's oracle gates: batch-mode totals == plain GROUP BY.
+   *
+   * Large key spaces: the state-store provider is a config, not an operator
+   * concern — set `spark.sql.streaming.stateStore.providerClass` to
+   * `RocksDBStateStoreProvider` to bound state by local disk instead of
+   * executor heap (RocksDbStateSpec proves both stateful twins are
+   * result-identical under it).
    */
   def runningUserTotals(events: DataFrame,
                         evictAfter: Option[String] = None): DataFrame = {
