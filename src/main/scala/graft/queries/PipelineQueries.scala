@@ -1571,7 +1571,122 @@ object PipelineQueries {
           expr("start div 48").as("win_id"),
           least(lit(64), col("n") - col("start")).as("n_tok"),
           md5(array_join(slice(col("w"), col("start") + 1, lit(64)), " ")).as("win_md5"))
-        .orderBy(col("doc_id"), col("win_id")))
+        .orderBy(col("doc_id"), col("win_id"))),
+
+    "q105_dsir_weights" -> ((s, d) => {
+      // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+      // Language Models via Importance Resampling"): score each raw-pool
+      // document by how target-like its hashed n-gram feature profile is,
+      // keep the top-k. Target = the `en` slice, raw = everything else;
+      // features are word bigrams hashed into 4096 buckets (the paper's
+      // hashed-ngram reduction — the feature space is BOUNDED regardless of
+      // corpus size, which is the whole scale story). Per-feature affinity is
+      // the +1-smoothed COUNT ratio in fixed point,
+      //   r_fp(b) = (1e6·(c_tgt(b)+1)) div (c_raw(b)+1)
+      // — the DSIR probability ratio times the constant (R+V)/(T+V), which
+      // scales every document's score equally and so preserves the ranking
+      // while keeping the arithmetic integer (engine-independent bits; the
+      // q71/q85 idiom). Overflow-free domain proven in FixedPointSpec:
+      // c_tgt ≤ 1e9 occurrences per bucket, ≤ 1e4 bigrams per doc.
+      // Shapes for 100 TB: ONE conditional aggregation builds both corpus
+      // profiles (≤4096 rows → broadcast); scoring is one per-(doc,bucket)
+      // partial-aggregated shuffle + a broadcast join; top-k is TakeOrdered.
+      val fb = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), T.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
+        .select(col("doc_id"), col("lang"),
+          (T.hash60(concat(lit("dsir:"), col("g"))) % 4096).as("b"))
+      val ratios = fb.groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_raw"))
+        .where(col("c_raw") > 0)
+        .selectExpr("b", "(1000000 * (c_tgt + 1)) div (c_raw + 1) as r_fp")
+      fb.where(col("lang") =!= "en")
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .join(broadcast(ratios), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("r_fp")).as("weight_fp"))
+        .orderBy(col("weight_fp").desc, col("doc_id").asc)
+        .limit(64)
+    }),
+
+    "q106_paragraph_dedup" -> ((s, d) => {
+      // INTER-document duplicate-passage filtering (the RefinedWeb /
+      // MassiveText fuzzy-line rule, Penedo et al. 2023 §3.3, Rae et al.
+      // 2021 A1.2): q30 drops whole-document copies and q62 scores
+      // repetition WITHIN a document; this flags documents whose content is
+      // largely made of passages that also occur ELSEWHERE in the corpus
+      // (boilerplate, licenses, navigation). Passage = non-overlapping
+      // 8-word chunk (tail kept); a doc is dropped when ≥ 30% of its tokens
+      // sit in chunks whose md5 occurs ≥ 2 times corpus-wide.
+      // Shapes for 100 TB: chunking is one narrow Generate; the global
+      // digest census is a map-side-combinable count; charging occurrence
+      // back to docs is a digest equi-join (the q63 postings shape) + one
+      // per-doc aggregation. Fixed-point fraction → engine-independent bits.
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("n"), col("w"),
+          explode(expr("sequence(0, size(w) - 1, 8)")).as("st"))
+        .select(col("doc_id"),
+          least(lit(8), col("n") - col("st")).as("ntok"),
+          md5(array_join(slice(col("w"), col("st") + 1, lit(8)), " ")).as("dg"))
+      val census = ch.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
+      ch.join(census, "dg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("ntok")).as("tot_tok"),
+          sum(when(col("occ") >= 2, col("ntok")).otherwise(0L)).as("dup_tok"))
+        .selectExpr("doc_id", "n_chunks", "tot_tok", "dup_tok",
+          "(1000000 * dup_tok) div tot_tok as dup_fp",
+          "(1000000 * dup_tok) div tot_tok < 300000 as keep")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q107_kmeans_lloyd" -> ((s, d) => {
+      // Lloyd's k-means over the embeddings — LEARNED centroids, where the
+      // IVF family (q39/q98/q100) uses id-sampled ones: k=8 seeded from
+      // vec_id 0..7, 3 assignment/update rounds. All arithmetic is 1e6
+      // fixed-point (floor(x·1e6) per coordinate — floor, not cast: DuckDB
+      // CAST rounds where Spark truncates; `div` truncation matches on both
+      // engines even for negative sums), so centroids are engine-independent
+      // integer bits with no float-summation order sensitivity.
+      // Shapes for 100 TB: each round is ONE narrow argmin over k
+      // driver-held centroid literals (no join — the q87 PQ-assign shape)
+      // + ONE (cluster, dim) aggregation whose output is k·dim rows
+      // (collected: 512 longs). A cluster that loses every member drops out
+      // (k shrinks) — identically on both engines. Output = final round's
+      // (cluster, dim, mean_fp, n_members).
+      val e = embVecs(s, d).select(col("id"),
+        expr("transform(vec, x -> cast(floor(x * 1000000.0d) as bigint))").as("vfp"))
+      var cents: Seq[(Long, Seq[Long])] = e.where(col("id") < 8)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      def assigned = {
+        val d2s = cents.map { case (cid, c) =>
+          struct(aggregate(zip_with(col("vfp"), typedlit(c),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"),
+            lit(cid).as("cid"))
+        }
+        e.select(col("id"), col("vfp"),
+          array_min(array(d2s: _*)).getField("cid").as("cluster"))
+      }
+      def update = assigned
+        .select(col("cluster"), posexplode(col("vfp")))
+        .groupBy(col("cluster"), col("pos").as("dim"))
+        .agg(expr("sum(col) div count(1)").as("mean_fp"),
+          count(lit(1)).as("n_members"))
+      for (_ <- 1 to 2) {
+        cents = update.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).toSeq
+          .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+          .sortBy(_._1)
+      }
+      update.orderBy(col("cluster"), col("dim"))
+    })
   )
 
   // ===================================================================== oracles
@@ -2853,6 +2968,91 @@ object PipelineQueries {
          SELECT doc_id, start, start // 48 AS win_id,
                 least(64, n - start) AS n_tok,
                 md5(array_to_string(w[start+1 : least(start+64, n)], ' ')) AS win_md5
-         FROM win ORDER BY doc_id, win_id"""
+         FROM win ORDER BY doc_id, win_id""",
+
+    // Same 4096-bucket bigram hash, same +1-smoothed integer count ratio
+    // (`//` = `div`). fb feeds three aggregations → MATERIALIZED.
+    "q105_dsir_weights" ->
+      s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         fb AS MATERIALIZED (
+           SELECT doc_id, lang,
+                  ${duckHash60("'dsir:' || g")} % 4096 AS b
+           FROM (SELECT doc_id, lang,
+                        unnest(list_transform(range(0, len(w) - 1),
+                                 i -> w[i+1] || ' ' || w[i+2])) AS g
+                 FROM ws WHERE len(w) >= 2)),
+         r AS (
+           SELECT b,
+                  (1000000 * (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1))
+                    // (CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1) AS r_fp
+           FROM fb GROUP BY b
+           HAVING CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) > 0),
+         dc AS (
+           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           FROM fb WHERE lang <> 'en' GROUP BY doc_id, b)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                CAST(sum(c * r_fp) AS BIGINT) AS weight_fp
+         FROM dc JOIN r USING (b)
+         GROUP BY doc_id
+         ORDER BY weight_fp DESC, doc_id ASC LIMIT 64""",
+
+    // Same 8-word chunking, md5 census, and fixed-point dup fraction.
+    // ch feeds both the census and the per-doc charge → MATERIALIZED.
+    "q106_paragraph_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         ch AS MATERIALIZED (
+           SELECT doc_id, least(8, len(w) - st) AS ntok,
+                  md5(array_to_string(w[st+1 : least(st+8, len(w))], ' ')) AS dg
+           FROM (SELECT doc_id, w, unnest(range(0, len(w), 8)) AS st FROM ws)),
+         census AS (SELECT dg, CAST(count(*) AS BIGINT) AS occ FROM ch GROUP BY dg)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(ntok) AS BIGINT) AS tot_tok,
+                CAST(sum(CASE WHEN occ >= 2 THEN ntok ELSE 0 END) AS BIGINT) AS dup_tok,
+                CAST((1000000 * sum(CASE WHEN occ >= 2 THEN ntok ELSE 0 END)) // sum(ntok) AS BIGINT) AS dup_fp,
+                (1000000 * CAST(sum(CASE WHEN occ >= 2 THEN ntok ELSE 0 END) AS BIGINT))
+                  // CAST(sum(ntok) AS BIGINT) < 300000 AS keep
+         FROM ch JOIN census USING (dg)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // Three unrolled Lloyd rounds, every stage MATERIALIZED (the BPE-oracle
+    // memory lesson). floor (not CAST — DuckDB rounds, Spark truncates) for
+    // the 1e6 fixed-point lift; `//` = `div` truncation matches Spark on the
+    // possibly-negative coordinate sums; argmin tie-break (d2, cluster) via
+    // the row_number window; a cluster with no members drops out, exactly as
+    // the Spark side's collect-and-rebuild does.
+    "q107_kmeans_lloyd" -> {
+      def round(i: Int, prev: String): String =
+        s"""a$i AS MATERIALIZED (
+           SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_reduce(list_concat([CAST(0 AS BIGINT)],
+                        list_transform(list_zip(e.vfp, c.vfp),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                        (x, y) -> x + y) ASC, c.cluster ASC) AS rn
+             FROM e CROSS JOIN $prev c)
+           WHERE rn = 1),
+         u$i AS MATERIALIZED (
+           SELECT cluster, j AS dim,
+                  CAST(sum(e.vfp[j + 1]) // count(*) AS BIGINT) AS mean_fp,
+                  CAST(count(*) AS BIGINT) AS n_members
+           FROM a$i JOIN e USING (vec_id) CROSS JOIN range(0, 64) r(j)
+           GROUP BY cluster, j),
+         c$i AS MATERIALIZED (
+           SELECT cluster, list(mean_fp ORDER BY dim) AS vfp
+           FROM u$i GROUP BY cluster)"""
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS vfp
+           FROM embeddings),
+         c0 AS MATERIALIZED (
+           SELECT vec_id AS cluster, vfp FROM e WHERE vec_id < 8),
+         ${round(1, "c0")},
+         ${round(2, "c1")},
+         ${round(3, "c2")}
+         SELECT cluster, dim, mean_fp, n_members
+         FROM u3 ORDER BY cluster, dim"""
+    }
   )
 }

@@ -94,4 +94,27 @@ class FixedPointSpec extends SparkSpec {
     assert(out.head.getLong(1) == 0xF0F0F0F0L,
       f"expected 0xF0F0F0F0, got 0x${out.head.getLong(1)}%08X")
   }
+
+  test("DSIR integer arithmetic never overflows in its documented domain") {
+    // q105 documents: per-bucket target count ≤ 1e9, ≤ 1e4 bigrams per doc.
+    // Every bucket a scored doc touches has c_raw ≥ c_doc ≥ 1 (the doc IS
+    // part of the raw pool), so r_fp ≤ 1e6·(c_tgt+1)/2 ≤ ~5e14 and the doc
+    // score Σ c·r_fp ≤ 1e4 · 5e14 = 5e18 < 2^63. Replay the corners in Long
+    // and BigInt; equality proves no wraparound.
+    for {
+      cTgt <- Seq(0L, 1000L, 1000000000L)
+      cRaw <- Seq(1L, 1000L, 1000000000L)
+      cDoc <- Seq(1L, 100L, 10000L)
+      if cRaw >= cDoc // doc features are part of the raw pool
+    } {
+      val rLong = (1000000L * (cTgt + 1L)) / (cRaw + 1L)
+      val rBig = (BigInt(1000000) * (BigInt(cTgt) + 1)) / (BigInt(cRaw) + 1)
+      assert(BigInt(rLong) == rBig, s"ratio wrap at c_tgt=$cTgt c_raw=$cRaw")
+      // worst-case doc score: the WHOLE doc budget on this one bucket
+      val wLong = cDoc * rLong
+      val wBig = BigInt(cDoc) * rBig
+      assert(BigInt(wLong) == wBig,
+        s"weight wrap at c_tgt=$cTgt c_raw=$cRaw c_doc=$cDoc")
+    }
+  }
 }

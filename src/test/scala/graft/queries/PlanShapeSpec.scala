@@ -203,4 +203,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GlobalLimit") || p.contains("TakeOrdered"),
       "rankings must be cut to top-k before the rank window")
   }
+
+  test("DSIR scoring broadcasts the bounded ratio table; top-k is a TakeOrdered") {
+    // the feature space is 4096 buckets by construction, so the ratio table
+    // must BROADCAST — a sort-merge join here would shuffle the whole
+    // per-(doc,bucket) count table on the bucket key for nothing
+    assertNever("q105_dsir_weights",
+      "SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "Window")
+    val p = planOf("q105_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ratio join must broadcast (anti-vacuousness check)")
+    assert(p.contains("TakeOrdered"), "top-64 must be a TakeOrdered, not a global sort")
+  }
+
+  test("paragraph dedup is census + digest equi-join + per-doc agg — no window") {
+    // the digest census is an aggregate (map-side combinable), NOT a
+    // count-over-digest window (which would sort every chunk row); charging
+    // occurrence back to docs is an equi-join on the digest
+    assertNever("q106_paragraph_dedup",
+      "Window", "BroadcastNestedLoopJoin", "CartesianProduct")
+    val p = planOf("q106_paragraph_dedup")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "the census must be an aggregate (anti-vacuousness check)")
+  }
+
+  test("k-means assignment is a narrow argmin over centroid literals — no join") {
+    // centroids are driver-held literals (the q87 PQ-assign shape): the
+    // final-round plan must contain no Join at all, and only the
+    // (cluster, dim) aggregation plus the output sort may exchange
+    assertNever("q107_kmeans_lloyd", "Join", "CartesianProduct", "Window")
+    val p = planOf("q107_kmeans_lloyd")
+    assert(p.contains("Generate"),
+      "the per-dim posexplode must appear in the plan (anti-vacuousness check)")
+    assert(exchanges("q107_kmeans_lloyd") <= 2,
+      "one hash exchange for the (cluster, dim) agg, one range for the sort")
+  }
 }
