@@ -52,6 +52,25 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training: each query's top-k most
+   * similar vectors with a DIFFERENT label — the high-similarity/wrong-class
+   * examples that make the strongest negatives. Inputs carry (id, vec,
+   * label). Same scan shape as [[knnBruteForce]]: queries broadcast, corpus
+   * scanned once, the label inequality folded into the join predicate so
+   * same-class rows never reach the scorer, bounded-heap top-k.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      col("label").as("qlabel"))
+    val scored = corpus.select(col("id").as("neighbor_id"), col("vec"), col("label"))
+      .join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineNative(col("vec"), col("qvec")).as("cos"))
+    topK(scored, k)
+  }
+
+  /**
    * LSH-bucketed approximate top-k: corpus and queries are signed with the same
    * deterministic hyperplane signature; candidates come from an equi-join on
    * the signature (plus optional multi-probe over 1-bit flips), then exact

@@ -1686,6 +1686,73 @@ object PipelineQueries {
           .sortBy(_._1)
       }
       update.orderBy(col("cluster"), col("dim"))
+    }),
+
+    "q108_centroid_classify" -> ((s, d) => {
+      // nearest-class-centroid auto-labeling (Rocchio / prototypical
+      // classification) + its confusion matrix — the label-propagation /
+      // label-QA pass of a curation pipeline. Class prototypes are the
+      // per-label mean embeddings in floor(x·1e6) fixed point (q107's
+      // arithmetic: engine-independent bits, no float summation order);
+      // assignment is the narrow argmin over the k·dim driver-held
+      // prototype literals — no join — and the confusion matrix is one
+      // (label, pred) aggregation. At 100 TB: one bounded-output agg to
+      // learn prototypes, then scan-speed classification.
+      val e = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("label"),
+        expr("transform(embedding, " +
+          "x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))").as("vfp"))
+      val cents = e.select(col("label"), posexplode(col("vfp")))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr("sum(col) div count(1)").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toSeq
+        .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
+      val d2s = cents.map { case (l, c) =>
+        struct(aggregate(zip_with(col("vfp"), typedlit(c),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(l).as("l"))
+      }
+      e.select(col("label"), array_min(array(d2s: _*)).getField("l").as("pred"))
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
+    "q109_source_overlap" -> ((s, d) => {
+      // cross-source contamination matrix: how many distinct 8-word passages
+      // each PAIR of sources shares — the provenance report behind "these
+      // two crawl dumps are the same site" decisions (and the pair-level
+      // view of q106's corpus-wide census). Per-digest state is the distinct
+      // SOURCE set (bounded by the source count, a small constant — never
+      // the doc list), so the groupBy cannot blow up on a boilerplate
+      // digest; pair expansion is ≤ C(n_sources, 2) rows per digest.
+      val ch = Tables.documents(s, d)
+        .select(col("source"), T.tokens(col("text")).as("w"))
+        .select(col("source"), col("w"),
+          explode(expr("sequence(0, size(w) - 1, 8)")).as("st"))
+        .select(col("source"),
+          md5(array_join(slice(col("w"), col("st") + 1, lit(8)), " ")).as("dg"))
+        .distinct()
+      ch.groupBy(col("dg")).agg(array_sort(collect_set(col("source"))).as("srcs"))
+        .where(size(col("srcs")) >= 2)
+        .select(explode(expr("flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+        .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "q110_hard_negatives" -> ((s, d) => {
+      // hard-negative mining for contrastive training: per query, the top-5
+      // most-similar embeddings with a DIFFERENT label (high-similarity
+      // wrong-class rows are the negatives that carry gradient). q35's
+      // broadcast brute-force scan with the label inequality folded into the
+      // join predicate — same-class rows never reach the scorer.
+      val e = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        V.asDouble(col("embedding")).as("vec"), col("label"))
+      Similarity.hardNegatives(e, e.where(col("id") % 50 === 0), k = 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3053,6 +3120,64 @@ object PipelineQueries {
          ${round(3, "c2")}
          SELECT cluster, dim, mean_fp, n_members
          FROM u3 ORDER BY cluster, dim"""
-    }
+    },
+
+    // Same fixed-point prototypes (floor lift, `//` = `div` mean), same
+    // (d2, label) argmin tie-break via row_number.
+    "q108_centroid_classify" ->
+      """WITH e AS MATERIALIZED (
+           SELECT vec_id, label,
+                  list_transform(embedding,
+                    x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS vfp
+           FROM embeddings),
+         c AS MATERIALIZED (
+           SELECT label AS l, list(m ORDER BY j) AS cfp FROM (
+             SELECT label, j, CAST(sum(vfp[j + 1]) // count(*) AS BIGINT) AS m
+             FROM e CROSS JOIN range(0, 64) r(j)
+             GROUP BY label, j)
+           GROUP BY label),
+         a AS (
+           SELECT vec_id, label, pred FROM (
+             SELECT e.vec_id, e.label, c.l AS pred,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_reduce(list_concat([CAST(0 AS BIGINT)],
+                        list_transform(list_zip(e.vfp, c.cfp),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                        (x, y) -> x + y) ASC, c.l ASC) AS rn
+             FROM e CROSS JOIN c)
+           WHERE rn = 1)
+         SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+         FROM a GROUP BY label, pred ORDER BY label, pred""",
+
+    // Same 8-word chunk digests; the distinct (source, digest) presence
+    // self-joined on the digest enumerates exactly the sorted-set pairs the
+    // Spark side builds from collect_set.
+    "q109_source_overlap" ->
+      """WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         ch AS MATERIALIZED (
+           SELECT DISTINCT source,
+                  md5(array_to_string(w[st+1 : least(st+8, len(w))], ' ')) AS dg
+           FROM (SELECT source, w, unnest(range(0, len(w), 8)) AS st FROM ws))
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM ch a JOIN ch b ON a.dg = b.dg AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q35's brute-force scan plus the label inequality; same cosine fold and
+    // rounding, same (cos DESC, neighbor ASC) rank order.
+    "q110_hard_negatives" ->
+      s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id % 50 = 0),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${duckCos("c.v", "q.v")} AS cos
+                FROM c JOIN q ON c.vec_id != q.vec_id AND c.label != q.label)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

@@ -227,6 +227,35 @@ class PlanShapeSpec extends SparkSpec {
       "the census must be an aggregate (anti-vacuousness check)")
   }
 
+  test("centroid classification is a narrow argmin over prototype literals — no join") {
+    // prototypes are collected (bounded: labels × dims rows) and inlined as
+    // literals, so the classification plan is scan → argmin → one agg
+    assertNever("q108_centroid_classify", "Join", "CartesianProduct", "Window")
+    assert(exchanges("q108_centroid_classify") <= 2,
+      "one hash exchange for the confusion agg, one range for the sort")
+  }
+
+  test("source overlap keeps per-digest state bounded by the source set") {
+    // the per-digest aggregate collects the distinct SOURCE set (small
+    // constant), never doc lists; no self-join of the chunk table
+    assertNever("q109_source_overlap",
+      "SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "Window")
+    val p = planOf("q109_source_overlap")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"),
+      "the per-digest source-set aggregate must appear (anti-vacuousness check)")
+  }
+
+  test("hard-negative mining broadcasts queries and keeps top-k in the bounded heap") {
+    // brute-force scan shape: BNLJ against the broadcast query side is the
+    // intended plan (q35's); a Window rank or shuffled join would regress it
+    val p = planOf("q110_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "queries must broadcast against the corpus scan (anti-vacuousness check)")
+    assert(!p.contains("Window"), "top-k must be the bounded-heap aggregate, not a rank window")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("k-means assignment is a narrow argmin over centroid literals — no join") {
     // centroids are driver-held literals (the q87 PQ-assign shape): the
     // final-round plan must contain no Join at all, and only the
