@@ -188,6 +188,62 @@ object TrainingScaleSmoke {
     println(s"[training-smoke] ivfpq queries=$nQ hits=$nHits")
     require(nHits == nQ * 5,
       s"every query should fill its top-5: got $nHits of ${nQ * 5}")
+
+    // 7. DSIR importance weighting (q105's operator) at the full document
+    //    count: the id % 10 == 0 slice is the "target" domain. The claims
+    //    under test: the ratio table stays ≤ 4096 rows (the bounded feature
+    //    space IS the scale story) and scoring is one partial-agg shuffle +
+    //    a broadcast join regardless of corpus size.
+    val fb = docs
+      .select(col("id"), (col("id") % 10 === 0).as("tgt"),
+        split(col("text"), " ").as("w"))
+      .select(col("id"), col("tgt"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
+      .select(col("id"), col("tgt"),
+        (graft.functions.TextFunctions.hash60(
+          concat(lit("dsir:"), col("g"))) % 4096).as("b"))
+    val ratios = timed("dsir profile agg") {
+      val r = fb.groupBy(col("b"))
+        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("c_tgt"),
+          sum(when(!col("tgt"), 1L).otherwise(0L)).as("c_raw"))
+        .where(col("c_raw") > 0)
+        .selectExpr("b", "(1000000 * (c_tgt + 1)) div (c_raw + 1) as r_fp")
+        .localCheckpoint()
+      require(r.count() <= 4096, "feature space must stay bounded")
+      r
+    }
+    val nScored = timed("dsir score + top-64") {
+      fb.where(!col("tgt"))
+        .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+        .join(broadcast(ratios), "b")
+        .groupBy(col("id")).agg(sum(col("c") * col("r_fp")).as("weight_fp"))
+        .orderBy(col("weight_fp").desc, col("id").asc).limit(64)
+        .count()
+    }
+    require(nScored == 64, s"top-64 selection returned $nScored rows")
+
+    // 8. Inter-doc paragraph dedup (q106's operator): planted pairs share
+    //    48 of their 50 words — chunks 0-5 of 7 — so BOTH members of every
+    //    pair must cross the 30% dup-fraction threshold.
+    val nFlagged = timed("paragraph dedup") {
+      val ch = docs.select(col("id"), split(col("text"), " ").as("w"))
+        .select(col("id"), size(col("w")).as("n"), col("w"),
+          explode(expr("sequence(0, size(w) - 1, 8)")).as("st"))
+        .select(col("id"), least(lit(8), col("n") - col("st")).as("ntok"),
+          md5(array_join(slice(col("w"), col("st") + 1, lit(8)), " ")).as("dg"))
+      val census = ch.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
+      ch.join(census, "dg")
+        .groupBy(col("id"))
+        .agg(sum(col("ntok")).as("tot"),
+          sum(when(col("occ") >= 2, col("ntok")).otherwise(0L)).as("dup"))
+        .where(expr("(1000000 * dup) div tot >= 300000"))
+        .count()
+    }
+    val nPlantedDocs = 2L * (nDocs / 100)
+    println(s"[training-smoke] paragraph-dedup flagged=$nFlagged planted=$nPlantedDocs")
+    require(nFlagged >= nPlantedDocs,
+      s"every planted pair member must be flagged: $nFlagged < $nPlantedDocs")
     spark.stop()
   }
 }
