@@ -202,4 +202,88 @@ class PipelineSpec extends SparkSpec {
     assert(frac("train") / n > 0.8, s"train fraction ${frac("train") / n}")
     assert(frac.getOrElse("val", 0L) + frac.getOrElse("test", 0L) > 0)
   }
+
+  test("DSIR ranks a target-saturated document above the raw pool") {
+    // semantics the hash gate can't express: plant a raw doc composed
+    // ENTIRELY of bigrams frequent in the target slice and one of bigrams
+    // absent from it — the target clone must outscore the anti-doc
+    import spark.implicits._
+    val target = (1 to 40).map(i => (i.toLong, "en", "alpha beta gamma delta " * 5))
+    val clone = Seq((100L, "de", "alpha beta gamma delta " * 5))
+    val anti = Seq((101L, "de", "zulu yankee xray whiskey " * 5))
+    val noise = (200 to 239).map(i => (i.toLong, "de", s"w${i}a w${i}b w${i}c w${i}d " * 5))
+    val docs = (target ++ clone ++ anti ++ noise).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), rtrim(col("text")).as("text"))
+    // the q105 shape over the planted corpus
+    val fb = docs.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> concat(element_at(split(text, ' '), i + 1), ' ', " +
+        "element_at(split(text, ' '), i + 2)))")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (T.hash60(concat(lit("dsir:"), col("g"))) % 4096).as("b"))
+    val ratios = fb.groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_raw"))
+      .where(col("c_raw") > 0)
+      .selectExpr("b", "(1000000 * (c_tgt + 1)) div (c_raw + 1) as r_fp")
+    val w = fb.where(col("lang") =!= "en")
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), "b")
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("r_fp")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(100L) > w(101L), s"target clone ${w(100L)} must beat anti-doc ${w(101L)}")
+    assert(w.filter(_._1 != 100L).values.forall(_ < w(100L)),
+      "the target clone must rank first in the whole raw pool")
+  }
+
+  test("hard negatives never return the query's own label and ranks are dense") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id").as("id"),
+      V.asDouble(col("embedding")).as("vec"), col("label"))
+    val labels = e.select(col("id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(e, e.where(col("id") % 50 === 0), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, _, n) =>
+      assert(labels(q) != labels(n), s"negative $n shares label with query $q")
+    }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size).toSeq,
+        s"ranks for query $q must be dense from 1")
+    }
+  }
+
+  test("Lloyd iterations never increase the fixed-point within-cluster SSE") {
+    // the defining property of Lloyd's algorithm: each assignment+update
+    // round is a coordinate descent on SSE, so the objective is monotone
+    // non-increasing — replayed on the real embeddings with the q107
+    // arithmetic (floor(x·1e6) fixed point, div means)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) " +
+          "* 1000000.0d) as bigint))").as("vfp"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var cents: Seq[Array[Long]] = vecs.filter(_._1 < 8).sortBy(_._1).map(_._2).toSeq
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.indices.map(j => BigInt(a(j) - b(j)) * BigInt(a(j) - b(j))).sum
+    def sse(cs: Seq[Array[Long]]): BigInt =
+      vecs.map { case (_, v) => cs.map(c => d2(v, c)).min }.sum
+    val objectives = Seq.newBuilder[BigInt]
+    objectives += sse(cents)
+    for (_ <- 1 to 3) {
+      val assigned = vecs.map { case (_, v) =>
+        (cents.indices.minBy(i => (d2(v, cents(i)), i)), v)
+      }
+      cents = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+        val n = rows.size
+        Array.tabulate(rows.head._2.length)(j => rows.map(_._2(j)).sum / n)
+      }
+      objectives += sse(cents)
+    }
+    val obj = objectives.result()
+    obj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"SSE increased across a Lloyd round: $obj")
+    }
+    assert(obj.last < obj.head, "three rounds must strictly improve on the seed centroids")
+  }
 }
