@@ -1753,6 +1753,63 @@ object PipelineQueries {
         V.asDouble(col("embedding")).as("vec"), col("label"))
       Similarity.hardNegatives(e, e.where(col("id") % 50 === 0), k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q111_corpus_datasheet" -> ((s, d) => {
+      // the per-(source, lang) corpus datasheet (Gebru et al., "Datasheets
+      // for Datasets"): doc/token/char volumes, vocabulary size, and the
+      // derived densities a curation review reads first — tokens per doc,
+      // chars per token, type-token ratio — all fixed-point. Per-doc counts
+      // are in-row scalars; the vocabulary needs ONE distinct-token
+      // aggregation (partial-combined on (source, lang, token)); the two
+      // ~|sources×langs|-row summaries join broadcast-small.
+      val tok = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("text"), T.tokens(col("text")).as("w"))
+        .select(col("source"), col("lang"), col("w"),
+          size(col("w")).cast("long").as("nt"),
+          (length(col("text")) - (size(col("w")) - 1)).cast("long").as("nc"))
+      val vols = tok.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"))
+      val vocab = tok.select(col("source"), col("lang"), explode(col("w")).as("t"))
+        .groupBy(col("source"), col("lang"))
+        .agg(countDistinct(col("t")).as("n_uniq_tokens"))
+      vols.join(vocab, Seq("source", "lang"))
+        .selectExpr("source", "lang", "n_docs", "n_tokens", "n_uniq_tokens",
+          "(1000000 * n_tokens) div n_docs as tokens_per_doc_fp",
+          "(1000000 * n_chars) div n_tokens as chars_per_token_fp",
+          "(1000000 * n_uniq_tokens) div n_tokens as ttr_fp")
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    "q112_minhash_calibration" -> ((s, d) => {
+      // sketch-accuracy calibration: for every exact pair with jac ≥ 0.1
+      // (q31's postings join, the lower cut widening the calibration range
+      // without touching the join cost), the MinHash ESTIMATE — the fraction of
+      // matching signature components, E[est] = jac — next to the true
+      // Jaccard. The operational report behind choosing k: how tight is the
+      // k=32 estimator on THIS corpus. Signatures are the same md5-based
+      // Kirsch-Mitzenmacher family as the LSH path (the oracle rebuilds
+      // identical bits); per-pair work is one zip_with over two k-arrays,
+      // joined by id — signatures cross the exchange once per side, never
+      // per candidate.
+      val dsh = docShingles(s, d, 2, col("doc_id") % 3 === 0)
+      val nonEmpty = dsh.where(size(col("shingles")) > 0)
+      val sigs =
+        if (s.catalog.functionExists("minhash_signature"))
+          nonEmpty.select(col("id"), expr("minhash_signature(shingles, 32)").as("sig"))
+        else {
+          val (b1, b2) = T.minhashBases(col("shingles"))
+          nonEmpty.select(col("id"), b1.as("b1"), b2.as("b2"))
+            .select(col("id"), T.minhashSignatureFromBases(col("b1"), col("b2"), 32).as("sig"))
+        }
+      Dedup.allPairsJaccard(dsh, 0.1)
+        .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+        .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+        .select(col("a"), col("b"), col("jac"),
+          expr("(1000000 * size(filter(zip_with(siga, sigb, (x, y) -> x = y), " +
+            "v -> v))) div 32").as("est_fp"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -3178,6 +3235,58 @@ object PipelineQueries {
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
            FROM scored)
-         WHERE rank <= 5 ORDER BY query_id, rank"""
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Same token/char scalars, one distinct-token census, same fixed-point
+    // densities. tok feeds both summaries → MATERIALIZED.
+    "q111_corpus_datasheet" ->
+      """WITH tok AS MATERIALIZED (
+           SELECT source, lang, string_split(text, ' ') AS w,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS nc
+           FROM documents),
+         vols AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens,
+                  CAST(sum(nc) AS BIGINT) AS n_chars
+           FROM tok GROUP BY source, lang),
+         vocab AS (
+           SELECT source, lang, CAST(count(DISTINCT t) AS BIGINT) AS n_uniq_tokens
+           FROM (SELECT source, lang, unnest(w) AS t FROM tok)
+           GROUP BY source, lang)
+         SELECT source, lang, n_docs, n_tokens, n_uniq_tokens,
+                (1000000 * n_tokens) // n_docs AS tokens_per_doc_fp,
+                (1000000 * n_chars) // n_tokens AS chars_per_token_fp,
+                (1000000 * n_uniq_tokens) // n_tokens AS ttr_fp
+         FROM vols JOIN vocab USING (source, lang)
+         ORDER BY source, lang""",
+
+    // The identical Kirsch-Mitzenmacher signature bits (hash60 % P bases,
+    // sig[i] = min (b1 + i·b2) mod P), q31's exact pairs, integer match
+    // count — so est_fp is engine-exact alongside the shared jac formula.
+    "q112_minhash_calibration" ->
+      s"""${withDocShingles(2, "doc_id % 3 = 0")},
+         bases AS (
+           SELECT doc_id,
+                  list_transform(s, x -> ${duckHash60("x")} % 2147483647) AS b1,
+                  list_transform(s, x -> ${duckHash60("'#' || x")} % 2147483647) AS b2
+           FROM sh WHERE len(s) > 0),
+         sig AS MATERIALIZED (
+           SELECT doc_id,
+                  list_transform(range(0, 32), i ->
+                    list_min(list_transform(list_zip(b1, b2),
+                      p -> (p[1] + i * p[2]) % 2147483647))) AS sig
+           FROM bases),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.1)
+         SELECT p.a, p.b, p.jac,
+                (1000000 * CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                   q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END)) AS BIGINT)) // 32 AS est_fp
+         FROM pairs p
+         JOIN sig sa ON p.a = sa.doc_id
+         JOIN sig sb ON p.b = sb.doc_id
+         ORDER BY p.a, p.b"""
   )
 }

@@ -256,6 +256,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("corpus datasheet joins two broadcast-small group summaries") {
+    // both inputs to the final join are (source, lang)-grouped — bounded by
+    // the source×lang product, so the join must broadcast
+    assertNever("q111_corpus_datasheet",
+      "SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "Window")
+    val p = planOf("q111_corpus_datasheet")
+    assert(p.contains("BroadcastHashJoin"),
+      "the summary join must broadcast (anti-vacuousness check)")
+  }
+
+  test("minhash calibration ships signatures by id, never per candidate pair") {
+    // signatures attach to the (bounded) verified pair set via id equi-joins
+    // AFTER the postings join — a signature column riding through the
+    // postings explosion would cross the exchange once per co-occurrence
+    assertNever("q112_minhash_calibration",
+      "BroadcastNestedLoopJoin", "CartesianProduct", "Window")
+  }
+
   test("k-means assignment is a narrow argmin over centroid literals — no join") {
     // centroids are driver-held literals (the q87 PQ-assign shape): the
     // final-round plan must contain no Join at all, and only the
