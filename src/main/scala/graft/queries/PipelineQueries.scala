@@ -1810,6 +1810,55 @@ object PipelineQueries {
           expr("(1000000 * size(filter(zip_with(siga, sigb, (x, y) -> x = y), " +
             "v -> v))) div 32").as("est_fp"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    "q113_quality_perceptron" -> ((s, d) => {
+      // the supervised sibling of q105: a linear quality classifier over
+      // hashed n-gram features — the fastText/CCNet-style curation model
+      // (GPT-3's WebText filter) — trained DISTRIBUTED as a batch
+      // perceptron. y = ±1 (en vs rest; like q28, this corpus's vocabulary
+      // is language-independent, so the gate validates the machinery, not
+      // linguistics). Three batch rounds, each: score = Σ c·w via a
+      // BROADCAST join of the ≤1024-row weight vector, misclassify at
+      // y·s ≤ 0, Δw(b) = Σ_mis y·c — a bounded-output bucket aggregation
+      // collected to the driver. ALL arithmetic is plain integers (counts ×
+      // ±1 weights — no division, no floats), so the entire training
+      // trajectory is engine-exact; overflow-free domain in FixedPointSpec.
+      // Output = the training confusion matrix: any weight divergence
+      // anywhere in the 3 rounds flips a prediction and fails the hash.
+      val dc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          T.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), col("y"), explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
+        .select(col("doc_id"), col("y"),
+          (T.hash60(concat(lit("qp:"), col("g"))) % 1024).as("b"))
+        .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
+      var w: Map[Long, Long] = Map.empty
+      def weightsDf = {
+        val rows = if (w.isEmpty) Seq((0L, 0L)) else w.toSeq // never an empty broadcast
+        val sess = s; import sess.implicits._
+        rows.toDF("b", "wt")
+      }
+      def scored = dc.join(broadcast(weightsDf), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("c") * coalesce(col("wt"), lit(0L))).as("s"))
+      for (_ <- 1 to 3) {
+        val delta = dc.join(
+          scored.where(col("y") * col("s") <= 0)
+            .select(col("doc_id")), "doc_id")
+          .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = (w.keySet ++ delta.keySet).map(b =>
+          b -> (w.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+      }
+      scored
+        .select(col("y"), (col("s") > 0).as("pred"))
+        .groupBy(col("y"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("pred"))
     })
   )
 
@@ -3287,6 +3336,50 @@ object PipelineQueries {
          FROM pairs p
          JOIN sig sa ON p.a = sa.doc_id
          JOIN sig sb ON p.b = sb.doc_id
-         ORDER BY p.a, p.b"""
+         ORDER BY p.a, p.b""",
+
+    // Three unrolled batch-perceptron rounds, every stage MATERIALIZED.
+    // Round 1 exploits w0 = 0: every doc scores 0 and y·0 ≤ 0, so w1 is the
+    // unconditioned Σ y·c — identical to the Spark side's empty-weights
+    // round. Pure integer arithmetic throughout; all sums CAST per the
+    // HUGEINT lint.
+    "q113_quality_perceptron" -> {
+      def round(i: Int): String = {
+        val (pw, ps) = (s"w$i", s"s$i")
+        val (dd, nw) = (s"d${i + 1}", s"w${i + 1}")
+        s"""$dd AS MATERIALIZED (
+           SELECT b, CAST(sum(y * c) AS BIGINT) AS dw FROM dc
+           WHERE doc_id IN (SELECT doc_id FROM $ps WHERE y * s <= 0)
+           GROUP BY b),
+         $nw AS MATERIALIZED (
+           SELECT coalesce($pw.b, $dd.b) AS b,
+                  coalesce($pw.wt, 0) + coalesce($dd.dw, 0) AS wt
+           FROM $pw FULL JOIN $dd ON $pw.b = $dd.b)"""
+      }
+      def score(i: Int): String =
+        s"""s$i AS MATERIALIZED (
+           SELECT dc.doc_id, dc.y,
+                  CAST(sum(dc.c * coalesce(w$i.wt, 0)) AS BIGINT) AS s
+           FROM dc LEFT JOIN w$i USING (b) GROUP BY dc.doc_id, dc.y)"""
+      s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         dc AS MATERIALIZED (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                  ${duckHash60("'qp:' || g")} % 1024 AS b,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, lang,
+                        unnest(list_transform(range(0, len(w) - 1),
+                                 i -> w[i+1] || ' ' || w[i+2])) AS g
+                 FROM ws WHERE len(w) >= 2)
+           GROUP BY doc_id, lang, b),
+         w1 AS MATERIALIZED (
+           SELECT b, CAST(sum(y * c) AS BIGINT) AS wt FROM dc GROUP BY b),
+         ${score(1)},
+         ${round(1)},
+         ${score(2)},
+         ${round(2)},
+         ${score(3)}
+         SELECT y, s > 0 AS pred, CAST(count(*) AS BIGINT) AS n
+         FROM s3 GROUP BY y, s > 0 ORDER BY y, pred"""
+    }
   )
 }

@@ -274,6 +274,17 @@ class PlanShapeSpec extends SparkSpec {
       "BroadcastNestedLoopJoin", "CartesianProduct", "Window")
   }
 
+  test("perceptron scoring joins the bounded weight vector broadcast") {
+    // weights are ≤1024 rows by construction (the hashed feature space):
+    // the score join must broadcast them against the per-(doc,bucket)
+    // counts; training deltas are separate bounded-output collect jobs
+    assertNever("q113_quality_perceptron",
+      "SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "Window")
+    val p = planOf("q113_quality_perceptron")
+    assert(p.contains("BroadcastHashJoin"),
+      "the weight join must broadcast (anti-vacuousness check)")
+  }
+
   test("k-means assignment is a narrow argmin over centroid literals — no join") {
     // centroids are driver-held literals (the q87 PQ-assign shape): the
     // final-round plan must contain no Join at all, and only the
