@@ -1816,27 +1816,36 @@ object PipelineQueries {
       // the supervised sibling of q105: a linear quality classifier over
       // hashed n-gram features — the fastText/CCNet-style curation model
       // (GPT-3's WebText filter) — trained DISTRIBUTED as a batch
-      // perceptron. y = ±1 (en vs rest; like q28, this corpus's vocabulary
-      // is language-independent, so the gate validates the machinery, not
-      // linguistics). Three batch rounds, each: score = Σ c·w via a
-      // BROADCAST join of the ≤1024-row weight vector, misclassify at
-      // y·s ≤ 0, Δw(b) = Σ_mis y·c — a bounded-output bucket aggregation
-      // collected to the driver. ALL arithmetic is plain integers (counts ×
-      // ±1 weights — no division, no floats), so the entire training
-      // trajectory is engine-exact; overflow-free domain in FixedPointSpec.
-      // Output = the training confusion matrix: any weight divergence
-      // anywhere in the 3 rounds flips a prediction and fails the hash.
-      val dc = Tables.documents(s, d)
-        .select(col("doc_id"),
-          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-          T.tokens(col("text")).as("w"))
+      // perceptron. Labels are the q27 length-quality rule (y = +1 iff
+      // ≥ 50 tokens): a content label would be unlearnable here (q28 — the
+      // corpus vocabulary is language-independent), while the length rule
+      // IS linearly expressible over counts once a constant BIAS feature
+      // (b = −1, c = 1 per doc) joins the hashed bigrams — so the confusion
+      // matrix shows real convergence, not an oscillation artifact. Eight
+      // batch rounds (497/500 training accuracy at sf0.01 — the mistake
+      // bound kicks in once the bias weight walks to the threshold), each:
+      // score = Σ c·w via a BROADCAST join of the
+      // ≤1025-row weight vector, misclassify at y·s ≤ 0, Δw(b) = Σ_mis y·c
+      // — a bounded-output bucket aggregation collected to the driver. ALL
+      // arithmetic is plain integers (counts × ±1 labels — no division, no
+      // floats), so the entire training trajectory is engine-exact;
+      // overflow-free domain in FixedPointSpec. Output = the training
+      // confusion matrix: any weight divergence anywhere in the 8 rounds
+      // flips a prediction and fails the hash.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("w"))
         .where(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          when(size(col("w")) >= 50, 1L).otherwise(-1L).as("y"), col("w"))
+      val dc = base
         .select(col("doc_id"), col("y"), explode(expr(
           "transform(sequence(0, size(w) - 2), " +
             "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
         .select(col("doc_id"), col("y"),
           (T.hash60(concat(lit("qp:"), col("g"))) % 1024).as("b"))
         .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
+        .unionByName(base.select(col("doc_id"), col("y"),
+          lit(-1L).as("b"), lit(1L).as("c")))
       var w: Map[Long, Long] = Map.empty
       def weightsDf = {
         val rows = if (w.isEmpty) Seq((0L, 0L)) else w.toSeq // never an empty broadcast
@@ -1846,7 +1855,7 @@ object PipelineQueries {
       def scored = dc.join(broadcast(weightsDf), Seq("b"), "left")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("c") * coalesce(col("wt"), lit(0L))).as("s"))
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to 8) {
         val delta = dc.join(
           scored.where(col("y") * col("s") <= 0)
             .select(col("doc_id")), "doc_id")
@@ -3338,7 +3347,7 @@ object PipelineQueries {
          JOIN sig sb ON p.b = sb.doc_id
          ORDER BY p.a, p.b""",
 
-    // Three unrolled batch-perceptron rounds, every stage MATERIALIZED.
+    // Eight unrolled batch-perceptron rounds, every stage MATERIALIZED.
     // Round 1 exploits w0 = 0: every doc scores 0 and y·0 ≤ 0, so w1 is the
     // unconditioned Σ y·c — identical to the Spark side's empty-weights
     // round. Pure integer arithmetic throughout; all sums CAST per the
@@ -3361,25 +3370,29 @@ object PipelineQueries {
            SELECT dc.doc_id, dc.y,
                   CAST(sum(dc.c * coalesce(w$i.wt, 0)) AS BIGINT) AS s
            FROM dc LEFT JOIN w$i USING (b) GROUP BY dc.doc_id, dc.y)"""
-      s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      s"""WITH ws AS (
+           SELECT doc_id,
+                  CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE -1 END AS y,
+                  string_split(text, ' ') AS w
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
          dc AS MATERIALIZED (
-           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           SELECT doc_id, y,
                   ${duckHash60("'qp:' || g")} % 1024 AS b,
                   CAST(count(*) AS BIGINT) AS c
-           FROM (SELECT doc_id, lang,
+           FROM (SELECT doc_id, y,
                         unnest(list_transform(range(0, len(w) - 1),
                                  i -> w[i+1] || ' ' || w[i+2])) AS g
-                 FROM ws WHERE len(w) >= 2)
-           GROUP BY doc_id, lang, b),
+                 FROM ws)
+           GROUP BY doc_id, y, b
+           UNION ALL
+           SELECT doc_id, y, CAST(-1 AS BIGINT) AS b, CAST(1 AS BIGINT) AS c
+           FROM ws),
          w1 AS MATERIALIZED (
            SELECT b, CAST(sum(y * c) AS BIGINT) AS wt FROM dc GROUP BY b),
-         ${score(1)},
-         ${round(1)},
-         ${score(2)},
-         ${round(2)},
-         ${score(3)}
+         ${(1 to 7).map(i => s"${score(i)},\n         ${round(i)},").mkString("\n         ")}
+         ${score(8)}
          SELECT y, s > 0 AS pred, CAST(count(*) AS BIGINT) AS n
-         FROM s3 GROUP BY y, s > 0 ORDER BY y, pred"""
+         FROM s8 GROUP BY y, s > 0 ORDER BY y, pred"""
     }
   )
 }

@@ -119,18 +119,18 @@ class FixedPointSpec extends SparkSpec {
   }
 
   test("perceptron integer arithmetic never overflows in its documented domain") {
-    // q113: after T=3 batch rounds, |w(b)| ≤ T · Σ_docs c_doc(b) ≤ 3·C with
+    // q113: after T=8 batch rounds, |w(b)| ≤ T · Σ_docs c_doc(b) ≤ 8·C with
     // C the corpus-wide count of the hottest bucket; a doc's score is
     // Σ_b c·w with Σ_b c ≤ 1e4 tokens. Domain: C ≤ 1e12 bucket occurrences
     // (a trillion — far past 100 TB of text over 1024 buckets ÷ sharding),
-    // doc length ≤ 1e4: |score| ≤ 1e4 · 3e12 = 3e16 < 2^63. Long-vs-BigInt
+    // doc length ≤ 1e4: |score| ≤ 1e4 · 8e12 = 8e16 < 2^63. Long-vs-BigInt
     // corner replay proves no wraparound.
     for {
       hot <- Seq(1L, 1000000L, 1000000000000L) // hottest-bucket corpus count
       cDoc <- Seq(1L, 100L, 10000L)
       sign <- Seq(-1L, 1L)
     } {
-      val w = sign * 3L * hot
+      val w = sign * 8L * hot
       val sLong = cDoc * w
       val sBig = BigInt(cDoc) * BigInt(w)
       assert(BigInt(sLong) == sBig, s"score wrap at hot=$hot c=$cDoc sign=$sign")
