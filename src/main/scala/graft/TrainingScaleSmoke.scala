@@ -244,6 +244,58 @@ object TrainingScaleSmoke {
     println(s"[training-smoke] paragraph-dedup flagged=$nFlagged planted=$nPlantedDocs")
     require(nFlagged >= nPlantedDocs,
       s"every planted pair member must be flagged: $nFlagged < $nPlantedDocs")
+
+    // 9. Batch perceptron (q113's operator) at the full document count on a
+    //    separable-by-construction label: y = +1 iff the doc carries the
+    //    planted "qqq" dup marker (its bigrams exist ONLY in positives, so a
+    //    linear model with a bias feature must drive training error to ~0).
+    //    The claims under test: the per-(doc,bucket) feature table builds at
+    //    scan speed, each round is one broadcast weight join + one bounded
+    //    delta aggregation, and the trajectory converges at 1M docs.
+    val base = docs.select(col("id"),
+      when(col("text").contains("qqq"), 1L).otherwise(-1L).as("y"),
+      split(col("text"), " ").as("w"))
+    val dcP = timed("perceptron features") {
+      val t = base
+        .select(col("id"), col("y"), explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
+        .select(col("id"), col("y"),
+          (graft.functions.TextFunctions.hash60(
+            concat(lit("qp:"), col("g"))) % 1024).as("b"))
+        .groupBy(col("id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
+        .unionByName(base.select(col("id"), col("y"),
+          lit(-1L).as("b"), lit(1L).as("c")))
+        .localCheckpoint()
+      t.count(); t
+    }
+    var wp: Map[Long, Long] = Map.empty
+    def weightsDf = {
+      val rows = if (wp.isEmpty) Seq((0L, 0L)) else wp.toSeq
+      import spark.implicits._
+      rows.toDF("b", "wt")
+    }
+    def scoredP = dcP.join(broadcast(weightsDf), Seq("b"), "left")
+      .groupBy(col("id"), col("y"))
+      .agg(sum(col("c") * coalesce(col("wt"), lit(0L))).as("s"))
+    timed("perceptron 4 rounds") {
+      for (_ <- 1 to 4) {
+        val delta = dcP.join(
+          scoredP.where(col("y") * col("s") <= 0).select(col("id")), "id")
+          .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        wp = (wp.keySet ++ delta.keySet).map(b =>
+          b -> (wp.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+      }
+    }
+    val confusion = scoredP.select(col("y"), (col("s") > 0).as("pred"))
+      .groupBy(col("y"), col("pred")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getBoolean(1)), r.getLong(2))).toMap
+    val errs = confusion.getOrElse((1L, false), 0L) + confusion.getOrElse((-1L, true), 0L)
+    val total = confusion.values.sum
+    println(s"[training-smoke] perceptron errors=$errs of $total")
+    require(errs <= total / 100,
+      s"the separable label must train to <=1% error: $errs of $total")
     spark.stop()
   }
 }
