@@ -1662,6 +1662,10 @@ object PipelineQueries {
       // (cluster, dim, mean_fp, n_members).
       val e = embVecs(s, d).select(col("id"),
         expr("transform(vec, x -> cast(floor(x * 1000000.0d) as bigint))").as("vfp"))
+        // materialize ONCE: e is scanned by the seed collect, by each of the
+        // 3 Lloyd rounds' update.collect(), and by the final output — the
+        // fixed-point lift would otherwise re-run from parquet 4-5×
+        .localCheckpoint()
       var cents: Seq[(Long, Seq[Long])] = e.where(col("id") < 8)
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
       def assigned = {
@@ -1793,7 +1797,10 @@ object PipelineQueries {
       // identical bits); per-pair work is one zip_with over two k-arrays,
       // joined by id — signatures cross the exchange once per side, never
       // per candidate.
-      val dsh = docShingles(s, d, 2, col("doc_id") % 3 === 0)
+      // materialize ONCE: dsh feeds the postings pair join plus both
+      // signature id-joins — three consumers that would each re-run the
+      // shingle extraction from parquet without the checkpoint
+      val dsh = docShingles(s, d, 2, col("doc_id") % 3 === 0).localCheckpoint()
       val nonEmpty = dsh.where(size(col("shingles")) > 0)
       val sigs =
         if (s.catalog.functionExists("minhash_signature"))
@@ -1846,6 +1853,13 @@ object PipelineQueries {
         .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
         .unionByName(base.select(col("doc_id"), col("y"),
           lit(-1L).as("b"), lit(1L).as("c")))
+        // materialize ONCE: dc is read twice per training round (scored +
+        // delta) and once more by the final confusion matrix — without the
+        // checkpoint the tokenize→bigram-explode→agg pipeline re-runs from
+        // raw text up to ~17× (the Dedup.incrementalCandidates pattern,
+        // measured 5× at 1M docs). Plan pinned in PlanShapeSpec: the final
+        // plan reads the materialized RDD, never the parquet scan.
+        .localCheckpoint()
       var w: Map[Long, Long] = Map.empty
       def weightsDf = {
         val rows = if (w.isEmpty) Seq((0L, 0L)) else w.toSeq // never an empty broadcast

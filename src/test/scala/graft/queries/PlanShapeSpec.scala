@@ -285,6 +285,24 @@ class PlanShapeSpec extends SparkSpec {
       "the weight join must broadcast (anti-vacuousness check)")
   }
 
+  test("iterative learners read a materialized feature table, never re-scan raw text") {
+    // q113 reads its per-(doc,bucket) feature table 2× per training round
+    // plus once for the confusion matrix; q107 scans its fixed-point lift
+    // once per Lloyd round; q112 feeds shingles to three consumers. Each
+    // pins a localCheckpoint, so the FINAL plan must read the materialized
+    // RDD and contain NO parquet scan — a dropped checkpoint re-runs
+    // tokenize→explode→agg from raw text up to ~17× and fails here
+    Seq("q113_quality_perceptron", "q107_kmeans_lloyd", "q112_minhash_calibration")
+      .foreach { name =>
+        val p = planOf(name)
+        assert(p.contains("Scan ExistingRDD"),
+          s"$name must read the checkpointed feature table (anti-vacuousness check)")
+        assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+          s"$name final plan must not re-scan raw parquet — feature pipeline " +
+            "must be materialized once")
+      }
+  }
+
   test("k-means assignment is a narrow argmin over centroid literals — no join") {
     // centroids are driver-held literals (the q87 PQ-assign shape): the
     // final-round plan must contain no Join at all, and only the
