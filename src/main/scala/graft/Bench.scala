@@ -84,9 +84,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // events.parquet is TIMESTAMP(NANOS); set globally so the raw warm-up
-      // read (and any query path that races Tables.events) never throws
+      // events.ts vintage varies (TIMESTAMP(NANOS) vs timestamp[us]); nanosAsLong
+      // makes the nanos vintage readable and is a no-op on µs data, so the raw
+      // warm-up read (and any query path that races Tables.events) never throws
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tables.events casts TIMESTAMP_NTZ -> TIMESTAMP; pin UTC so the cast is
+      // micros-preserving regardless of the box's local timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,13 +15,23 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = {
-    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader has no type
-    // for; read nanos as long and rebuild the µs-resolution timestamp (the data is
-    // µs-aligned — verified nanos % 1000 == 0). `div` keeps it in exact integer math.
+    // Two testdata vintages exist for events.ts; branch on the type the reader
+    // actually produced so either works:
+    //  - TIMESTAMP(NANOS): Spark has no nanos type; with nanosAsLong the column
+    //    arrives as LongType and we rebuild the µs timestamp (data is µs-aligned,
+    //    nanos % 1000 == 0; `div` keeps it exact integer math).
+    //  - timestamp[us] isAdjustedToUTC=false: arrives as TIMESTAMP_NTZ; cast to
+    //    TIMESTAMP (session tz is pinned UTC, so the cast is micros-preserving)
+    //    to match the DuckDB oracle's naive-timestamp schema hash.
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
