@@ -169,6 +169,38 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Postings table (id, sz, sh) with per-shingle document frequency attached
+   * — the shared front half of the exact pair joins. The df aggregate shuffles
+   * on the same key as the pair join itself, so it adds one exchange, not a
+   * new shuffle shape. */
+  private def postingsWithDf(docs: DataFrame): DataFrame = {
+    val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    val dfreq = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    posts.join(dfreq, "sh")
+  }
+
+  /** Audit view of the shingles a df-cap would collapse: (sh, df) for every
+   * shingle with df > maxDf. Run this when a capped pass on a new corpus
+   * should be LOUD about what it star-collapsed — at 100 TB the result is a
+   * handful of boilerplate strings, cheap to collect and log. */
+  def hotShingles(docs: DataFrame, maxDf: Long): DataFrame =
+    docs.select(explode(col("shingles")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+
+  /** Star pairs (min-id, other-id) from hot postings — one linear star per
+   * hot shingle, the [[bucketedPairs]] fallback shape: preserves the
+   * connected component a dedup pass needs at O(df) instead of O(df²). */
+  private def hotStarPairs(hot: DataFrame): DataFrame = {
+    val reps = hot.groupBy(col("sh")).agg(min(col("id")).as("rep"))
+    hot.join(reps, "sh")
+      .where(col("id") =!= col("rep"))
+      .select(least(col("rep"), col("id")).as("a"),
+        greatest(col("rep"), col("id")).as("b"))
+      .distinct()
+  }
+
   /**
    * Exact all-pairs Jaccard via the sparse co-occurrence join — the scalable
    * formulation of the quadratic baseline: explode shingles into postings,
@@ -177,20 +209,62 @@ object Dedup {
    * Values are identical to the array_intersect/array_union formulation
    * (shingle arrays are distinct); zero-overlap pairs never materialize —
    * they cannot pass any positive threshold.
+   *
+   * DF-CAP (the Σ df² guard): one boilerplate shingle shared by 10⁶ docs
+   * makes the naive postings join enumerate 10¹² rows on one key. Shingles
+   * with df > `maxDf` are excluded from pair GENERATION; their contribution
+   * to each surviving pair's intersection count is restored exactly by a
+   * bounded correction join (candidates × hot-postings — linear in both), so
+   * every emitted jac is still the exact value. Pairs whose ONLY overlap is
+   * hot shingles additionally enter as per-shingle STAR candidates
+   * ([[bucketedPairs]]'s fallback shape, O(df) per hot shingle) and are
+   * verified exactly from their full arrays — a mass-duplicated boilerplate
+   * cluster stays one connected component without the df² join ever running.
+   * Recall concession (documented, mirroring the LSH guard): a qualifying
+   * NON-star pair both of whose members share only hot shingles is not
+   * enumerated. Audit what a cap collapsed with [[hotShingles]]. Bounded
+   * candidate behavior on a planted mega-df shingle is pinned in
+   * ScaleOpsSpec; below the cap the plan is the unguarded original.
    */
-  def allPairsJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
-      explode(col("shingles")).as("sh"))
-    val p1 = posts.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
-    val p2 = posts.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
-    p1.join(p2, "sh")
+  def allPairsJaccard(docs: DataFrame, threshold: Double,
+                      maxDf: Long = 10000): DataFrame = {
+    val posts = postingsWithDf(docs)
+    val cold = posts.where(col("df") <= maxDf)
+    val hot = posts.where(col("df") > maxDf).select(col("id"), col("sh"))
+    val p1 = cold.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
+    val p2 = cold.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
+    val coldCounts = p1.join(p2, "sh")
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c_cold"))
+    // upper-bound prune: full hot credit min(ha, hb) cannot lift the pair to
+    // the threshold → drop before the correction join multiplies anything.
+    // (rounded like the final gate so the no-hot plan filters identically)
+    val hotPerDoc = hot.groupBy(col("id")).agg(count(lit(1)).as("h"))
+    val bounded = coldCounts
+      .join(hotPerDoc.select(col("id").as("a"), col("h").as("ha")), Seq("a"), "left")
+      .join(hotPerDoc.select(col("id").as("b"), col("h").as("hb")), Seq("b"), "left")
+      .withColumn("cmax", col("c_cold") +
+        least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      .where(round(col("cmax").cast("double") /
+        (col("sa") + col("sb") - col("cmax")).cast("double"), 4) >= threshold)
+    // exact correction riding the candidate row — one linear chain, no
+    // self-join: expand by a's hot shingles, mark those b also holds,
+    // re-collapse. Cost |candidates| × hot-shingles-per-doc, never hot-df².
+    val corrected = bounded
+      .join(hot.select(col("id").as("a"), col("sh")), Seq("a"), "left")
+      .join(hot.select(col("id").as("b"), col("sh"), lit(1L).as("hit")),
+        Seq("b", "sh"), "left")
+      .groupBy(col("a"), col("b"), col("sa"), col("sb"), col("c_cold"))
+      .agg(sum(col("hit")).as("c_hot"))
+      .withColumn("c", col("c_cold") + coalesce(col("c_hot"), lit(0L)))
       .select(col("a"), col("b"),
         round(col("c").cast("double") /
           (col("sa") + col("sb") - col("c")).cast("double"), 4).as("jac"))
       .where(col("jac") >= threshold)
+    val starVerified = verifyJaccard(hotStarPairs(hot), docs, threshold)
+      .select(col("a"), col("b"), col("jac"))
+    corrected.unionByName(starVerified).distinct()
   }
 
   /**
@@ -198,21 +272,65 @@ object Dedup {
    * detector: a short document wholly quoted inside a long one scores ~1.0
    * here while its Jaccard (÷ the union) can be arbitrarily small. Same
    * postings co-occurrence join as [[allPairsJaccard]] (shared counts only,
-   * never per-pair array work; cost Σ df², bounded by the same df reasoning),
-   * and the ratio is FIXED-POINT — (1e6·shared) div |A| — so the gate is
-   * engine-independent integer bits. `thresholdFp` is the ×1e6 cut.
+   * never per-pair array work), with the SAME df-cap guard: shingles with
+   * df > `maxDf` skip pair generation, surviving candidates get their hot
+   * contribution restored exactly by the bounded ride-along join, and
+   * hot-only clusters re-enter as array-verified star pairs. The ratio is
+   * FIXED-POINT — (1e6·shared) div |A| — so the gate is engine-independent
+   * integer bits. `thresholdFp` is the ×1e6 cut.
    */
-  def containmentPairs(docs: DataFrame, thresholdFp: Long): DataFrame = {
-    val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
-      explode(col("shingles")).as("sh"))
-    val p1 = posts.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
-    val p2 = posts.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
+  def containmentPairs(docs: DataFrame, thresholdFp: Long,
+                       maxDf: Long = 10000): DataFrame = {
+    val posts = postingsWithDf(docs)
+    val cold = posts.where(col("df") <= maxDf)
+    val hot = posts.where(col("df") > maxDf).select(col("id"), col("sh"))
+    val p1 = cold.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
+    val p2 = cold.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
     // join each unordered pair ONCE (a < b halves the co-occurrence
     // exchange), then emit the two directed rows from the same shared count
-    p1.join(p2, "sh")
+    val coldCounts = p1.join(p2, "sh")
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("c_cold"))
+    // prune on the best DIRECTED ratio a full hot credit could reach
+    val hotPerDoc = hot.groupBy(col("id")).agg(count(lit(1)).as("h"))
+    val bounded = coldCounts
+      .join(hotPerDoc.select(col("id").as("a"), col("h").as("ha")), Seq("a"), "left")
+      .join(hotPerDoc.select(col("id").as("b"), col("h").as("hb")), Seq("b"), "left")
+      .withColumn("cmax", col("c_cold") +
+        least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      .where(expr("(1000000 * cmax) div least(sa, sb)") >= thresholdFp)
+    val corrected = bounded
+      .join(hot.select(col("id").as("a"), col("sh")), Seq("a"), "left")
+      .join(hot.select(col("id").as("b"), col("sh"), lit(1L).as("hit")),
+        Seq("b", "sh"), "left")
+      .groupBy(col("a"), col("b"), col("sa"), col("sb"), col("c_cold"))
+      .agg(sum(col("hit")).as("c_hot"))
+      .withColumn("shared", col("c_cold") + coalesce(col("c_hot"), lit(0L)))
+    val directed = corrected.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b"),
+          col("shared").as("shared"), col("sa").as("sa")),
+        struct(col("b").as("a"), col("a").as("b"),
+          col("shared").as("shared"), col("sb").as("sa")))).as("r"))
+      .selectExpr("r.a as a", "r.b as b", "r.shared as shared", "r.sa as sa",
+        "(1000000 * r.shared) div r.sa as cont_fp")
+      .where(col("cont_fp") >= thresholdFp)
+    val starDirected = verifyContainment(hotStarPairs(hot), docs, thresholdFp)
+    directed.unionByName(starDirected).distinct()
+  }
+
+  /** Exact directed containment for (undirected) candidate pairs, computed
+   * from the full shingle arrays — the star-pair verifier for
+   * [[containmentPairs]]'s hot path. Output schema matches the postings
+   * formulation exactly (shared: long, sa: int). */
+  private def verifyContainment(candidates: DataFrame, docs: DataFrame,
+                                thresholdFp: Long): DataFrame = {
+    val da = docs.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val db = docs.select(col("id").as("b"), col("shingles").as("sh_b"))
+    candidates.join(da, "a").join(db, "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("shared"),
+        size(col("sh_a")).as("sa"), size(col("sh_b")).as("sb"))
       .select(explode(array(
         struct(col("a").as("a"), col("b").as("b"),
           col("shared").as("shared"), col("sa").as("sa")),

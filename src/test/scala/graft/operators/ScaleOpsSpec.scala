@@ -338,6 +338,56 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("df-capped postings join bounds a planted hot shingle to star pairs") {
+    import spark.implicits._
+    // 1000 docs whose EVERY shingle is mass-shared: the unguarded postings
+    // join would enumerate ~500k pairs per shingle on one key. Above the df
+    // cap, pair generation must collapse to the per-shingle star (O(df)),
+    // and the array-based verify still emits exact jac values.
+    val degenerate = (1L to 1000L)
+      .map(i => (i, Seq("hot alpha", "hot beta")))
+      .toDF("id", "shingles")
+    val pairs = Dedup.allPairsJaccard(degenerate, 0.5, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 999)
+    assert(pairs.forall(p => p._1 == 1L && p._3 == 1.0))
+    assert(pairs.map(_._2).toSet == (2L to 1000L).toSet)
+    // containment: same star collapse, two directed rows per star pair
+    val cont = Dedup.containmentPairs(degenerate, 800000L, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.length == 2 * 999)
+    assert(cont.count(_._2 == 1L) == 999 && cont.count(_._1 == 1L) == 999)
+  }
+
+  test("df-capped Jaccard restores hot-shingle counts exactly for cold candidates") {
+    import spark.implicits._
+    // docs 1-2 share a COLD shingle ("pair x") and the HOT boilerplate: the
+    // capped path finds them via the cold join and must credit the hot
+    // shingle back — jac = |{hot, pair}| / |{hot, pair, u1, u2}| = 0.5
+    // exactly, not the cold-only 1/4. Background docs share only the hot
+    // shingle with everything (star-verified at 1/4 < threshold → dropped).
+    val docs = ((1L to 2L).map(i => (i, Seq("hot b", "pair x", s"u $i"))) ++
+      (3L to 200L).map(i => (i, Seq("hot b", s"u $i"))))
+      .toDF("id", "shingles")
+    val capped = Dedup.allPairsJaccard(docs, 0.5, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == Set((1L, 2L, 0.5)))
+    // below the binding point the guard is inert: default cap reproduces the
+    // same result through the unguarded plan
+    val uncapped = Dedup.allPairsJaccard(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped == capped)
+    // containment both directions, hot credit included: shared=2, sa=sb=3
+    // → 666666 fp < 800000; against a true superset doc it reaches 1e6
+    val sup = (Seq((300L, Seq("hot b", "pair x", "u 1", "extra z"))) ++
+      Seq((1L, Seq("hot b", "pair x", "u 1"))) ++
+      (3L to 200L).map(i => (i, Seq("hot b", s"u $i"))))
+      .toDF("id", "shingles")
+    val cont = Dedup.containmentPairs(sup, 1000000L, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(cont == Set((1L, 300L, 1000000L)))
+  }
+
   test("connected components converge on chains, cliques, and singleton edges") {
     import spark.implicits._
     // a 10-node path (diameter 9 → exercises the fixpoint loop), a triangle,
