@@ -119,6 +119,12 @@ object Bench {
             .replace("\\", " ").replaceAll("[\"\\n\\r\\t]", " ").take(300)
           if (!best.contains(name) || best(name) < 0) best(name) = -1.0
       }
+      // localCheckpoint blocks (q90/q97/q107/q112/q113, components loops)
+      // otherwise accumulate in the block manager across queries and passes
+      // — up to 3 passes × every checkpointing query in one JVM. Queries are
+      // independent, so drop everything persisted once the query is timed.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       flush(complete = false)
     }
 

@@ -296,6 +296,25 @@ object TrainingScaleSmoke {
     println(s"[training-smoke] perceptron errors=$errs of $total")
     require(errs <= total / 100,
       s"the separable label must train to <=1% error: $errs of $total")
+
+    // 10. Fixed-point Lloyd (q107's operator, the unified Ivf path) at the
+    //     full vector count: the corpus lifts to floor(x·1e6) integers ONCE
+    //     (checkpointed — the q107 materialization), then each round is one
+    //     narrow k-term argmin + one (cluster, dim) aggregation whose output
+    //     is k·dim rows. The claims under test: round cost scales with scan
+    //     speed and the collected model stays bounded at 1M vectors.
+    val fpVecs = pqVecs.select(col("id"),
+      expr("transform(vec, x -> cast(floor(x * 1000000.0d) as bigint))").as("vfp"))
+      .localCheckpoint()
+    var fpCents: Seq[(Long, Seq[Long])] = fpVecs.where(col("id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    timed(s"lloyd 2 rounds ($nPq vecs, k=8, fixed-point)") {
+      for (_ <- 1 to 2)
+        fpCents = Ivf.fpCentroidsOf(Ivf.fpLloydUpdate(fpVecs, fpCents))
+    }
+    require(fpCents.nonEmpty && fpCents.size <= 8 &&
+      fpCents.forall(_._2.length == 32),
+      s"Lloyd model must stay bounded: ${fpCents.size} clusters")
     spark.stop()
   }
 }

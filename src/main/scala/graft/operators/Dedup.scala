@@ -71,7 +71,14 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
                         maxBucket: Int = 10000): DataFrame =
-    bucketedPairs(bandedKeys(docs, k, bands), maxBucket)
+    // materialize the band table ONCE: bucketedPairs reads it three ways
+    // (size census, small-bucket enumeration, hot-star fallback), and
+    // column-pruning differences defeat exchange reuse — without this the
+    // minhash of the whole corpus computes once per branch (measured 4×
+    // at sf0.1). In production this table is the persisted, bucketed LSH
+    // index artifact; the checkpoint is its in-session stand-in (the
+    // incrementalCandidates precedent).
+    bucketedPairs(bandedKeys(docs, k, bands).localCheckpoint(), maxBucket)
 
   /**
    * Guarded pair enumeration over ANY banded bucket table `(id, band,
@@ -85,19 +92,27 @@ object Dedup {
    * on a planted mega-bucket is pinned in ScaleOpsSpec.
    */
   def bucketedPairs(banded: DataFrame, maxBucket: Int = 10000): DataFrame = {
-    val buckets = banded
+    // Count-based pre-filter FIRST: bucket sizes come from a cheap
+    // map-side-combinable count/min aggregate, and collect_set only ever runs
+    // on buckets already known to be under the cap — a mega-bucket never
+    // materializes as one in-memory array on one reducer just to be sliced
+    // back down. Hot buckets take the star shape straight from the banded
+    // rows (id vs the bucket minimum), O(bucket) with no array at all.
+    val sizes = banded.groupBy(col("band"), col("band_key"))
+      .agg(countDistinct(col("id")).as("n"), min(col("id")).as("rep"))
+    val small = banded
+      .join(sizes.where(col("n").between(2, maxBucket))
+        .select(col("band"), col("band_key")), Seq("band", "band_key"))
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    val small = buckets.where(size(col("ids")) <= maxBucket)
       .select(explode(pairsOf(col("ids"))).as("p"))
-    val hot = buckets.where(size(col("ids")) > maxBucket)
-      .select(explode(transform(
-        slice(col("ids"), lit(2), greatest(size(col("ids")) - 1, lit(0))),
-        y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))).as("p"))
-    small.unionByName(hot)
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    val hot = banded
+      .join(sizes.where(col("n") > maxBucket)
+        .select(col("band"), col("band_key"), col("rep")), Seq("band", "band_key"))
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"))
+    small.unionByName(hot).distinct()
   }
 
   /**
@@ -169,15 +184,24 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
-  /** Postings table (id, sz, sh) with per-shingle document frequency attached
-   * — the shared front half of the exact pair joins. The df aggregate shuffles
-   * on the same key as the pair join itself, so it adds one exchange, not a
-   * new shuffle shape. */
-  private def postingsWithDf(docs: DataFrame): DataFrame = {
+  /** Postings (id, sz, sh) split at the df cap: (cold, hot). The census
+   * reduces to the HOT SHINGLE SET only — ≤ total-postings/maxDf rows by
+   * pigeonhole, usually a handful of boilerplate strings, so AQE broadcasts
+   * it and the anti/semi splits stay narrow; df is never joined onto every
+   * posting. The only added shuffle vs the unguarded join is the
+   * map-side-combinable census aggregate itself. The split references the
+   * input several ways (census + both pair-join sides + hot) — callers with
+   * an expensive shingle pipeline should materialize it first (q31/q92/q112
+   * localCheckpoint; at production scale, persist the shingle table). */
+  private def postingsSplit(docs: DataFrame, maxDf: Long): (DataFrame, DataFrame) = {
     val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("sh"))
-    val dfreq = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    posts.join(dfreq, "sh")
+    val hotSet = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("sh"))
+    val cold = posts.join(hotSet, Seq("sh"), "left_anti")
+    val hot = posts.join(hotSet, Seq("sh"), "left_semi")
+      .select(col("id"), col("sh"))
+    (cold, hot)
   }
 
   /** Audit view of the shingles a df-cap would collapse: (sh, df) for every
@@ -228,9 +252,7 @@ object Dedup {
    */
   def allPairsJaccard(docs: DataFrame, threshold: Double,
                       maxDf: Long = 10000): DataFrame = {
-    val posts = postingsWithDf(docs)
-    val cold = posts.where(col("df") <= maxDf)
-    val hot = posts.where(col("df") > maxDf).select(col("id"), col("sh"))
+    val (cold, hot) = postingsSplit(docs, maxDf)
     val p1 = cold.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
     val p2 = cold.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
     val coldCounts = p1.join(p2, "sh")
@@ -281,9 +303,7 @@ object Dedup {
    */
   def containmentPairs(docs: DataFrame, thresholdFp: Long,
                        maxDf: Long = 10000): DataFrame = {
-    val posts = postingsWithDf(docs)
-    val cold = posts.where(col("df") <= maxDf)
-    val hot = posts.where(col("df") > maxDf).select(col("id"), col("sh"))
+    val (cold, hot) = postingsSplit(docs, maxDf)
     val p1 = cold.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
     val p2 = cold.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
     // join each unordered pair ONCE (a < b halves the co-occurrence

@@ -72,6 +72,50 @@ object Ivf {
     cents.map(c => Centroid(c.cid, means.getOrElse(c.cid, c.vec))).toArray
   }
 
+  // ------------------------------------------------------ fixed-point Lloyd
+  // The LEARNED-centroid twin of [[lloydStep]] in the floor(x·1e6) integer
+  // arithmetic the oracle-gated learners standardize on (q107/q108): every
+  // quantity is engine-independent bits — no float summation order — so a
+  // SQL twin reproduces the exact centroids. Same 100 TB shapes as the float
+  // path: assignment is a narrow k-term argmin over driver-held literals (no
+  // join), the update is ONE (cluster, dim) aggregation with k·dim output
+  // rows, and the collected model stays a bounded driver-side artifact.
+
+  /** Nearest fixed-point centroid id under squared L2 — ties break to the
+   * lowest cluster id (lexicographic struct min), matching the SQL twin. */
+  def fpCellOf(vfp: Column, cents: Seq[(Long, Seq[Long])]): Column = {
+    require(cents.nonEmpty, "Lloyd needs at least one centroid")
+    array_min(array(cents.map { case (cid, c) =>
+      struct(aggregate(zip_with(vfp, typedlit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("d2"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+  }
+
+  /** One fixed-point Lloyd update over a corpus (`id`, `vfp`): assign each
+   * vector to its nearest centroid, then per-(cluster, dim) integer means —
+   * `sum div count`, truncating identically on both engines even for
+   * negative sums (DuckDB CAST rounds where Spark truncates; `div` doesn't).
+   * Output: (cluster, dim, mean_fp, n_members); a cluster that lost every
+   * member has no rows, so it drops out of the next model identically on
+   * both engines. */
+  def fpLloydUpdate(corpus: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+    // two selects: a generator and the unresolved struct-extract argmin can't
+    // share one projection (getField resolves before the lambda binds)
+    corpus.select(fpCellOf(col("vfp"), cents).as("cluster"), col("vfp"))
+      .select(col("cluster"), posexplode(col("vfp")))
+      .groupBy(col("cluster"), col("pos").as("dim"))
+      .agg(expr("sum(col) div count(1)").as("mean_fp"),
+        count(lit(1)).as("n_members"))
+
+  /** Collect an update table into the next round's driver-held model — k·dim
+   * rows, the bounded artifact, never corpus data. */
+  def fpCentroidsOf(update: DataFrame): Seq[(Long, Seq[Long])] =
+    update.select(col("cluster"), col("dim"), col("mean_fp")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+      .sortBy(_._1)
+
   /** Scored-cells array expression: `struct(cos, -cid)` per centroid, so
    * lexicographic struct max/sort gives (cos DESC, cid ASC) order. */
   private def scoredCells(vec: Column, cents: Seq[Centroid]): Column = {

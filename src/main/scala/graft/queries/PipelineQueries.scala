@@ -242,8 +242,12 @@ object PipelineQueries {
       // this corpus's vocabulary is tiny and uniformly common, so prefixes
       // prune nothing and the candidate verify costs more than counting —
       // measured 6s vs 49s at sf0.1 (prefixJaccard wins on Zipfian text,
-      // where high-df boilerplate falls out of every prefix)
-      Dedup.allPairsJaccard(docShingles(s, d, 2, col("doc_id") % 3 === 0), 0.5)
+      // where high-df boilerplate falls out of every prefix).
+      // materialize ONCE (the q112 pattern): the df-capped join reads the
+      // shingle table four ways (census, both pair-join sides, hot split) —
+      // without the checkpoint the extraction re-runs from parquet each time
+      Dedup.allPairsJaccard(
+          docShingles(s, d, 2, col("doc_id") % 3 === 0).localCheckpoint(), 0.5)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -252,7 +256,9 @@ object PipelineQueries {
       // documents that are EXCERPTS of a larger one — Jaccard's union
       // denominator hides exactly those. Counts-only postings join (q31
       // shape), fixed-point ratio ≥ 0.8 (engine-independent bits).
-      Dedup.containmentPairs(docShingles(s, d, 2, col("doc_id") % 3 === 0), 800000L)
+      // materialize ONCE — the q31/q112 multi-consumer checkpoint pattern
+      Dedup.containmentPairs(
+          docShingles(s, d, 2, col("doc_id") % 3 === 0).localCheckpoint(), 800000L)
         .orderBy(col("a"), col("b"))),
 
     "q32_dedup_minhash_lsh" -> ((s, d) => {
@@ -1591,25 +1597,14 @@ object PipelineQueries {
       // Shapes for 100 TB: ONE conditional aggregation builds both corpus
       // profiles (≤4096 rows → broadcast); scoring is one per-(doc,bucket)
       // partial-aggregated shuffle + a broadcast join; top-k is TakeOrdered.
-      val fb = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), T.tokens(col("text")).as("w"))
-        .where(size(col("w")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(0, size(w) - 2), " +
-            "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
-        .select(col("doc_id"), col("lang"),
-          (T.hash60(concat(lit("dsir:"), col("g"))) % 4096).as("b"))
-      val ratios = fb.groupBy(col("b"))
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"),
-          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_raw"))
-        .where(col("c_raw") > 0)
-        .selectExpr("b", "(1000000 * (c_tgt + 1)) div (c_raw + 1) as r_fp")
-      fb.where(col("lang") =!= "en")
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        .join(broadcast(ratios), "b")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"),
-          sum(col("c") * col("r_fp")).as("weight_fp"))
+      val fb = graft.operators.Dsir.hashedBigrams(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("lang"), col("text")),
+        buckets = 4096, salt = "dsir:")
+      val ratios = graft.operators.Dsir.ratioTable(
+        fb.withColumn("is_target", col("lang") === "en"))
+      graft.operators.Dsir.score(fb.where(col("lang") =!= "en"), ratios)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("weight_fp"))
         .orderBy(col("weight_fp").desc, col("doc_id").asc)
         .limit(64)
     }),
@@ -1668,28 +1663,9 @@ object PipelineQueries {
         .localCheckpoint()
       var cents: Seq[(Long, Seq[Long])] = e.where(col("id") < 8)
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
-      def assigned = {
-        val d2s = cents.map { case (cid, c) =>
-          struct(aggregate(zip_with(col("vfp"), typedlit(c),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"),
-            lit(cid).as("cid"))
-        }
-        e.select(col("id"), col("vfp"),
-          array_min(array(d2s: _*)).getField("cid").as("cluster"))
-      }
-      def update = assigned
-        .select(col("cluster"), posexplode(col("vfp")))
-        .groupBy(col("cluster"), col("pos").as("dim"))
-        .agg(expr("sum(col) div count(1)").as("mean_fp"),
-          count(lit(1)).as("n_members"))
-      for (_ <- 1 to 2) {
-        cents = update.collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-          .groupBy(_._1).toSeq
-          .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
-          .sortBy(_._1)
-      }
-      update.orderBy(col("cluster"), col("dim"))
+      for (_ <- 1 to 2)
+        cents = Ivf.fpCentroidsOf(Ivf.fpLloydUpdate(e, cents))
+      Ivf.fpLloydUpdate(e, cents).orderBy(col("cluster"), col("dim"))
     }),
 
     "q108_centroid_classify" -> ((s, d) => {

@@ -99,6 +99,26 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 8L), (2L, 2L, 4L), (3L, 0L, 0L)))
   }
 
+  test("mergeArtifact is content-addressed: a reused key cannot serve stale merges") {
+    import spark.implicits._
+    // same cache key, different corpus bytes behind it (the rewritten-path
+    // scenario): the content fingerprint must force a re-learn
+    val corpusA = Seq.fill(20)("aa ab aa ab aa").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val corpusB = Seq.fill(20)("zz zy zz zy zz").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val key = s"stale-check-${System.identityHashCode(this)}"
+    val m1 = Bpe.mergeArtifact(corpusA, rounds = 1, vocabSize = 100, key)
+    val m2 = Bpe.mergeArtifact(corpusB, rounds = 1, vocabSize = 100, key)
+    assert(m1.nonEmpty && m2.nonEmpty)
+    assert(m1 != m2, "rewritten corpus under the same key must re-learn")
+    // identical content under the same key IS served from the cache (same
+    // object back — computeIfAbsent hit, not a re-learn)
+    val m3 = Bpe.mergeArtifact(corpusA.select(col("doc_id"), col("text")),
+      rounds = 1, vocabSize = 100, key)
+    assert(m3 eq m1)
+  }
+
   test("packNextFit matches the sequential reference fold (waste semantics)") {
     import spark.implicits._
     // tokens span 1..700 so some docs alone exceed the 512 budget; 8 workers

@@ -157,4 +157,46 @@ class IvfSpec extends SparkSpec {
         cents.find(_.cid == cid).get.vec.toSeq)
     }
   }
+
+  test("fixed-point Lloyd update replays exactly, and its means track float within quantization") {
+    // fpLloydUpdate is the L2/integer twin of lloydStep (which assigns by
+    // cosine): verify (1) the distributed update equals a driver-side
+    // integer replay BIT-FOR-BIT — the engine-independence claim — and
+    // (2) each integer mean is within 2 fixed-point units of the float mean
+    // of the same members (one floor per element + one div truncation)
+    val fp = corpus.select(col("id"),
+      expr("transform(vec, x -> cast(floor(x * 1000000.0d) as bigint))").as("vfp"))
+    val seed = fp.where(col("id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val upd = Ivf.fpLloydUpdate(fp, seed).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val vecs = corpus.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val fpv = vecs.map { case (id, v) => (id, v.map(x => math.floor(x * 1e6).toLong)) }
+    def d2(a: Array[Long], b: Seq[Long]): Long =
+      a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+    val byCluster = fpv
+      .map { case (id, v) => (seed.minBy { case (cid, c) => (d2(v, c), cid) }._1, id, v) }
+      .groupBy(_._1)
+    assert(byCluster.keySet.size > 1, "seed should split the corpus")
+    var checked = 0
+    byCluster.foreach { case (cid, rows) =>
+      val n = rows.length
+      val dims = rows.head._3.length
+      (0 until dims).foreach { j =>
+        val sum = rows.map(_._3(j)).sum
+        val (meanFp, nMembers) = upd((cid, j))
+        assert(nMembers == n, s"cluster $cid size")
+        assert(meanFp == sum / n, s"cluster $cid dim $j integer mean")
+        val floatMean = {
+          val ids = rows.map(_._2).toSet
+          val mem = vecs.filter(v => ids(v._1))
+          mem.map(_._2(j)).sum / mem.length
+        }
+        assert(math.abs(meanFp / 1e6 - floatMean) <= 2e-6,
+          s"cluster $cid dim $j fp-vs-float drift")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
 }
