@@ -66,6 +66,25 @@ object TrainingScaleSmoke {
       r
     }
 
+    // Checkpoint-block hygiene: ten stages in one JVM each materialize
+    // multi-hundred-MB localCheckpoint RDDs; unified memory protects
+    // storage blocks up to storageFraction, so by the late stages execution
+    // memory starves (measured: perceptron round OOM at 1M docs with 8g).
+    // Track the RDD ids each checkpoint registers and free them the moment
+    // no later stage reads the frame. (A checkpointed RDD's blocks are its
+    // ONLY copy — freeing must wait until the last consumer is done.)
+    // by-name df: operators that checkpoint INTERNALLY (incrementalCandidates'
+    // band table) register those blocks inside the tracked window too
+    def checkpointTracked(df: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val added = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq
+      (out, added)
+    }
+    def free(ids: Seq[Int]): Unit = ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     // 1. BPE learning: the corpus collapses to a bounded vocabulary in one
     //    aggregation; 8 pair-count/argmax/merge rounds run on ≤1000 rows.
     val merges = timed("bpe learn (8 rounds)") {
@@ -75,10 +94,10 @@ object TrainingScaleSmoke {
 
     // 2. Tokenizer application: driver-held merge model replayed corpus-wide
     //    as a narrow scalar replace chain — zero shuffles over the documents.
-    val tok = timed("bpe tokenize") {
-      val t = Bpe.tokenize(docs.select(col("id").as("doc_id"), col("text")), merges)
-        .localCheckpoint()
-      t.count()
+    val (tok, tokIds) = timed("bpe tokenize") {
+      val t = checkpointTracked(
+        Bpe.tokenize(docs.select(col("id").as("doc_id"), col("text")), merges))
+      t._1.count()
       t
     }
 
@@ -89,23 +108,29 @@ object TrainingScaleSmoke {
         tokensPerBin = 4096, nWorkers = cpus.toInt)
         .select(col("worker"), col("bin")).distinct().count()
     }
+    free(tokIds)
 
     // 4. Incremental near-dup: the id % 10 == 1 slice is today's crawl (10%,
     //    contains every planted dup), the rest is the standing corpus. Bands
     //    join new×corpus only; exact Jaccard verifies the candidates.
-    val shingled = docs.select(col("id"),
-      call_function("word_ngrams", col("text"), lit(2)).as("shingles"))
-      .localCheckpoint()
+    val (shingled, shingledIds) = checkpointTracked(docs.select(col("id"),
+      call_function("word_ngrams", col("text"), lit(2)).as("shingles")))
     val newDocs = shingled.where(col("id") % 10 === 1)
     val oldDocs = shingled.where(col("id") % 10 =!= 1)
     var candidates: org.apache.spark.sql.DataFrame = null
+    var candidateIds: Seq[Int] = Nil
     val nCand = timed("incremental candidates") {
-      candidates = Dedup.incrementalCandidates(newDocs, oldDocs, 36, 12).localCheckpoint()
+      val t = checkpointTracked(Dedup.incrementalCandidates(newDocs, oldDocs, 36, 12))
+      candidates = t._1; candidateIds = t._2
       candidates.count()
     }
     val nVerified = timed("jaccard verify") {
       Dedup.verifyJaccard(candidates, shingled, 0.8).count()
     }
+    // free this stage's frames AND the corpus band table
+    // incrementalCandidates checkpointed internally (captured in candidateIds
+    // — it registered during that call); nothing later reads either
+    free(shingledIds ++ candidateIds)
 
     val planted = nDocs / 100
     println(s"[training-smoke] docs=$nDocs merges=${merges.size} bins=$nBins " +
@@ -137,13 +162,15 @@ object TrainingScaleSmoke {
         when(col("isDup"),
           expr("transform(base, (x, j) -> CASE WHEN j = 0 THEN x + 0.05d ELSE x END)"))
           .otherwise(col("base")).as("vec"))
-      .localCheckpoint()
+    // (callers checkpointTracked the result so its blocks can be freed)
     val nVec = math.min(nDocs, 100000)
-    val vecs = mkVecs(nVec)
+    val (vecs, vecIds) = checkpointTracked(mkVecs(nVec))
     val cents = Ivf.selectCentroids(vecs, col("id") % (nVec / 32).max(1) === 7)
     var semantic: org.apache.spark.sql.DataFrame = null
+    var semanticIds: Seq[Int] = Nil
     val nClusters = timed(s"semantic dedup ($nVec vecs, ${cents.length} cells)") {
-      semantic = Similarity.semanticDedup(vecs, cents, tau = 0.95).localCheckpoint()
+      val t = checkpointTracked(Similarity.semanticDedup(vecs, cents, tau = 0.95))
+      semantic = t._1; semanticIds = t._2
       semantic.count()
     }
     val memberOf = semantic.select(col("cluster_id"),
@@ -160,6 +187,7 @@ object TrainingScaleSmoke {
       s"co-clustered=$coClustered planted=$nPlantedVec")
     require(coClustered >= nPlantedVec * 95 / 100,
       s"semantic dedup co-clustered $coClustered of $nPlantedVec planted pairs")
+    free(semanticIds)
 
     // 6. IVF-PQ (q98's operator) at the FULL document count (up to 1M): the
     //    index build is one narrow map (coarse argmax + per-subspace argmin
@@ -169,15 +197,19 @@ object TrainingScaleSmoke {
     //    under test: build cost scales with scan speed, search cost with the
     //    probed fraction, and every query fills its top-5.
     val nPq = math.min(nDocs, 1000000).toLong
-    val pqVecs = if (nPq == nVec) vecs else mkVecs(nPq)
+    val (pqVecs, pqVecIds) =
+      if (nPq == nVec) (vecs, vecIds) else {
+        free(vecIds) // the 100k slice is dead once a bigger one replaces it
+        checkpointTracked(mkVecs(nPq))
+      }
     val pqCoarse = Ivf.selectCentroids(pqVecs, col("id") % (nPq / 64).max(1) === 3)
     val pqCb = pqVecs.where(col("id") < 16).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val pqSplits = Seq((1, 16), (17, 16))
-    val index = timed(s"ivfpq index build ($nPq vecs, ${pqCoarse.length} cells)") {
-      val i = Ivf.pqIndex(pqVecs, pqCoarse, pqCb, pqSplits).localCheckpoint()
-      i.count()
-      i
+    val (index, indexIds) = timed(s"ivfpq index build ($nPq vecs, ${pqCoarse.length} cells)") {
+      val t = checkpointTracked(Ivf.pqIndex(pqVecs, pqCoarse, pqCb, pqSplits))
+      t._1.count()
+      t
     }
     val pqQueries = pqVecs.where(col("id") % (nPq / 100).max(1) === 5)
     val nQ = pqQueries.count()
@@ -188,6 +220,7 @@ object TrainingScaleSmoke {
     println(s"[training-smoke] ivfpq queries=$nQ hits=$nHits")
     require(nHits == nQ * 5,
       s"every query should fill its top-5: got $nHits of ${nQ * 5}")
+    free(indexIds)
 
     // 7. DSIR importance weighting (q105's operator) at the full document
     //    count: the id % 10 == 0 slice is the "target" domain. The claims
@@ -246,28 +279,37 @@ object TrainingScaleSmoke {
       s"every planted pair member must be flagged: $nFlagged < $nPlantedDocs")
 
     // 9. Batch perceptron (q113's operator) at the full document count on a
-    //    separable-by-construction label: y = +1 iff the doc carries the
-    //    planted "qqq" dup marker (its bigrams exist ONLY in positives, so a
-    //    linear model with a bias feature must drive training error to ~0).
-    //    The claims under test: the per-(doc,bucket) feature table builds at
-    //    scan speed, each round is one broadcast weight join + one bounded
-    //    delta aggregation, and the trajectory converges at 1M docs.
+    //    BALANCED label with a DOMINANT class marker: even ids (y = +1) get
+    //    ten "mrk" words appended, odd ids ten "ngt" words (neither in the
+    //    500-term vocabulary). Margin and balance matter for CONVERGENCE,
+    //    not shape: this smoke's BATCH update (sum over all misclassified —
+    //    q113's formulation) has no single-example mistake bound, and two
+    //    earlier label designs measurably failed to converge — 1% positives
+    //    (the round-1 all-misclassify step writes a −0.98·N bias the marker
+    //    weight needs ~150 rounds to overcome) and a single marker word
+    //    (the per-round common-bucket drift of misclassified near-zero docs
+    //    overwhelms the one-word margin). Ten marker occurrences per doc
+    //    make the class term 10× the total drift, so training locks in
+    //    within 2 rounds. Features are hashed UNIGRAMS in 4096 buckets so
+    //    the markers' buckets carry (all but) no colliding mass. The claims
+    //    under test: the per-(doc, bucket) feature table builds at scan
+    //    speed, each round is one broadcast weight join + one bounded delta
+    //    aggregation, and the trajectory converges at 1M docs.
+    val mark10 = (m: String) => lit((" " + m) * 10)
     val base = docs.select(col("id"),
-      when(col("text").contains("qqq"), 1L).otherwise(-1L).as("y"),
-      split(col("text"), " ").as("w"))
-    val dcP = timed("perceptron features") {
-      val t = base
-        .select(col("id"), col("y"), explode(expr(
-          "transform(sequence(0, size(w) - 2), " +
-            "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
+      when(col("id") % 2 === 0, 1L).otherwise(-1L).as("y"),
+      split(concat(col("text"),
+        when(col("id") % 2 === 0, mark10("mrk")).otherwise(mark10("ngt"))), " ").as("w"))
+    val (dcP, dcPIds) = timed("perceptron features") {
+      val t = checkpointTracked(base
+        .select(col("id"), col("y"), explode(col("w")).as("g"))
         .select(col("id"), col("y"),
           (graft.functions.TextFunctions.hash60(
-            concat(lit("qp:"), col("g"))) % 1024).as("b"))
+            concat(lit("qp:"), col("g"))) % 4096).as("b"))
         .groupBy(col("id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
         .unionByName(base.select(col("id"), col("y"),
-          lit(-1L).as("b"), lit(1L).as("c")))
-        .localCheckpoint()
-      t.count(); t
+          lit(-1L).as("b"), lit(1L).as("c"))))
+      t._1.count(); t
     }
     var wp: Map[Long, Long] = Map.empty
     def weightsDf = {
@@ -278,8 +320,8 @@ object TrainingScaleSmoke {
     def scoredP = dcP.join(broadcast(weightsDf), Seq("b"), "left")
       .groupBy(col("id"), col("y"))
       .agg(sum(col("c") * coalesce(col("wt"), lit(0L))).as("s"))
-    timed("perceptron 4 rounds") {
-      for (_ <- 1 to 4) {
+    timed("perceptron 6 rounds") {
+      for (_ <- 1 to 6) {
         val delta = dcP.join(
           scoredP.where(col("y") * col("s") <= 0).select(col("id")), "id")
           .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
@@ -294,8 +336,11 @@ object TrainingScaleSmoke {
     val errs = confusion.getOrElse((1L, false), 0L) + confusion.getOrElse((-1L, true), 0L)
     val total = confusion.values.sum
     println(s"[training-smoke] perceptron errors=$errs of $total")
-    require(errs <= total / 100,
-      s"the separable label must train to <=1% error: $errs of $total")
+    // majority-class baseline is 50% here — demand near-zero so a vacuous
+    // non-converging trajectory can never pass
+    require(errs < nDocs / 100,
+      s"the separable balanced label must train to <1% error: $errs of $total")
+    free(dcPIds)
 
     // 10. Fixed-point Lloyd (q107's operator, the unified Ivf path) at the
     //     full vector count: the corpus lifts to floor(x·1e6) integers ONCE
@@ -303,9 +348,9 @@ object TrainingScaleSmoke {
     //     narrow k-term argmin + one (cluster, dim) aggregation whose output
     //     is k·dim rows. The claims under test: round cost scales with scan
     //     speed and the collected model stays bounded at 1M vectors.
-    val fpVecs = pqVecs.select(col("id"),
-      expr("transform(vec, x -> cast(floor(x * 1000000.0d) as bigint))").as("vfp"))
-      .localCheckpoint()
+    val (fpVecs, _) = checkpointTracked(pqVecs.select(col("id"),
+      expr("transform(vec, x -> cast(floor(x * 1000000.0d) as bigint))").as("vfp")))
+    free(pqVecIds) // the double-precision vectors are dead once lifted
     var fpCents: Seq[(Long, Seq[Long])] = fpVecs.where(col("id") < 8)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
     timed(s"lloyd 2 rounds ($nPq vecs, k=8, fixed-point)") {

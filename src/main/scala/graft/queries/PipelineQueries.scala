@@ -1835,6 +1835,13 @@ object PipelineQueries {
         // raw text up to ~17× (the Dedup.incrementalCandidates pattern,
         // measured 5× at 1M docs). Plan pinned in PlanShapeSpec: the final
         // plan reads the materialized RDD, never the parquet scan.
+        // Fault-tolerance tradeoff (deliberate): localCheckpoint truncates
+        // lineage with non-replicated blocks — on a real cluster, losing an
+        // executor mid-training fails the query unrecoverably. For this
+        // local-mode tool that is the right trade; a cluster deployment
+        // would persist() (keeping lineage for recompute) or write the
+        // feature table out — and would then re-pin PlanShapeSpec on the
+        // InMemoryRelation/FileScan instead of Scan ExistingRDD.
         .localCheckpoint()
       var w: Map[Long, Long] = Map.empty
       def weightsDf = {
