@@ -73,6 +73,11 @@ object PipelineScaleSmoke {
     val nVerified = timed("jaccard verify") {
       Dedup.verifyJaccard(candidates, shingled, 0.8).count()
     }
+    // minhashCandidates checkpoints its band table internally and this stage
+    // checkpointed the candidate set; no Spark action runs after this point,
+    // so free every block (the TrainingScaleSmoke storage-starvation hygiene)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     val planted = nDocs / 100
     println(s"[pipeline-smoke] docs=$nDocs exact_groups=$nExact " +
       s"candidates=$nCand verified=$nVerified planted=$planted")

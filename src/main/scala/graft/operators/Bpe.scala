@@ -135,6 +135,11 @@ object Bpe {
       coalesce(sum(xxhash64(col("text")).cast("decimal(20,0)")),
         lit(0).cast("decimal(20,0)")).as("h")).first()
     val fullKey = s"$key#$rounds#$vocabSize#${fp.getLong(0)}#${fp.get(1)}"
+    // content-addressed keys accumulate one (tiny) entry per corpus revision
+    // ever seen; bound the map so a long-lived JVM cycling through many
+    // revisions can't grow it forever (entries are ≤`rounds` string pairs,
+    // so this is hygiene, not memory pressure)
+    if (artifacts.size > 64) artifacts.clear()
     artifacts.computeIfAbsent(fullKey, _ =>
       learnMerges(docs, rounds, vocabSize)
         .orderBy(col("merge_round")).collect()

@@ -37,6 +37,10 @@ object Dsir {
    * definitions can never collide.
    */
   def hashedBigrams(docs: DataFrame, buckets: Int, salt: String): DataFrame = {
+    // the working columns would silently duplicate a carried column of the
+    // same name and break every downstream groupBy — fail loudly instead
+    Seq("b", "w", "g").foreach(c => require(!docs.columns.contains(c),
+      s"hashedBigrams reserves column name '$c' — rename it on the input"))
     val carried = docs.columns.filterNot(_ == "text").map(col).toSeq
     docs.withColumn("w", TextFunctions.tokens(col("text")))
       .where(size(col("w")) >= 2)

@@ -243,6 +243,11 @@ object PipelineQueries {
       // prune nothing and the candidate verify costs more than counting —
       // measured 6s vs 49s at sf0.1 (prefixJaccard wins on Zipfian text,
       // where high-df boilerplate falls out of every prefix).
+      // Df-cap vs oracle: the DuckDB twin stays the unguarded quadratic, so
+      // the hash gate holds only while no shingle's df exceeds the 10k cap —
+      // true at every oracle scale factor by construction (≤5000 docs). A
+      // corpus where the cap binds diverges by the documented star-recall
+      // concession; that is the same contract as the LSH queries (q32).
       // materialize ONCE (the q112 pattern): the df-capped join reads the
       // shingle table four ways (census, both pair-join sides, hot split) —
       // without the checkpoint the extraction re-runs from parquet each time

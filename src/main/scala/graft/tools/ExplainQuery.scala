@@ -24,6 +24,11 @@ object ExplainQuery {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (run) {
+      // drop the explain construction's eager checkpoint blocks first, so
+      // the timed run isn't measured under double-copy memory pressure
+      // Bench never has (Bench unpersists between queries)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // Bench-style timing: construction + execution (an eagerly
       // materializing query pays its checkpoint inside the timed region)
       val t0 = System.nanoTime()
