@@ -288,11 +288,14 @@ class PlanShapeSpec extends SparkSpec {
   test("iterative learners read a materialized feature table, never re-scan raw text") {
     // q113 reads its per-(doc,bucket) feature table 2× per training round
     // plus once for the confusion matrix; q107 scans its fixed-point lift
-    // once per Lloyd round; q112 feeds shingles to three consumers. Each
-    // pins a localCheckpoint, so the FINAL plan must read the materialized
-    // RDD and contain NO parquet scan — a dropped checkpoint re-runs
+    // once per Lloyd round; q112 feeds shingles to three consumers; the
+    // df-capped postings joins (q31/q92) read their shingle table four ways
+    // (census + both pair-join sides + hot split). Each pins a
+    // localCheckpoint, so the FINAL plan must read the materialized RDD and
+    // contain NO parquet scan — a dropped checkpoint re-runs
     // tokenize→explode→agg from raw text up to ~17× and fails here
-    Seq("q113_quality_perceptron", "q107_kmeans_lloyd", "q112_minhash_calibration")
+    Seq("q113_quality_perceptron", "q107_kmeans_lloyd", "q112_minhash_calibration",
+      "q31_dedup_jaccard", "q92_containment_dedup")
       .foreach { name =>
         val p = planOf(name)
         assert(p.contains("Scan ExistingRDD"),
