@@ -113,6 +113,56 @@ object CorpusOps {
   }
 
   /**
+   * SPAN-LEVEL decontamination (the surgical variant of [[decontaminate]]'s
+   * whole-document drop — the PaLM/Llama approach): locate every word
+   * `n`-gram of the corpus that also occurs in the benchmark, widen each hit
+   * by `margin` tokens, and coalesce overlapping/adjacent hits into maximal
+   * contaminated spans — the intervals a cleaning pass would cut, keeping
+   * the rest of the document.
+   *
+   * Input: corpus (`id`, `w` token array), `benchGrams` (`gram`) — the
+   * benchmark's distinct space-joined n-grams, small by definition (held-out
+   * eval sets), so the match join broadcasts. Output: (id, span_start,
+   * span_end, span_tok), `span_end` exclusive, token coordinates.
+   *
+   * Shapes for 100 TB: gram extraction is one narrow Generate; the match is
+   * a broadcast equi-join; interval coalescing is the gaps-and-islands
+   * pattern — ONE per-document window (max-end-so-far → island id → one
+   * groupBy), integer arithmetic throughout, partitions bounded by hits per
+   * document, never corpus-wide. Engine-exact, so the DuckDB oracle rebuilds
+   * identical spans (q114).
+   */
+  def contaminatedSpans(corpus: DataFrame, benchGrams: DataFrame,
+                        n: Int, margin: Int): DataFrame = {
+    val hits = corpus.where(size(col("w")) >= n)
+      .select(col("id"), size(col("w")).as("len"),
+        explode(expr(s"sequence(0, size(w) - $n)")).as("i"),
+        col("w"))
+      .select(col("id"), col("len"), col("i"),
+        array_join(slice(col("w"), col("i") + 1, lit(n)), " ").as("gram"))
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
+      .select(col("id"),
+        greatest(col("i") - margin, lit(0)).as("start"),
+        least(col("i") + n + margin, col("len")).as("end"))
+      .distinct()
+    // gaps-and-islands: a row opens a new island iff it starts strictly
+    // after every earlier span's end (adjacent spans merge — contiguous
+    // contamination is one cut)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("start"), col("end"))
+    val islands = hits
+      .withColumn("prev_max_end",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens", when(col("prev_max_end").isNull ||
+        col("start") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("opens"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("id"), col("island"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tok"))
+  }
+
+  /**
    * Token-budget shard packing: assign documents to training shards of
    * ≈ `tokensPerShard` tokens. Documents are first split across `nWorkers`
    * deterministic workers (`id % nWorkers`); within a worker, docs pack in id

@@ -419,6 +419,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q114_span_decontaminate" -> ((s, d) => {
+      // SURGICAL decontamination (PaLM/Llama): where q44 drops a whole doc
+      // for one shared gram and q67 over-drops through a Bloom filter, this
+      // emits the exact token intervals to cut — benchmark-matching word
+      // 8-grams widened ±2 and coalesced by the gaps-and-islands window.
+      // Spans are integer token coordinates, so the oracle rebuilds them
+      // bit-for-bit with the same window logic.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), T.tokens(col("text")).as("w"))
+      val bgrams = toks.where(col("id") % 7 === 0)
+        .where(size(col("w")) >= 8)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 8), " +
+            "i -> array_join(slice(w, i + 1, 8), ' '))")).as("gram"))
+        .distinct()
+      CorpusOps.contaminatedSpans(toks.where(col("id") % 7 =!= 0), bgrams,
+          n = 8, margin = 2)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tok"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -2202,6 +2224,35 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
          ORDER BY doc_id""",
+    // Same 8-gram extraction, ±2 widening, and gaps-and-islands coalescing
+    // in window SQL — spans are integer token coordinates, bit-identical.
+    "q114_span_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, len(w) AS len, w,
+                      unnest(range(0, len(w) - 8 + 1)) AS i
+               FROM ws WHERE len(w) >= 8),
+         grams AS (SELECT doc_id, len, i,
+                          array_to_string(w[i+1 : i+8], ' ') AS gram FROM g),
+         bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0),
+         m AS (SELECT DISTINCT doc_id,
+                      greatest(i - 2, 0) AS s, least(i + 8 + 2, len) AS e
+               FROM grams JOIN bg USING (gram) WHERE doc_id % 7 != 0),
+         isl AS (SELECT doc_id, s, e,
+                        CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                             OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             THEN 1 ELSE 0 END AS opens
+                 FROM m),
+         isl2 AS (SELECT doc_id, s, e,
+                         CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+                  FROM isl)
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+                max(e) - min(s) AS span_tok
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
     // probe flags — false positives included — hash-match exactly.
     "q67_bloom_decontaminate" -> {

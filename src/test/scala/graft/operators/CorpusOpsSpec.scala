@@ -79,6 +79,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(clean == Set(2L, 4L))
   }
 
+  test("contaminated spans merge overlaps, keep gaps apart, and clamp at edges") {
+    import spark.implicits._
+    // doc 10: tokens 0..19; bench grams hit at i=0 and i=4 (overlapping after
+    // ±1 widening -> ONE span clamped at 0), and at i=15 (tail-clamped span,
+    // separated by a clean gap -> its own island)
+    def words(r: Range) = r.map(j => s"t$j")
+    val benchDoc = (words(0 to 8) ++ words(40 to 44) ++ words(15 to 19)).mkString(" ")
+    val corpusDoc = (words(0 to 19)).mkString(" ")
+    val cleanDoc = words(100 to 130).mkString(" ")
+    val toks = Seq((0L, benchDoc), (10L, corpusDoc), (11L, cleanDoc))
+      .toDF("id", "text")
+      .select(col("id"), T.tokens(col("text")).as("w"))
+    val bgrams = toks.where(col("id") === 0L)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 5), " +
+          "i -> array_join(slice(w, i + 1, 5), ' '))")).as("gram"))
+    val spans = CorpusOps.contaminatedSpans(
+        toks.where(col("id") > 0L), bgrams, n = 5, margin = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(s => (s._1, s._2))
+    // doc 10 corpus grams matching bench: starts 0..4 (from bench t0..t8) and
+    // 15 (t15..t19). Widened ±1: [0,10) (clamped left) and [14,20) (no right
+    // clamp needed at len 20); the 0..4 hits coalesce into one island.
+    assert(spans.toSeq == Seq((10L, 0, 10, 10), (10L, 14, 20, 6)))
+  }
+
   test("shard packing respects the token budget and covers every doc once") {
     val docs = Tables.documents(spark, sf)
     val packed = CorpusOps.packShards(docs, col("doc_id"),
