@@ -145,11 +145,22 @@ object CorpusOps {
         greatest(col("i") - margin, lit(0)).as("start"),
         least(col("i") + n + margin, col("len")).as("end"))
       .distinct()
-    // gaps-and-islands: a row opens a new island iff it starts strictly
-    // after every earlier span's end (adjacent spans merge — contiguous
-    // contamination is one cut)
+    coalesceSpans(hits)
+  }
+
+  /**
+   * Interval coalescing — the gaps-and-islands pattern shared by the span
+   * detectors ([[contaminatedSpans]], [[Dedup.duplicateSpans]]): merge
+   * overlapping/adjacent (id, start, end-exclusive) intervals into maximal
+   * spans. A row opens a new island iff it starts strictly after every
+   * earlier interval's end (adjacent intervals merge — contiguous regions
+   * are one span). ONE per-id window + one groupBy, integer arithmetic,
+   * partitions bounded by intervals per id. Output: (id, span_start,
+   * span_end, span_tok).
+   */
+  def coalesceSpans(intervals: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("start"), col("end"))
-    val islands = hits
+    val islands = intervals
       .withColumn("prev_max_end",
         max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("opens", when(col("prev_max_end").isNull ||

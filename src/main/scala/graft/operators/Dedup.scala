@@ -474,6 +474,42 @@ object Dedup {
   }
 
   /**
+   * DUPLICATE TEXT SEGMENTS — the output semantics of suffix-array substring
+   * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+   * Models Better"), computed scalably by sliding windows instead of a
+   * global suffix array: every `n`-token window of every document digests
+   * (md5 of the space-joined slice), a corpus-wide census counts occurrences
+   * (INCLUDING within-document repeats — self-repetition is duplication
+   * too), and windows seen ≥ `minOcc` times coalesce per document into
+   * maximal duplicated spans via [[CorpusOps.coalesceSpans]]. Any exact
+   * shared substring of ≥ n tokens is fully covered by shared n-windows, so
+   * the merged spans are exactly the ≥ n-token duplicated regions a cleaning
+   * pass would cut.
+   *
+   * Input: (id, w token array). Output: (id, span_start, span_end,
+   * span_tok), end exclusive, token coordinates.
+   *
+   * Shapes for 100 TB: window digests are one narrow Generate (stride 1 —
+   * corpus × avg-len rows, the honest price of exactness; q72's chunked
+   * variant is the 8× cheaper approximation); the census is a map-side-
+   * combinable digest count; the charge-back is a digest equi-join (the q63
+   * postings shape); coalescing is one per-doc window. No all-pairs
+   * anything — cost is linear in total windows plus Σ occ per duplicated
+   * digest.
+   */
+  def duplicateSpans(corpus: DataFrame, n: Int, minOcc: Long = 2): DataFrame = {
+    val wins = corpus.where(size(col("w")) >= n)
+      .select(col("id"),
+        explode(expr(s"sequence(0, size(w) - $n)")).as("i"), col("w"))
+      .select(col("id"), col("i"),
+        md5(array_join(slice(col("w"), col("i") + 1, lit(n)), " ")).as("dg"))
+    val census = wins.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
+    val hits = wins.join(census.where(col("occ") >= minOcc), "dg")
+      .select(col("id"), col("i").as("start"), (col("i") + n).as("end"))
+    CorpusOps.coalesceSpans(hits)
+  }
+
+  /**
    * Connected components of a near-dup pair graph — the clustering step a
    * dedup pipeline ends with: near-dup PAIRS (from any of the detectors
    * above) become disjoint CLUSTERS, each keeping one canonical survivor.

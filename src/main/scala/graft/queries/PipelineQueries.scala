@@ -441,6 +441,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    "q115_duplicate_spans" -> ((s, d) => {
+      // suffix-array-dedup OUTPUT semantics (Lee et al. 2022) via sliding
+      // windows: maximal ≥10-token regions whose every 10-window occurs ≥2
+      // times corpus-wide (within-doc repeats count). Complements q72
+      // (non-overlapping chunks — the 8× cheaper approximation) and q106
+      // (doc-level dup fraction) with the exact spans a cleaner would cut.
+      // materialize ONCE: the window-digest table feeds the census and the
+      // charge-back join
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), T.tokens(col("text")).as("w"))
+        .localCheckpoint()
+      Dedup.duplicateSpans(toks, n = 10, minOcc = 2)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tok"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -2224,6 +2241,33 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
          ORDER BY doc_id""",
+    // Same sliding windows, census, and gaps-and-islands coalescing in
+    // window SQL — md5 digests and token coordinates are bit-identical.
+    // wins feeds the census AND the charge-back join → MATERIALIZED.
+    "q115_duplicate_spans" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, w, unnest(range(0, len(w) - 10 + 1)) AS i
+               FROM ws WHERE len(w) >= 10),
+         wins AS MATERIALIZED (SELECT doc_id, i,
+                      md5(array_to_string(w[i+1 : i+10], ' ')) AS dg FROM g),
+         census AS (SELECT dg FROM wins GROUP BY dg HAVING count(*) >= 2),
+         m AS (SELECT doc_id, i AS s, i + 10 AS e FROM wins JOIN census USING (dg)),
+         isl AS (SELECT doc_id, s, e,
+                        CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                             OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             THEN 1 ELSE 0 END AS opens
+                 FROM m),
+         isl2 AS (SELECT doc_id, s, e,
+                         CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+                  FROM isl)
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+                max(e) - min(s) AS span_tok
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+
     // Same 8-gram extraction, ±2 widening, and gaps-and-islands coalescing
     // in window SQL — spans are integer token coordinates, bit-identical.
     "q114_span_decontaminate" ->

@@ -105,6 +105,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(spans.toSeq == Seq((10L, 0, 10, 10), (10L, 14, 20, 6)))
   }
 
+  test("duplicate spans recover exactly the shared and self-repeated regions") {
+    import spark.implicits._
+    // docs A and B share a 12-token run at different offsets; doc C is clean;
+    // doc D repeats its own first 10 tokens after a separator. n=10 windows:
+    // the shared run is covered by three overlapping windows that must
+    // coalesce to ONE maximal span per doc; D's two copies are disjoint
+    // islands; no 9-token-or-shorter overlap may surface anything.
+    val common = (0 until 12).map(j => s"c$j")
+    val docA = ((0 until 5).map(j => s"a$j") ++ common ++ (5 until 10).map(j => s"a$j")).mkString(" ")
+    val docB = ((0 until 3).map(j => s"b$j") ++ common ++ (3 until 10).map(j => s"b$j")).mkString(" ")
+    val docC = (0 until 25).map(j => s"z$j").mkString(" ")
+    val docD = ((0 until 10).map(j => s"r$j") ++ Seq("xsep") ++ (0 until 10).map(j => s"r$j")).mkString(" ")
+    val toks = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("id", "text")
+      .select(col("id"), T.tokens(col("text")).as("w"))
+    val spans = Dedup.duplicateSpans(toks, n = 10, minOcc = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(s => (s._1, s._2)).toSeq
+    assert(spans == Seq(
+      (1L, 5, 17, 12), // A: the shared run at its offset, one maximal span
+      (2L, 3, 15, 12), // B: same region at a different offset
+      (4L, 0, 10, 10), (4L, 11, 21, 10))) // D: self-repeat, two islands
+  }
+
   test("shard packing respects the token budget and covers every doc once") {
     val docs = Tables.documents(spark, sf)
     val packed = CorpusOps.packShards(docs, col("doc_id"),
