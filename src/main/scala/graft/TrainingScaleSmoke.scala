@@ -350,6 +350,28 @@ object TrainingScaleSmoke {
     require(fpCents.nonEmpty && fpCents.size <= 8 &&
       fpCents.forall(_._2.length == 32),
       s"Lloyd model must stay bounded: ${fpCents.size} clusters")
+
+    // 11. Exact duplicate text segments (q115's operator) at the full
+    //     corpus: every planted pair shares its first 49 words (only the
+    //     last differs), so the stride-1 window census must recover EXACTLY
+    //     one [0, 49) span in each member — 2 per planted pair — and the
+    //     500-word vocabulary makes chance 10-gram collisions impossible
+    //     (500^-10), so there can be no other span. The claims under test:
+    //     ~50M window digests census at scan speed, the charge-back join
+    //     carries only duplicated digests, and the result is surgical.
+    val spanStats = timed(s"duplicate spans ($nDocs docs, n=10)") {
+      Dedup.duplicateSpans(
+          docs.select(col("id"), split(col("text"), " ").as("w")),
+          n = 10, minOcc = 2)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("span_tok") === 49, 1L).otherwise(0L)).as("n49"))
+        .first()
+    }
+    val expectedSpans = 2L * (nDocs / 100)
+    require(spanStats.getLong(0) == expectedSpans &&
+      spanStats.getLong(1) == expectedSpans,
+      s"expected $expectedSpans exact [0,49) spans, got ${spanStats.getLong(0)} " +
+        s"(${spanStats.getLong(1)} of length 49)")
     spark.stop()
   }
 }
