@@ -27,10 +27,17 @@ object TrainingScaleSmoke {
   def main(args: Array[String]): Unit = {
     val nDocs = args.lift(0).map(_.toInt).getOrElse(100000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // spill-aware partitioning: at 1M docs the wide aggregates carry ~50M
+    // feature rows — with only `cpus` partitions that is ~1.5M-row hash
+    // states on 32 CONCURRENT tasks, which intermittently exhausts the 8g
+    // heap under contention. Scale partition count with the corpus so
+    // per-task state stays bounded (tasks then run in waves); at the
+    // default 100k the value stays `cpus`, identical to Bench/Verify.
+    val shufflePartitions = math.max(cpus.toInt, nDocs / 10000)
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -367,7 +374,9 @@ object TrainingScaleSmoke {
           sum(when(col("span_tok") === 49, 1L).otherwise(0L)).as("n49"))
         .first()
     }
-    val expectedSpans = 2L * (nDocs / 100)
+    // planted dup ids are 1, 101, … < nDocs → exactly (nDocs+98)/100 pairs
+    // (NOT nDocs/100 — that undercounts every non-multiple-of-100 corpus)
+    val expectedSpans = 2L * ((nDocs + 98) / 100)
     require(spanStats.getLong(0) == expectedSpans &&
       spanStats.getLong(1) == expectedSpans,
       s"expected $expectedSpans exact [0,49) spans, got ${spanStats.getLong(0)} " +

@@ -121,12 +121,15 @@ object CorpusOps {
    * the rest of the document.
    *
    * Input: corpus (`id`, `w` token array), `benchGrams` (`gram`) — the
-   * benchmark's distinct space-joined n-grams, small by definition (held-out
-   * eval sets), so the match join broadcasts. Output: (id, span_start,
-   * span_end, span_tok), `span_end` exclusive, token coordinates.
+   * benchmark's space-joined n-grams (deduped here). Held-out eval sets are
+   * small, so AQE broadcasts the match join; the hint is deliberately NOT
+   * forced, so an oversized "benchmark" (q114 bench-slices 1/7 of the
+   * corpus) degrades to a shuffle join instead of a driver-side broadcast
+   * OOM. Output: (id, span_start, span_end, span_tok), `span_end`
+   * exclusive, token coordinates.
    *
    * Shapes for 100 TB: gram extraction is one narrow Generate; the match is
-   * a broadcast equi-join; interval coalescing is the gaps-and-islands
+   * an equi-join (broadcast when small); interval coalescing is the gaps-and-islands
    * pattern — ONE per-document window (max-end-so-far → island id → one
    * groupBy), integer arithmetic throughout, partitions bounded by hits per
    * document, never corpus-wide. Engine-exact, so the DuckDB oracle rebuilds
@@ -140,7 +143,7 @@ object CorpusOps {
         col("w"))
       .select(col("id"), col("len"), col("i"),
         array_join(slice(col("w"), col("i") + 1, lit(n)), " ").as("gram"))
-      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
+      .join(benchGrams.select(col("gram")).distinct(), "gram")
       .select(col("id"),
         greatest(col("i") - margin, lit(0)).as("start"),
         least(col("i") + n + margin, col("len")).as("end"))

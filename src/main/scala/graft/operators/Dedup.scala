@@ -491,11 +491,12 @@ object Dedup {
    *
    * Shapes for 100 TB: window digests are one narrow Generate (stride 1 —
    * corpus × avg-len rows, the honest price of exactness; q72's chunked
-   * variant is the 8× cheaper approximation); the census is a map-side-
-   * combinable digest count; the charge-back is a digest equi-join (the q63
-   * postings shape); coalescing is one per-doc window. No all-pairs
-   * anything — cost is linear in total windows plus Σ occ per duplicated
-   * digest.
+   * variant is the 8× cheaper approximation), computed ONCE: the occurrence
+   * count is `count() OVER (PARTITION BY dg)` — one digest-keyed exchange,
+   * no separate census aggregate, no join, no second pass over the digest
+   * pipeline (the census+equi-join formulation computes the 41M-digest
+   * Generate twice — measured at 1M docs). Per-digest partitions are tiny
+   * (max occ rows); coalescing is one per-doc window. No all-pairs anything.
    */
   def duplicateSpans(corpus: DataFrame, n: Int, minOcc: Long = 2): DataFrame = {
     val wins = corpus.where(size(col("w")) >= n)
@@ -503,8 +504,10 @@ object Dedup {
         explode(expr(s"sequence(0, size(w) - $n)")).as("i"), col("w"))
       .select(col("id"), col("i"),
         md5(array_join(slice(col("w"), col("i") + 1, lit(n)), " ")).as("dg"))
-    val census = wins.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
-    val hits = wins.join(census.where(col("occ") >= minOcc), "dg")
+    val byDigest = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
+    val hits = wins
+      .withColumn("occ", count(lit(1)).over(byDigest))
+      .where(col("occ") >= minOcc)
       .select(col("id"), col("i").as("start"), (col("i") + n).as("end"))
     CorpusOps.coalesceSpans(hits)
   }

@@ -433,7 +433,7 @@ object PipelineQueries {
         .select(explode(expr(
           "transform(sequence(0, size(w) - 8), " +
             "i -> array_join(slice(w, i + 1, 8), ' '))")).as("gram"))
-        .distinct()
+      // (no .distinct() here — the operator dedupes its benchGrams input)
       CorpusOps.contaminatedSpans(toks.where(col("id") % 7 =!= 0), bgrams,
           n = 8, margin = 2)
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
@@ -447,11 +447,10 @@ object PipelineQueries {
       // times corpus-wide (within-doc repeats count). Complements q72
       // (non-overlapping chunks — the 8× cheaper approximation) and q106
       // (doc-level dup fraction) with the exact spans a cleaner would cut.
-      // materialize ONCE: the window-digest table feeds the census and the
-      // charge-back join
+      // Single-pass: the operator counts occurrences with a window over the
+      // digest key, so the token table is read exactly once — no checkpoint
       val toks = Tables.documents(s, d)
         .select(col("doc_id").as("id"), T.tokens(col("text")).as("w"))
-        .localCheckpoint()
       Dedup.duplicateSpans(toks, n = 10, minOcc = 2)
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
           col("span_tok"))
@@ -2241,9 +2240,11 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
          ORDER BY doc_id""",
-    // Same sliding windows, census, and gaps-and-islands coalescing in
-    // window SQL — md5 digests and token coordinates are bit-identical.
-    // wins feeds the census AND the charge-back join → MATERIALIZED.
+    // Same sliding windows and gaps-and-islands coalescing — md5 digests
+    // and token coordinates are bit-identical. DuckDB keeps the
+    // census+join formulation (hence MATERIALIZED wins) where Spark counts
+    // occurrences with a window over the digest key; the occ >= 2 gate is
+    // value-identical either way.
     "q115_duplicate_spans" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          g AS (SELECT doc_id, w, unnest(range(0, len(w) - 10 + 1)) AS i
