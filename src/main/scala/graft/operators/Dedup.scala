@@ -491,12 +491,19 @@ object Dedup {
    *
    * Shapes for 100 TB: window digests are one narrow Generate (stride 1 —
    * corpus × avg-len rows, the honest price of exactness; q72's chunked
-   * variant is the 8× cheaper approximation), computed ONCE: the occurrence
-   * count is `count() OVER (PARTITION BY dg)` — one digest-keyed exchange,
-   * no separate census aggregate, no join, no second pass over the digest
-   * pipeline (the census+equi-join formulation computes the 41M-digest
-   * Generate twice — measured at 1M docs). Per-digest partitions are tiny
-   * (max occ rows); coalescing is one per-doc window. No all-pairs anything.
+   * variant is the 8× cheaper approximation), computed ONCE — the digest
+   * table materializes via localCheckpoint (EAGER: construction runs a job
+   * and pins blocks until the caller clears them; Bench/Verify/the smokes
+   * unpersist between queries) and both census and probe read the blocks.
+   * The census itself is a map-side-combinable `groupBy(dg).count()`: a
+   * boilerplate n-gram duplicated 10⁸ times collapses to one row per map
+   * partition BEFORE the exchange, unlike the `count() OVER (PARTITION BY
+   * dg)` formulation where every raw occurrence of the hot digest lands in
+   * ONE unsplittable window partition on one task. The semi-join back is a
+   * plain equi-join, so AQE's skew-join splits a hot digest's probe rows
+   * across tasks (and at test scale the ≥ minOcc digest set simply
+   * broadcasts). Per-task rows stay bounded under any digest distribution;
+   * coalescing is one per-doc window. No all-pairs anything.
    */
   def duplicateSpans(corpus: DataFrame, n: Int, minOcc: Long = 2): DataFrame = {
     val wins = corpus.where(size(col("w")) >= n)
@@ -504,10 +511,11 @@ object Dedup {
         explode(expr(s"sequence(0, size(w) - $n)")).as("i"), col("w"))
       .select(col("id"), col("i"),
         md5(array_join(slice(col("w"), col("i") + 1, lit(n)), " ")).as("dg"))
-    val byDigest = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
-    val hits = wins
-      .withColumn("occ", count(lit(1)).over(byDigest))
+      .localCheckpoint()
+    val dup = wins.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
       .where(col("occ") >= minOcc)
+      .select(col("dg"))
+    val hits = wins.join(dup, Seq("dg"), "left_semi")
       .select(col("id"), col("i").as("start"), (col("i") + n).as("end"))
     CorpusOps.coalesceSpans(hits)
   }

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan-audit aid: print the formatted physical plan of one SparkEntry query
   * and its noop-sink wall time. Usage:
-  *   runMain graft.tools.ExplainQuery <query_name> [sfDir] [--no-run]
+  *   runMain graft.tools.ExplainQuery <query_name> [sfDir] [--no-run] [--repeat=N]
+  * --repeat times N warm executions in this one JVM and reports each + the
+  * minimum — the only number comparable across runs on this contended box.
   */
 object ExplainQuery {
   def main(args: Array[String]): Unit = {
@@ -31,10 +33,20 @@ object ExplainQuery {
         .foreach(_.unpersist(blocking = false))
       // Bench-style timing: construction + execution (an eagerly
       // materializing query pays its checkpoint inside the timed region)
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[explain] $name wall ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val repeat = args.collectFirst {
+        case a if a.startsWith("--repeat=") => a.stripPrefix("--repeat=").toInt
+      }.getOrElse(1)
+      val times = (1 to repeat).map { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        println(f"[explain] $name pass $i wall $sec%.2f s")
+        sec
+      }
+      println(f"[explain] $name min ${times.min}%.2f s over $repeat passes")
     }
     spark.stop()
   }

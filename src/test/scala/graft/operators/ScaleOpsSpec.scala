@@ -388,6 +388,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cont == Set((1L, 300L, 1000000L)))
   }
 
+  test("duplicateSpans census is combinable under a planted mega-occurrence digest") {
+    import spark.implicits._
+    // 4000 docs each embedding the SAME 3-token run plus unique tails: ONE
+    // digest occurs 4000 times. The former count() OVER (PARTITION BY dg)
+    // formulation would land every raw row of that digest in one
+    // unsplittable window partition on one task; the census must instead be
+    // a map-side-combinable aggregate (the hot digest collapses to one row
+    // per map partition before the exchange) with a plain semi-join back
+    // that AQE's skew-join can split.
+    val docs = (1L to 4000L)
+      .map(i => (i, Seq("dup", "dup", "dup", s"u$i", s"v$i")))
+      .toDF("id", "w")
+    val spans = Dedup.duplicateSpans(docs, n = 3, minOcc = 2)
+    val rows = spans.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // only the i=0 window is shared → one (0, 3) span per doc, all 4000 docs
+    assert(rows.length == 4000)
+    assert(rows.forall(r => r._2 == 0 && r._3 == 3 && r._4 == 3))
+    assert(rows.map(_._1).toSet == (1L to 4000L).toSet)
+    // structural pin: the occurrence census is a partial-then-final
+    // aggregate over dg, never a window partitioned by dg (coalesceSpans's
+    // per-id window is the only window in the plan)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(dg"), "census must not be a window over dg")
+    assert(plan.contains("partial_count"), "census must have a map-side partial phase")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("connected components converge on chains, cliques, and singleton edges") {
     import spark.implicits._
     // a 10-node path (diameter 9 → exercises the fixpoint loop), a triangle,
