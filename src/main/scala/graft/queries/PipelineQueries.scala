@@ -524,11 +524,15 @@ object PipelineQueries {
       val cands = Dedup.minhashCandidates(
         docs.select(col("id"), shingleExpr(s, col("t"), 2).as("shingles")),
         k = 36, bands = 12)
+      // threshold form: the DP early-exits once distance must exceed 20
+      // (O(threshold·len) per pair, not O(len²)) and returns -1 for misses;
+      // hits carry the exact distance, so values match the oracle
       cands
         .join(docs.select(col("id").as("a"), col("t").as("ta")), "a")
         .join(docs.select(col("id").as("b"), col("t").as("tb")), "b")
-        .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
-        .where(col("dist") <= 20)
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb"), 20).as("dist"))
+        .where(col("dist") >= 0)
         .orderBy(col("a"), col("b"))
     }),
 
