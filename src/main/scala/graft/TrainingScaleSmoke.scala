@@ -381,6 +381,39 @@ object TrainingScaleSmoke {
       spanStats.getLong(1) == expectedSpans,
       s"expected $expectedSpans exact [0,49) spans, got ${spanStats.getLong(0)} " +
         s"(${spanStats.getLong(1)} of length 49)")
+    // everything persisted so far (docs corpus, span digests, Lloyd lifts) is
+    // dead before the graph stage — a full sweep keeps the block manager
+    // empty for the adversarial chain's own round checkpoints
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
+    // 12. Clustering on the ADVERSARIAL graph shape at the full document
+    //     count: an nDocs-vertex chain is label propagation's worst case
+    //     (rounds = diameter = nDocs), so componentsStar's O(log n) star
+    //     contraction is the only formulation that terminates here. Vertex
+    //     labels are scrambled by a bijection (×1000003 mod n — prime above
+    //     any nDocs this smoke runs, so coprime) so the component minimum
+    //     sits mid-chain and labels must travel against edge direction too.
+    //     The claims under test: convergence in ≤ 25 alternations at 1M
+    //     vertices, one component labeled by its minimum, and superseded
+    //     round checkpoints freed in-loop (the block manager stays bounded).
+    val nV = nDocs.toLong
+    val chain = spark.range(nV - 1).select(
+      (col("id") * 1000003L % nV).as("a"),
+      ((col("id") + 1) * 1000003L % nV).as("b"))
+    val rounds = timed(s"componentsStar ($nV-vertex scrambled chain)") {
+      val (labels, r) = Dedup.componentsStarWithRounds(chain, maxIters = 40)
+      val stats = labels.agg(count(lit(1)).as("n"),
+        countDistinct(col("component")).as("nc"),
+        min(col("component")).as("mn")).first()
+      require(stats.getLong(0) == nV && stats.getLong(1) == 1L &&
+        stats.getLong(2) == 0L,
+        s"chain must collapse to one component labeled 0: got ${stats.toSeq}")
+      r
+    }
+    println(s"[training-smoke] componentsStar chain rounds=$rounds")
+    require(rounds <= 25,
+      s"star contraction should converge in O(log n) <= 25 rounds, took $rounds")
     spark.stop()
   }
 }

@@ -138,8 +138,15 @@ object Bpe {
     // content-addressed keys accumulate one (tiny) entry per corpus revision
     // ever seen; bound the map so a long-lived JVM cycling through many
     // revisions can't grow it forever (entries are ≤`rounds` string pairs,
-    // so this is hygiene, not memory pressure)
-    if (artifacts.size > 64) artifacts.clear()
+    // so this is hygiene, not memory pressure). Evict arbitrary entries down
+    // to capacity rather than clearing — a clear-all also wiped the hot
+    // entries, and racing computeIfAbsent calls then re-learned them; the
+    // weakly-consistent iterator makes concurrent eviction safe (worst case
+    // two callers each evict one entry)
+    val evict = artifacts.keySet.iterator()
+    while (artifacts.size >= 64 && evict.hasNext) {
+      evict.next(); evict.remove()
+    }
     artifacts.computeIfAbsent(fullKey, _ =>
       learnMerges(docs, rounds, vocabSize)
         .orderBy(col("merge_round")).collect()

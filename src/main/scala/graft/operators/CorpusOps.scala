@@ -251,7 +251,17 @@ object CorpusOps {
    */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     numBuckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), numBuckets)
+
+  /** Multi-key variant: bucket (and sort) by ALL of `keys` — required when
+   * later joins use a compound key, because co-partitioned joins only skip
+   * the shuffle when the bucket columns cover EVERY join key
+   * (`spark.sql.requireAllClusterKeysForCoPartition`, default true; a
+   * subset-bucketed table would shuffle anyway). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int): Unit =
     df.write.format("parquet")
-      .bucketBy(numBuckets, key).sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite").saveAsTable(table)
 }

@@ -71,13 +71,20 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
                         maxBucket: Int = 10000): DataFrame =
-    // materialize the band table ONCE: bucketedPairs reads it three ways
+    // Materialize the band table ONCE: bucketedPairs reads it three ways
     // (size census, small-bucket enumeration, hot-star fallback), and
     // column-pruning differences defeat exchange reuse — without this the
     // minhash of the whole corpus computes once per branch (measured 4×
-    // at sf0.1). In production this table is the persisted, bucketed LSH
-    // index artifact; the checkpoint is its in-session stand-in (the
-    // incrementalCandidates precedent).
+    // at sf0.1).
+    // CALLER CONTRACT (the localCheckpoint trade): construction is EAGER —
+    // a Spark job runs before this returns (plan-only/explain callers pay
+    // it too), and the band-table blocks stay pinned in the block manager
+    // until the caller clears them (Bench/Verify/the smokes run
+    // `sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`
+    // between queries). Long-lived sessions should instead persist the band
+    // table once with [[writeBandIndex]] and probe it via
+    // [[incrementalCandidatesFromIndex]] — the artifact path with no
+    // in-session block footprint and no recompute-on-executor-loss caveat.
     bucketedPairs(bandedKeys(docs, k, bands).localCheckpoint(), maxBucket)
 
   /**
@@ -162,6 +169,55 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * PERSISTED LSH band index — the on-disk artifact the in-session
+   * localCheckpoints above stand in for: the corpus band table `(b, band,
+   * band_key)` written BUCKETED by the band join key through
+   * [[CorpusOps.writeBucketed]] (both columns — co-partitioned joins skip
+   * the shuffle only when the bucket columns cover every join key). Pay the
+   * banding + one bucket shuffle ONCE at index time; every later
+   * daily-crawl probe ([[incrementalCandidatesFromIndex]]) reads co-located
+   * buckets and plans ZERO exchanges on the corpus side — and unlike a
+   * checkpoint, the artifact survives the session and recomputes nothing on
+   * executor loss (parquet + lineage-free scan), which is the real cluster
+   * answer to localCheckpoint's fault-tolerance caveat.
+   */
+  def writeBandIndex(docs: DataFrame, table: String, k: Int, bands: Int,
+                     numBuckets: Int = 32): Unit =
+    CorpusOps.writeBucketed(
+      bandedKeys(docs, k, bands)
+        .select(col("id").as("b"), col("band"), col("band_key")),
+      table, Seq("band", "band_key"), numBuckets)
+
+  /**
+   * [[incrementalCandidates]] served from a persisted [[writeBandIndex]]
+   * table instead of re-banding the corpus: identical candidate semantics,
+   * same hot-bucket star collapse. Plan shape: the census aggregate and the
+   * size join are bucket-local (grouping/join keys equal the bucket
+   * columns — no Exchange above the index scan anywhere); only the small
+   * new-crawl side shuffles to the bucket layout. Proven no-shuffle +
+   * value-identical to the in-session path in PersistedIndexSpec.
+   */
+  def incrementalCandidatesFromIndex(newDocs: DataFrame, table: String,
+                                     k: Int, bands: Int,
+                                     maxBucket: Int = 10000): DataFrame = {
+    val ob = newDocs.sparkSession.table(table)
+    val keys = Seq("band", "band_key")
+    val nb = bandedKeys(newDocs, k, bands)
+      .select(col("id").as("a"), col("band"), col("band_key"))
+    val sizes = ob.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), min(col("b")).as("rep"))
+    val obSmall = ob.join(
+      sizes.where(col("n") <= maxBucket).select(keys.map(col): _*), keys)
+    val obHot = sizes.where(col("n") > maxBucket)
+      .select(col("band"), col("band_key"), col("rep").as("b"))
+    // join each corpus slice separately — a union first would discard the
+    // bucket partitioning and force both sides through an exchange
+    nb.join(obSmall, keys).select(col("a"), col("b"))
+      .unionByName(nb.join(obHot, keys).select(col("a"), col("b")))
+      .distinct()
+  }
+
   /** All ordered pairs (a < b) from a sorted id array. */
   private def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
@@ -196,12 +252,50 @@ object Dedup {
   private def postingsSplit(docs: DataFrame, maxDf: Long): (DataFrame, DataFrame) = {
     val posts = docs.select(col("id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("sh"))
-    val hotSet = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select(col("sh"))
+    val hotSet = loudWhenCapBinds(
+      posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf), maxDf)
+      .select(col("sh"))
     val cold = posts.join(hotSet, Seq("sh"), "left_anti")
     val hot = posts.join(hotSet, Seq("sh"), "left_semi")
       .select(col("id"), col("sh"))
     (cold, hot)
+  }
+
+  private val hotAuditSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val hotAuditSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** A BINDING df-cap must be loud, not silent: the hot-shingle set is
+   * observed as a named metric riding the query (zero extra jobs — the
+   * aggregate runs on the rows already flowing into the split joins), and a
+   * once-per-session listener WARNs with the collapsed-shingle count and
+   * the max df seen whenever a capped run actually dropped pair
+   * enumeration. [[hotShingles]] remains the detailed audit view. */
+  private def loudWhenCapBinds(hotDf: DataFrame, maxDf: Long): DataFrame = {
+    val spark = hotDf.sparkSession
+    hotAuditSessions.synchronized {
+      if (hotAuditSessions.add(spark))
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.dedup.hot_shingles") && row.getLong(0) > 0)
+                org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+                  s"df-cap bound: ${row.getLong(0)} shingle(s) above maxDf=" +
+                    s"${row.getLong(2)} (max df seen ${row.getLong(1)}) were " +
+                    "excluded from pair generation and star-collapsed - run " +
+                    "Dedup.hotShingles for the full audit")
+            }
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+    }
+    hotDf.observe(s"graft.dedup.hot_shingles.${hotAuditSeq.incrementAndGet()}",
+      count(lit(1)).as("n_hot"), max(col("df")).as("max_df_seen"),
+      lit(maxDf).as("max_df_cap"))
   }
 
   /** Audit view of the shingles a df-cap would collapse: (sh, df) for every
@@ -491,31 +585,35 @@ object Dedup {
    *
    * Shapes for 100 TB: window digests are one narrow Generate (stride 1 —
    * corpus × avg-len rows, the honest price of exactness; q72's chunked
-   * variant is the 8× cheaper approximation), computed ONCE — the digest
-   * table materializes via localCheckpoint (EAGER: construction runs a job
-   * and pins blocks until the caller clears them; Bench/Verify/the smokes
-   * unpersist between queries) and both census and probe read the blocks.
-   * The census itself is a map-side-combinable `groupBy(dg).count()`: a
-   * boilerplate n-gram duplicated 10⁸ times collapses to one row per map
-   * partition BEFORE the exchange, unlike the `count() OVER (PARTITION BY
-   * dg)` formulation where every raw occurrence of the hot digest lands in
-   * ONE unsplittable window partition on one task. The semi-join back is a
-   * plain equi-join, so AQE's skew-join splits a hot digest's probe rows
-   * across tasks (and at test scale the ≥ minOcc digest set simply
-   * broadcasts). Per-task rows stay bounded under any digest distribution;
-   * coalescing is one per-doc window. No all-pairs anything.
+   * variant is the 8× cheaper approximation). The occurrence census is a
+   * map-side-combinable `groupBy(dg).count()`: a boilerplate n-gram
+   * duplicated 10⁸ times collapses per map partition BEFORE the exchange,
+   * unlike the earlier `count() OVER (PARTITION BY dg)` formulation where
+   * every raw occurrence of a hot digest lands in ONE unsplittable window
+   * partition on one task. The semi-join back is a plain equi-join, so
+   * AQE's skew-join splits a hot digest's probe rows across tasks (at test
+   * scale the ≥ minOcc digest set simply broadcasts). Per-task rows stay
+   * bounded under ANY digest distribution; coalescing is one per-doc
+   * window; no all-pairs anything. The census and probe branches each run
+   * the digest Generate (scan-speed narrow compute, column-pruned to `dg`
+   * on the census side) — measured at 1M docs, recomputing beats pinning
+   * the ~41M-row digest table in the block manager 2.5× (the
+   * localCheckpoint variant), and it leaves no storage blocks behind for
+   * library callers to clean up.
    */
   def duplicateSpans(corpus: DataFrame, n: Int, minOcc: Long = 2): DataFrame = {
-    val wins = corpus.where(size(col("w")) >= n)
+    def wins = corpus.where(size(col("w")) >= n)
       .select(col("id"),
         explode(expr(s"sequence(0, size(w) - $n)")).as("i"), col("w"))
       .select(col("id"), col("i"),
         md5(array_join(slice(col("w"), col("i") + 1, lit(n)), " ")).as("dg"))
-      .localCheckpoint()
     val dup = wins.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
       .where(col("occ") >= minOcc)
       .select(col("dg"))
-    val hits = wins.join(dup, Seq("dg"), "left_semi")
+    // SHUFFLE_HASH on the (small) dup-digest build side: a sort-merge semi
+    // join would SORT every probe window row; hash-probing them is linear,
+    // and AQE's skew-join splits a hot digest's probe partition either way
+    val hits = wins.join(dup.hint("SHUFFLE_HASH"), Seq("dg"), "left_semi")
       .select(col("id"), col("i").as("start"), (col("i") + n).as("end"))
     CorpusOps.coalesceSpans(hits)
   }
@@ -539,15 +637,30 @@ object Dedup {
    * (O(log n) convergence) — same join shape, not needed for dedup-cluster
    * topologies.
    */
+  /** Eager localCheckpoint plus the persistent-RDD ids it registered, so the
+   * iterative loops below can free each SUPERSEDED round's blocks the moment
+   * the next round materializes — without this a 1M-vertex chain run pins
+   * every round's edge set in the block manager for the whole loop. */
+  private def trackedCheckpoint(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+  }
+
+  private def freeBlocks(df: DataFrame, ids: Seq[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
-    val sym = edges
+    val (sym, symIds) = trackedCheckpoint(edges
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var (labels, labelIds) = trackedCheckpoint(
+      sym.select(col("a").as("id")).distinct().withColumn("label", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -557,14 +670,19 @@ object Dedup {
         .agg(min(col("label")).as("nlabel"))
       // old and new label ride the same row, so convergence is a filter over
       // the checkpointed frame — no extra join-with-previous-labels per round
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+      val (updated, updatedIds) = trackedCheckpoint(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       converged = updated.where(col("label") < col("old")).isEmpty
+      // the new round is materialized — the previous labels' blocks are dead
+      freeBlocks(updated, labelIds)
       labels = updated.select(col("id"), col("label"))
+      labelIds = updatedIds
       it += 1
     }
+    // the returned frame reads only the final labels checkpoint
+    freeBlocks(labels, symIds)
     // an iteration-capped exit would return a WRONG partitioning (one true
     // cluster split across labels) — fail loudly, never silently
     if (!converged) throw new IllegalStateException(
@@ -594,17 +712,25 @@ object Dedup {
    * chains, cliques, and the planted near-dup corpus (and oracle-gated via
    * q56 against the recursive-CTE transitive closure).
    */
-  def componentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+  def componentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame =
+    componentsStarWithRounds(pairs, maxIters)._1
+
+  /** [[componentsStar]] plus the number of large-star/small-star rounds it
+   * took — the O(log n) convergence claim made observable (the 1M-vertex
+   * chain smoke in TrainingScaleSmoke records this against its bound). */
+  def componentsStarWithRounds(pairs: DataFrame,
+                               maxIters: Int = 40): (DataFrame, Int) = {
     // checkpoint the INPUT once — vertices and edges both derive from it, and
     // an expensive upstream pipeline (LSH + verify) must not materialize twice
-    val raw = pairs.select(col("a"), col("b")).where(col("a") =!= col("b"))
-      .localCheckpoint()
+    val (raw, _) = trackedCheckpoint(
+      pairs.select(col("a"), col("b")).where(col("a") =!= col("b")))
     val vertices = raw.select(col("a").as("id"))
       .unionAll(raw.select(col("b").as("id")))
       .distinct()
     // canonical strictly-descending edge (u > v)
-    var edges = raw.select(greatest(col("a"), col("b")).as("u"),
-      least(col("a"), col("b")).as("v")).distinct().localCheckpoint()
+    var (edges, edgeIds) = trackedCheckpoint(
+      raw.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v")).distinct())
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -621,16 +747,19 @@ object Dedup {
       // all attach to u's overall minimum
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val joined = large.join(smins, "u")
-      val small = joined.select(col("v").as("x"), col("m"))
-        .unionAll(joined.select(col("u").as("x"), col("m")))
-        .where(col("x") =!= col("m"))
-        .select(col("x").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+      val (small, smallIds) = trackedCheckpoint(
+        joined.select(col("v").as("x"), col("m"))
+          .unionAll(joined.select(col("u").as("x"), col("m")))
+          .where(col("x") =!= col("m"))
+          .select(col("x").as("u"), col("m").as("v"))
+          .distinct())
       // fixpoint: both sides are distinct sets, so equal counts + empty
       // one-sided difference ⇒ set equality
       converged = small.count() == edges.count() && small.except(edges).isEmpty
+      // the convergence check was the old edge set's last reader
+      freeBlocks(small, edgeIds)
       edges = small
+      edgeIds = smallIds
       it += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -640,8 +769,8 @@ object Dedup {
     // their component minimum; minima label themselves. The groupBy-min is
     // defensive (a star forest has one edge per vertex) — it keeps the output
     // one-row-per-vertex by construction rather than by trust.
-    vertices.join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+    (vertices.join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
       .groupBy(col("id"))
-      .agg(min(coalesce(col("lbl"), col("id"))).as("component"))
+      .agg(min(coalesce(col("lbl"), col("id"))).as("component")), it)
   }
 }

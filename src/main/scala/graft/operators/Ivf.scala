@@ -220,6 +220,41 @@ object Ivf {
    * `topk_by`, the q39 exchange shape with the vector reads deleted.
    * Returns (query_id, rank, neighbor_id, adc), adc = approximate squared L2.
    */
+  /**
+   * Persist a [[pqIndex]] table partitioned by `cell` — the on-disk ANN
+   * artifact the docstrings above promise: one write, then every search
+   * reads ONLY the probed cells' files (partition pruning at the parquet
+   * listing level — the corpus fraction scanned is nprobe/nlist by
+   * construction). Unlike an in-session checkpoint the artifact survives
+   * the session and costs nothing to "rebuild" on executor loss.
+   */
+  def writePqIndex(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /**
+   * [[adcSearch]] served from a persisted [[writePqIndex]] artifact: the
+   * union of every query's probe cells (bounded by min(nlist, queries ×
+   * nprobe) — driver-held, like the codebooks) becomes a STATIC partition
+   * filter, so the scan lists and reads only the probed cells' files.
+   * Results are identical to the in-session path (PersistedIndexSpec);
+   * partition-column types are re-pinned to the written schema (parquet
+   * partition inference would otherwise widen/narrow `cell`).
+   */
+  def adcSearchFromIndex(path: String, queries: DataFrame, coarse: Seq[Centroid],
+                         cb: Seq[(Long, Seq[Double])], splits: Seq[(Int, Int)],
+                         nprobe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probed = queries
+      .select(explode(probeCells(col("vec"), coarse, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0))
+    // filter on the RAW partition column first (pruning must see it bare),
+    // then re-pin the inferred type to the written long
+    val index = spark.read.parquet(path)
+      .where(col("cell").isin(probed: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    adcSearch(index, queries, coarse, cb, splits, nprobe, k)
+  }
+
   def adcSearch(index: DataFrame, queries: DataFrame, coarse: Seq[Centroid],
                 cb: Seq[(Long, Seq[Double])], splits: Seq[(Int, Int)],
                 nprobe: Int, k: Int): DataFrame = {

@@ -29,7 +29,16 @@ object Tables {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast reinterprets the naive micros IN THE SESSION
+        // TIMEZONE — only UTC preserves them; every graft entry point pins
+        // UTC, and this guard keeps a future entry point from silently
+        // shifting all event timestamps on a non-UTC host
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events: TIMESTAMP_NTZ -> TIMESTAMP is micros-preserving only " +
+            "under spark.sql.session.timeZone=UTC; set it in the SparkSession " +
+            s"builder (got '${s.conf.get("spark.sql.session.timeZone")}')")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

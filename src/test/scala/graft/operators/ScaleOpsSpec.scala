@@ -413,7 +413,6 @@ class ScaleOpsSpec extends SparkSpec {
     val plan = spans.queryExecution.executedPlan.toString
     assert(!plan.contains("windowspecdefinition(dg"), "census must not be a window over dg")
     assert(plan.contains("partial_count"), "census must have a map-side partial phase")
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
   test("connected components converge on chains, cliques, and singleton edges") {
