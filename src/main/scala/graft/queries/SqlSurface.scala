@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+
+/**
+ * The declarative entry surface: every star-schema table and the flagship
+ * operator outputs registered as TEMP VIEWS, so the whole suite is drivable
+ * from `spark.sql(...)` text alone — the counterpart of the reference's
+ * config-driven query surface (`XmlExtractor.java:187` reads a declarative
+ * extraction config; our relational/pipeline side exposes SQL). The native
+ * Catalyst expressions (minhash_signature, word_ngrams, topk_by, …) are
+ * already session-registered by `GraftExtensions`, so SQL text composes them
+ * with these views freely.
+ *
+ * Table views are lazy (registering costs nothing until SQL reads one);
+ * `neardup_pairs` materializes its LSH band table once at registration
+ * (the [[Dedup.minhashCandidates]] eager-checkpoint contract) and every
+ * later SQL query over the view reuses it. Callers wanting a durable
+ * serving layer persist with [[graft.operators.CorpusOps.writeBucketed]] /
+ * [[Dedup.writeBandIndex]] instead.
+ */
+object SqlSurface {
+
+  /** Register all 10 star-schema tables (loader-normalized — events gets
+   * the vintage-tolerant TIMESTAMP ts) as `<name>` temp views. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    Tables.region(spark, sfDir).createOrReplaceTempView("region")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+  }
+
+  /** Flagship operator outputs as views over the registered tables:
+   *  - `dedup_exact`   — content-hash groups (keep id, group size);
+   *  - `neardup_pairs` — MinHash-LSH candidates verified at exact Jaccard
+   *    ≥ 0.8 (q32's operator chain);
+   *  - `duplicate_spans` — exact ≥10-token duplicated regions (q115);
+   *  - `doc_shingles`  — the word-2-gram feature table the dedup family
+   *    shares (exposed so ad-hoc SQL can build its own detectors). */
+  def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
+    registerTables(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val shingled = docs.select(col("doc_id").as("id"),
+      T.shingles(col("text"), 2).as("shingles"))
+    shingled.createOrReplaceTempView("doc_shingles")
+    Dedup.exact(docs, col("doc_id"), col("text"))
+      .createOrReplaceTempView("dedup_exact")
+    Dedup.verifyJaccard(
+        Dedup.minhashCandidates(shingled, k = 36, bands = 12), shingled, 0.8)
+      .createOrReplaceTempView("neardup_pairs")
+    Dedup.duplicateSpans(
+        docs.select(col("doc_id").as("id"), T.tokens(col("text")).as("w")),
+        n = 10, minOcc = 2)
+      .createOrReplaceTempView("duplicate_spans")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+
+/**
+ * The SQL entry surface end-to-end: after one registration call, the suite
+ * is drivable from `spark.sql` TEXT alone — star-schema analytics, operator
+ * views, and the native Catalyst expressions composing in one statement —
+ * with results identical to the DataFrame-API formulations.
+ */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("star schema, operator views, and native functions drive from SQL text alone") {
+    SqlSurface.registerOperatorViews(spark, sf)
+
+    // 1. classic star join + aggregation across four view joins
+    val revenue = spark.sql(
+      """SELECT r.r_name AS region,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         FROM lineitem l
+         JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n   ON c.c_nationkey = n.n_nationkey
+         JOIN region r   ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name""").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(revenue.nonEmpty)
+    val viaApi = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(revenue == viaApi)
+
+    // 2. a dedup operator view joined back to a table, filtered in SQL
+    val sqlPairs = spark.sql(
+      """SELECT p.a, p.b, p.jac, d.source
+         FROM neardup_pairs p JOIN documents d ON p.a = d.doc_id
+         WHERE p.jac >= 0.8""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shingled = Tables.documents(spark, sf).select(col("doc_id").as("id"),
+      T.shingles(col("text"), 2).as("shingles"))
+    val apiPairs = Dedup.verifyJaccard(
+        Dedup.minhashCandidates(shingled, 36, 12), shingled, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sqlPairs.nonEmpty && sqlPairs == apiPairs)
+
+    // 3. native Catalyst expressions compose with views in one statement
+    val sigs = spark.sql(
+      """SELECT id, minhash_signature(shingles, 12) AS sig,
+                size(word_ngrams(array_join(shingles, ' '), 3)) AS n3
+         FROM doc_shingles WHERE size(shingles) > 0 LIMIT 7""").collect()
+    assert(sigs.length == 7)
+    assert(sigs.forall(r => r.getSeq[Long](1).length == 12))
+
+    // 4. the exact duplicate-span detector queried as a plain view
+    val sqlSpans = spark.sql(
+      "SELECT count(*) FROM duplicate_spans WHERE span_tok >= 10").first().getLong(0)
+    val apiSpans = Dedup.duplicateSpans(
+        Tables.documents(spark, sf)
+          .select(col("doc_id").as("id"), T.tokens(col("text")).as("w")),
+        n = 10, minOcc = 2)
+      .where(col("span_tok") >= 10).count()
+    assert(sqlSpans == apiSpans)
+
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+}
