@@ -264,4 +264,41 @@ object CorpusOps {
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite").saveAsTable(table)
+
+  /**
+   * NEAR-dup-leakage-safe split assignment: the unit of train/val/test
+   * assignment is the connected COMPONENT of the verified near-dup pair
+   * graph, not the document. The content-hash split rule (q101) makes
+   * exact-duplicate leakage structurally impossible; this closes the
+   * remaining hole — a paraphrase or near-duplicate of an eval document
+   * sitting in train scores as memorization, not generalization. Every
+   * cluster member (and every singleton) hashes its CLUSTER REPRESENTATIVE
+   * (the component's min id) through the deterministic `hash60` draw, so
+   * near-dup twins land on the same side by construction.
+   *
+   * `ids` is the full corpus id column; `pairs` is the verified near-dup
+   * edge set (columns `a`, `b` — the q32/q41 LSH + exact-verify output).
+   * Output: (id, cluster, split) with split ∈ train/val/test by
+   * `trainPct`/`valPct` buckets of hash60(salt:cluster) % 100.
+   *
+   * 100 TB shape: the pair graph is LSH-bounded and its component table is
+   * dwarfed by the corpus (only docs WITH a near-dup appear), so the
+   * assignment is one left equi-join of the corpus against that small table
+   * plus a narrow hash projection — no new corpus-sized shuffle beyond the
+   * join, and the join's small side is broadcast-eligible.
+   */
+  def leakageSafeSplit(ids: DataFrame, idCol: Column, pairs: DataFrame,
+                       salt: String, trainPct: Int, valPct: Int): DataFrame = {
+    val comp = Dedup.components(pairs).select(
+      col("id").as("cid"), col("component"))
+    val bucket = graft.functions.TextFunctions
+      .hash60(concat(lit(s"$salt:"), col("cluster").cast("string"))) % 100
+    ids.select(idCol.as("id"))
+      .join(comp, col("id") === col("cid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

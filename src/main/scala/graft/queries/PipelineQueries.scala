@@ -470,6 +470,60 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    "q116_leakage_safe_split" -> ((s, d) => {
+      // NEAR-dup-leakage-safe split: q101's content-hash rule pins exact
+      // duplicates to one side; this closes the remaining hole (Lee et al.
+      // 2022 §6 — near-duplicates of eval docs in train read as
+      // memorization). The assignment unit is the connected component of the
+      // verified near-dup graph (the q41 pipeline), singletons are their own
+      // cluster, and the split draw hashes the cluster REPRESENTATIVE — so a
+      // doc and its paraphrase can never straddle the split. The oracle
+      // recomputes components by recursive transitive closure.
+      val docs = docShingles(s, d, 2)
+      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      CorpusOps.leakageSafeSplit(Tables.documents(s, d), col("doc_id"),
+          pairs, "lss", trainPct = 80, valPct = 10)
+        .select(col("id").as("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q117_filter_funnel" -> ((s, d) => {
+      // curation-funnel report (the RefinedWeb/FineWeb dataset-card table):
+      // four quality gates applied in sequence — min length, language keep-
+      // list, stopword density, type-token ratio — with per-stage in/out
+      // counts and fixed-point permille yields. ONE corpus scan (every stage
+      // predicate is a narrow in-row map over the token array) feeding ONE
+      // bounded-output aggregation (a single row of conditional sums),
+      // then a 4-row stack on the driver-sized result — scan-speed at any
+      // corpus size, output size constant. Integer `div` both sides keeps
+      // the yields engine-exact.
+      val w = T.tokens(col("text"))
+      val f = Tables.documents(s, d).select(
+        size(w).cast("long").as("ntok"), col("lang"),
+        size(filter(w, x => x.isin("the", "a"))).cast("long").as("nstop"),
+        size(array_distinct(w)).cast("long").as("ndis"))
+        .select(
+          (col("ntok") >= 30).as("p1"),
+          col("lang").isin("en", "de", "fr", "es").as("p2"),
+          (expr("1000 * nstop div ntok") >= 20).as("p3"),
+          (expr("1000 * ndis div ntok") >= 350).as("p4"))
+      f.agg(
+        count(lit(1)).as("s0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("s2"),
+        sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L)).as("s3"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+          .otherwise(0L)).as("s4"))
+        .selectExpr(
+          """stack(4,
+               1, 'len_ge_30',         s0, s1,
+               2, 'lang_keep',         s1, s2,
+               3, 'stopword_density',  s2, s3,
+               4, 'ttr_ge_350',        s3, s4) AS (stage_idx, stage, n_in, n_out)""")
+        .withColumn("yield_pm", expr("1000 * n_out div n_in"))
+        .orderBy(col("stage_idx"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -2314,6 +2368,64 @@ object PipelineQueries {
                 max(e) - min(s) AS span_tok
          FROM isl2 GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
+
+    // q41's transitive-closure components, then every doc (singletons
+    // included) draws its split from the hash of its cluster representative —
+    // the same hash60 the Spark side uses, so assignment is engine-exact.
+    "q116_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+         ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.8),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id),
+         assign AS (
+           SELECT d.doc_id, coalesce(l.component, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN labeled l ON d.doc_id = l.id),
+         bkt AS (
+           SELECT doc_id, cluster,
+                  ${duckHash60("'lss:' || CAST(cluster AS VARCHAR)")} % 100 AS b
+           FROM assign)
+         SELECT doc_id, cluster,
+                CASE WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM bkt ORDER BY doc_id""",
+
+    // The four funnel gates as one conditional-sum row, stacked into the
+    // 4-row report; `//` = Spark `div` on the non-negative counts.
+    "q117_filter_funnel" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS ntok, lang,
+                  len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the', 'a'))) AS nstop,
+                  len(list_distinct(string_split(text, ' '))) AS ndis
+           FROM documents),
+         f AS (SELECT ntok >= 30 AS p1,
+                      lang IN ('en', 'de', 'fr', 'es') AS p2,
+                      1000 * nstop // ntok >= 20 AS p3,
+                      1000 * ndis // ntok >= 350 AS p4 FROM t),
+         agg AS (SELECT count(*) AS s0,
+                  CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                  CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                  CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS s3,
+                  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS s4
+                 FROM f)
+         SELECT 1 AS stage_idx, 'len_ge_30' AS stage, s0 AS n_in, s1 AS n_out,
+                1000 * s1 // s0 AS yield_pm FROM agg
+         UNION ALL SELECT 2, 'lang_keep', s1, s2, 1000 * s2 // s1 FROM agg
+         UNION ALL SELECT 3, 'stopword_density', s2, s3, 1000 * s3 // s2 FROM agg
+         UNION ALL SELECT 4, 'ttr_ge_350', s3, s4, 1000 * s4 // s3 FROM agg
+         ORDER BY stage_idx""",
 
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
     // probe flags — false positives included — hash-match exactly.

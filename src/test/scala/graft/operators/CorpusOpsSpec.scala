@@ -150,4 +150,30 @@ class CorpusOpsSpec extends SparkSpec {
       assert(shards.distinct == (0L to shards.max))
     }
   }
+
+  test("leakage-safe split: near-dup pairs never straddle the split") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+    val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+    val split = CorpusOps.leakageSafeSplit(Tables.documents(spark, sf),
+      col("doc_id"), pairs, "spec", trainPct = 80, valPct = 10)
+    val rows = split.collect()
+    // total function: every doc assigned exactly once, all three sides drawn
+    assert(rows.length == 500 && rows.map(_.getLong(0)).distinct.length == 500)
+    assert(rows.map(_.getString(2)).distinct.toSet == Set("train", "val", "test"))
+    // THE invariant: both endpoints of every verified near-dup pair (and by
+    // induction every member of a connected component) get the same side
+    val side = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val edges = pairs.select(col("a"), col("b")).collect()
+    assert(edges.nonEmpty, "corpus should contain near-dup pairs")
+    edges.foreach { e =>
+      assert(side(e.getLong(0)) == side(e.getLong(1)),
+        s"pair (${e.getLong(0)}, ${e.getLong(1)}) straddles the split")
+    }
+    // determinism: same salt → identical assignment
+    val again = CorpusOps.leakageSafeSplit(Tables.documents(spark, sf),
+      col("doc_id"), pairs, "spec", trainPct = 80, valPct = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == side)
+  }
 }
