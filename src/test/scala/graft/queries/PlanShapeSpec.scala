@@ -317,4 +317,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q107_kmeans_lloyd") <= 2,
       "one hash exchange for the (cluster, dim) agg, one range for the sort")
   }
+
+  test("leakage-safe split assigns via one equi-join against the component table") {
+    // the LSH/verify/components machinery materializes at construction
+    // (checkpointed), so the FINAL plan must be: one corpus parquet scan,
+    // one equi-join against the (small) component table, narrow hash
+    // projection, output sort — never a cartesian/nested-loop, and never a
+    // second pass over the corpus
+    assertNever("q116_leakage_safe_split",
+      "CartesianProduct", "BroadcastNestedLoopJoin", "Window")
+    val p = planOf("q116_leakage_safe_split")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "exactly one corpus scan may appear in the assignment plan")
+    assert(p.contains("Scan ExistingRDD"),
+      "the component table must enter as the materialized checkpoint " +
+        "(anti-vacuousness check)")
+  }
 }
