@@ -108,7 +108,11 @@ object Bench {
     // per-query times measure the operator, not repeated shingle extraction.
     // Harness-only — query code is untouched and values are identical.
     // Disable with SPARK_GRAFT_BENCH_SEED_CACHE=false for an unseeded run.
-    val seedCache = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED_CACHE", "true").toBoolean
+    // lenient parse: only an explicit false/0/no/off disables — toBoolean
+    // would crash the whole bench on "0"
+    val seedCache = !Set("false", "0", "no", "off")
+      .contains(sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED_CACHE", "true")
+        .trim.toLowerCase)
     if (seedCache) {
       for ((nm, df) <- graft.queries.PipelineQueries.benchCacheSeeds(spark, sfDir)) {
         try df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()

@@ -143,9 +143,14 @@ object Bpe {
     // entries, and racing computeIfAbsent calls then re-learned them; the
     // weakly-consistent iterator makes concurrent eviction safe (worst case
     // two callers each evict one entry)
-    val evict = artifacts.keySet.iterator()
-    while (artifacts.size >= 64 && evict.hasNext) {
-      evict.next(); evict.remove()
+    // evict only on a MISS (a hit at capacity must not risk removing the
+    // very entry being served — that would replay the k-round learn), and
+    // never evict the requested key itself
+    if (!artifacts.containsKey(fullKey)) {
+      val evict = artifacts.keySet.iterator()
+      while (artifacts.size >= 64 && evict.hasNext) {
+        if (evict.next() != fullKey) evict.remove()
+      }
     }
     artifacts.computeIfAbsent(fullKey, _ =>
       learnMerges(docs, rounds, vocabSize)

@@ -289,7 +289,12 @@ object CorpusOps {
    */
   def leakageSafeSplit(ids: DataFrame, idCol: Column, pairs: DataFrame,
                        salt: String, trainPct: Int, valPct: Int): DataFrame = {
-    val comp = Dedup.components(pairs).select(
+    // componentsStar, not components: a >50-doc chain of serially-edited
+    // near-dups (a real corpus shape) exceeds min-label propagation's
+    // diameter bound and would abort the whole split job; star contraction
+    // converges in O(log n) rounds with the identical (id, component=min)
+    // output contract
+    val comp = Dedup.componentsStar(pairs).select(
       col("id").as("cid"), col("component"))
     val bucket = graft.functions.TextFunctions
       .hash60(concat(lit(s"$salt:"), col("cluster").cast("string"))) % 100

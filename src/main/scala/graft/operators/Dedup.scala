@@ -642,10 +642,15 @@ object Dedup {
    * the next round materializes — without this a 1M-vertex chain run pins
    * every round's edge set in the block manager for the whole loop. */
   private def trackedCheckpoint(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+    // the persisted id comes from the checkpoint's OWN LogicalRDD — a
+    // before/after diff of getPersistentRDDs would race a concurrent query
+    // on the same SparkContext and could later unpersist ITS checkpoint
+    // blocks, which are unrecoverable (lineage truncated)
+    val ids = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    (out, ids)
   }
 
   private def freeBlocks(df: DataFrame, ids: Seq[Int]): Unit = {

@@ -520,7 +520,9 @@ object PipelineQueries {
                2, 'lang_keep',         s1, s2,
                3, 'stopword_density',  s2, s3,
                4, 'ttr_ge_350',        s3, s4) AS (stage_idx, stage, n_in, n_out)""")
-        .withColumn("yield_pm", expr("1000 * n_out div n_in"))
+        // nullif: a gate that passes zero docs yields NULL for the next
+        // stage (identically in the oracle), not a division error
+        .withColumn("yield_pm", expr("1000 * n_out div nullif(n_in, 0)"))
         .orderBy(col("stage_idx"))
     }),
 
@@ -2421,10 +2423,10 @@ object PipelineQueries {
                        AS BIGINT) AS s4
                  FROM f)
          SELECT 1 AS stage_idx, 'len_ge_30' AS stage, s0 AS n_in, s1 AS n_out,
-                1000 * s1 // s0 AS yield_pm FROM agg
-         UNION ALL SELECT 2, 'lang_keep', s1, s2, 1000 * s2 // s1 FROM agg
-         UNION ALL SELECT 3, 'stopword_density', s2, s3, 1000 * s3 // s2 FROM agg
-         UNION ALL SELECT 4, 'ttr_ge_350', s3, s4, 1000 * s4 // s3 FROM agg
+                1000 * s1 // nullif(s0, 0) AS yield_pm FROM agg
+         UNION ALL SELECT 2, 'lang_keep', s1, s2, 1000 * s2 // nullif(s1, 0) FROM agg
+         UNION ALL SELECT 3, 'stopword_density', s2, s3, 1000 * s3 // nullif(s2, 0) FROM agg
+         UNION ALL SELECT 4, 'ttr_ge_350', s3, s4, 1000 * s4 // nullif(s3, 0) FROM agg
          ORDER BY stage_idx""",
 
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the

@@ -34,10 +34,17 @@ object Tables {
         // TIMEZONE — only UTC preserves them; every graft entry point pins
         // UTC, and this guard keeps a future entry point from silently
         // shifting all event timestamps on a non-UTC host
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        // normalize before comparing: 'Etc/UTC', 'GMT', '+00:00', 'Z' are all
+        // fixed-offset-zero zones and equally micros-preserving — only a zone
+        // that can shift the wall clock is unsafe
+        val isUtc =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
           "Tables.events: TIMESTAMP_NTZ -> TIMESTAMP is micros-preserving only " +
-            "under spark.sql.session.timeZone=UTC; set it in the SparkSession " +
-            s"builder (got '${s.conf.get("spark.sql.session.timeZone")}')")
+            "under a UTC session timezone; set spark.sql.session.timeZone=UTC " +
+            s"in the SparkSession builder (got '$tz')")
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }

@@ -106,7 +106,8 @@ class PersistedIndexSpec extends SparkSpec {
       .where(col("cell").isin(probed.toSeq: _*))
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty)
-    assert(files.forall(f => probed.exists(c => f.contains(s"cell=$c"))),
+    // full path segment, not substring: "cell=6" must not match "cell=64/"
+    assert(files.forall(f => probed.exists(c => f.contains(s"/cell=$c/"))),
       s"scan read unprobed partitions: ${files.mkString(", ")}")
   }
 }
