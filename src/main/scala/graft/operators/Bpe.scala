@@ -89,7 +89,11 @@ object Bpe {
    * span two words; the subword count is simply the count of `(` in the
    * merged string. Returns (doc_id, n_words, n_subwords).
    */
-  def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** `carry` columns of `docs` ride along unchanged (e.g. `lang` for the
+   * fertility report) — keeps downstream per-group views join-free: the
+   * alternative is re-reading the corpus and equi-joining on doc_id. */
+  def tokenize(docs: DataFrame, merges: Seq[(String, String)],
+               carry: Seq[String] = Nil): DataFrame = {
     // caller-supplied merges are interpolated into SQL — hold the same
     // invariant the learner guarantees
     merges.foreach { case (l, r) =>
@@ -102,14 +106,15 @@ object Bpe {
     val applied = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
       s"replace($acc, '($l)($r)', '($l$r)')"
     }
+    val carryCols = carry.map(col)
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carryCols :+
         expr("cast(size(regexp_extract_all(lower(text), '[a-z]+', 0)) as bigint)")
-          .as("n_words"),
-        expr(applied).as("seg"))
-      .select(col("doc_id"), col("n_words"),
+          .as("n_words") :+
+        expr(applied).as("seg"): _*)
+      .select(col("doc_id") +: carryCols :+ col("n_words") :+
         expr("cast(length(seg) - length(replace(seg, '(', '')) as bigint)")
-          .as("n_subwords"))
+          .as("n_subwords"): _*)
   }
 
   /**

@@ -526,6 +526,69 @@ object PipelineQueries {
         .orderBy(col("stage_idx"))
     }),
 
+    "q118_tokenizer_fertility" -> ((s, d) => {
+      // tokenizer QA (the fertility table): subwords-per-word and alpha-
+      // chars-per-subword per language for the corpus-trained BPE — the view
+      // that shows which languages a tokenizer under-serves (high fertility
+      // = more tokens per word = costlier training and shorter effective
+      // context). Reuses the persisted merge artifact (train once, apply
+      // anywhere); scoring is q95's zero-shuffle replace chain with `lang`
+      // carried through (join-free), then ONE |langs|-row aggregation.
+      // Fixed-point permille ratios keep the report engine-exact.
+      val m = Bpe.mergeArtifact(Tables.documents(s, d), rounds = 8,
+        vocabSize = 1000, key = d)
+      val seg = Bpe.tokenize(
+        Tables.documents(s, d).withColumn("n_alpha",
+          length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast("long")),
+        m, carry = Seq("lang", "n_alpha"))
+      seg.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"),
+          sum(col("n_alpha")).as("n_alpha"))
+        .selectExpr("lang", "n_docs", "n_words", "n_subwords", "n_alpha",
+          "1000 * n_subwords div nullif(n_words, 0) AS fertility_pm",
+          "1000 * n_alpha div nullif(n_subwords, 0) AS chars_per_subword_pm")
+        .orderBy(col("lang"))
+    }),
+
+    "q119_dedup_impact" -> ((s, d) => {
+      // dedup impact report: near-dup cluster size distribution plus the
+      // doc/token mass a keep-one-per-cluster policy removes, bucketed by
+      // cluster size — the ops dashboard for a dedup run (how much of the
+      // corpus is boilerplate, how deep do clusters go). Components over the
+      // verified pair graph; singletons enter via the q116 left join; ONE
+      // corpus-side equi-join + a per-cluster aggregation + a constant
+      // |buckets|-row rollup. The keeper is the min-id doc (q41's
+      // convention); its tokens survive, the rest are "removed".
+      val docs = docShingles(s, d, 2)
+      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      val comp = Dedup.componentsStar(pairs)
+        .select(col("id").as("cid"), col("component"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+      val per = toks
+        .join(comp, col("doc_id") === col("cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"),
+          col("n_tokens"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"), sum(col("n_tokens")).as("tok"),
+          min(struct(col("doc_id"), col("n_tokens"))).as("keep"))
+      per.select(col("sz"), col("tok"),
+          (col("tok") - col("keep.n_tokens")).as("tok_removed"),
+          when(col("sz") === 1, lit(1)).when(col("sz") === 2, lit(2))
+            .when(col("sz") <= 4, lit(3)).otherwise(lit(4)).as("bucket_ord"),
+          when(col("sz") === 1, lit("1")).when(col("sz") === 2, lit("2"))
+            .when(col("sz") <= 4, lit("3-4")).otherwise(lit("5+")).as("bucket"))
+        .groupBy(col("bucket_ord"), col("bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("docs_removed"),
+          sum(col("tok_removed")).as("tokens_removed"))
+        .orderBy(col("bucket_ord"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -2003,17 +2066,19 @@ object PipelineQueries {
    * words wrapped and space-joined, the learned merges replayed as nested
    * replaces (scalar subqueries on the materialized b_i argmaxes), subwords
    * counted as `(` occurrences. */
-  private def duckBpeTokenize(rounds: Int, vocab: Int): String = {
-    val base = "array_to_string(ws, ' ')"
-    // coalesce guard: if the corpus exhausts before `rounds` merges, b$i is
-    // empty and its scalar subqueries are NULL — an unguarded replace would
-    // NULL every document. chr(1) never occurs in the wrapped corpus, so the
-    // guarded replace is an identity, mirroring Spark's early loop exit.
-    val applied = (1 to rounds).foldLeft(base) { (acc, i) =>
+  // coalesce guard: if the corpus exhausts before `rounds` merges, b$i is
+  // empty and its scalar subqueries are NULL — an unguarded replace would
+  // NULL every document. chr(1) never occurs in the wrapped corpus, so the
+  // guarded replace is an identity, mirroring Spark's early loop exit.
+  private def duckBpeApplied(rounds: Int): String =
+    (1 to rounds).foldLeft("array_to_string(ws, ' ')") { (acc, i) =>
       s"""replace($acc,
                    coalesce('(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')', chr(1)),
                    coalesce('(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')', ''))"""
     }
+
+  private def duckBpeTokenize(rounds: Int, vocab: Int): String = {
+    val applied = duckBpeApplied(rounds)
     duckBpeStages(rounds, vocab) +
       s""",
          tok AS (SELECT doc_id, list_transform(
@@ -2428,6 +2493,79 @@ object PipelineQueries {
          UNION ALL SELECT 3, 'stopword_density', s2, s3, 1000 * s3 // nullif(s2, 0) FROM agg
          UNION ALL SELECT 4, 'ttr_ge_350', s3, s4, 1000 * s4 // nullif(s3, 0) FROM agg
          ORDER BY stage_idx""",
+
+    // The q95 BPE replay (identical staged merges + guarded replace chain)
+    // with lang and the alpha-char count carried per doc, aggregated to the
+    // per-language fertility table.
+    "q118_tokenizer_fertility" -> {
+      duckBpeStages(8, 1000) +
+        s""",
+         tok AS (SELECT doc_id, lang,
+                   CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        AS BIGINT) AS n_alpha,
+                   list_transform(
+                     regexp_extract_all(lower(text), '[a-z]+'),
+                     w -> regexp_replace(w, '(.)', '(\\1)', 'g')) AS ws
+                 FROM documents),
+         seg AS (SELECT doc_id, lang, n_alpha,
+                        CAST(len(ws) AS BIGINT) AS n_words,
+                        ${duckBpeApplied(8)} AS s
+                 FROM tok),
+         per AS (SELECT lang, n_alpha, n_words,
+                        CAST(strlen(s) - strlen(replace(s, '(', ''))
+                             AS BIGINT) AS n_subwords
+                 FROM seg),
+         byl AS (SELECT lang, count(*) AS n_docs,
+                        CAST(sum(n_words) AS BIGINT) AS n_words,
+                        CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+                        CAST(sum(n_alpha) AS BIGINT) AS n_alpha
+                 FROM per GROUP BY lang)
+         SELECT lang, n_docs, n_words, n_subwords, n_alpha,
+                1000 * n_subwords // nullif(n_words, 0) AS fertility_pm,
+                1000 * n_alpha // nullif(n_subwords, 0) AS chars_per_subword_pm
+         FROM byl ORDER BY lang"""
+    },
+
+    // q41's transitive closure; singletons join in; keeper = arg_min by
+    // doc_id (unique within a cluster, so engine-exact); bucket rollup.
+    "q119_dedup_impact" ->
+      s"""WITH RECURSIVE
+         ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.8),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id),
+         toks AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+         assign AS (
+           SELECT t.doc_id, coalesce(l.component, t.doc_id) AS cluster, t.n_tokens
+           FROM toks t LEFT JOIN labeled l ON t.doc_id = l.id),
+         per AS (
+           SELECT cluster, count(*) AS sz,
+                  CAST(sum(n_tokens) AS BIGINT) AS tok,
+                  arg_min(n_tokens, doc_id) AS keep_tok
+           FROM assign GROUP BY cluster),
+         b AS (
+           SELECT sz, tok, tok - keep_tok AS tok_removed,
+                  CASE WHEN sz = 1 THEN 1 WHEN sz = 2 THEN 2
+                       WHEN sz <= 4 THEN 3 ELSE 4 END AS bucket_ord,
+                  CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+                       WHEN sz <= 4 THEN '3-4' ELSE '5+' END AS bucket
+           FROM per)
+         SELECT bucket_ord, bucket, count(*) AS n_clusters,
+                CAST(sum(sz) AS BIGINT) AS n_docs,
+                CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+                CAST(sum(tok_removed) AS BIGINT) AS tokens_removed
+         FROM b GROUP BY bucket_ord, bucket ORDER BY bucket_ord""",
 
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
     // probe flags — false positives included — hash-match exactly.
