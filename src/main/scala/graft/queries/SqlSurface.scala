@@ -45,6 +45,8 @@ object SqlSurface {
    *  - `neardup_pairs` — MinHash-LSH candidates verified at exact Jaccard
    *    ≥ 0.8 (q32's operator chain);
    *  - `duplicate_spans` — exact ≥10-token duplicated regions (q115);
+   *  - `leakage_split` — near-dup-cluster-atomic train/val/test assignment
+   *    (q116: a doc and its near-duplicate never straddle the split);
    *  - `doc_shingles`  — the word-2-gram feature table the dedup family
    *    shares (exposed so ad-hoc SQL can build its own detectors). */
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
@@ -55,12 +57,15 @@ object SqlSurface {
     shingled.createOrReplaceTempView("doc_shingles")
     Dedup.exact(docs, col("doc_id"), col("text"))
       .createOrReplaceTempView("dedup_exact")
-    Dedup.verifyJaccard(
-        Dedup.minhashCandidates(shingled, k = 36, bands = 12), shingled, 0.8)
-      .createOrReplaceTempView("neardup_pairs")
+    val pairs = Dedup.verifyJaccard(
+      Dedup.minhashCandidates(shingled, k = 36, bands = 12), shingled, 0.8)
+    pairs.createOrReplaceTempView("neardup_pairs")
     Dedup.duplicateSpans(
         docs.select(col("doc_id").as("id"), T.tokens(col("text")).as("w")),
         n = 10, minOcc = 2)
       .createOrReplaceTempView("duplicate_spans")
+    graft.operators.CorpusOps.leakageSafeSplit(docs, col("doc_id"), pairs,
+        salt = "lss", trainPct = 80, valPct = 10)
+      .createOrReplaceTempView("leakage_split")
   }
 }

@@ -72,6 +72,15 @@ class SqlSurfaceSpec extends SparkSpec {
       .where(col("span_tok") >= 10).count()
     assert(sqlSpans == apiSpans)
 
+    // 5. the leakage-safe split queried as SQL: the pair-straddle audit is
+    // itself one SQL join, and it must come back empty
+    val straddlers = spark.sql(
+      """SELECT count(*) FROM neardup_pairs p
+         JOIN leakage_split sa ON p.a = sa.id
+         JOIN leakage_split sb ON p.b = sb.id
+         WHERE sa.split != sb.split""").first().getLong(0)
+    assert(straddlers == 0L, s"$straddlers near-dup pairs straddle the split")
+
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 }
