@@ -107,6 +107,37 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     array_min(transform(shingles(text, 3), s => hash60(s)))
 
+  /**
+   * FULL winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+   * algorithm): hash every word `k`-gram of token array `ws`, then from
+   * every window of `w` consecutive gram hashes keep the minimum (ties →
+   * leftmost position; struct(h, p) ordering makes `array_min` pick it).
+   * Returns the distinct selected array<struct<h: long, p: int>> — position
+   * `p` is the gram's token offset. The guarantee: any two documents sharing
+   * a token run of ≥ w+k-1 tokens share at least one selected fingerprint
+   * (every such run fully contains one selection window on each side, and
+   * both sides pick the same minimum inside it), at ~2/(w+1) the density of
+   * the full gram-hash set. Everything is a scalar array fold — scan-speed,
+   * no shuffle; [[fingerprint]] above is the 1-hash-per-doc degenerate case.
+   * Documents with fewer than k tokens yield no grams: callers filter them.
+   */
+  def winnow(ws: Column, k: Int, w: Int): Column = {
+    val grams = transform(sequence(lit(0), size(ws) - k),
+      i => struct(hash60(array_join(slice(ws, i + 1, lit(k)), " ")).as("h"),
+        i.as("p")))
+    // LET-BIND the gram array once per row (transform over a 1-element
+    // array): the window lambda below references the bound VARIABLE `gs`,
+    // not the gram expression — naively inlining `grams` into the window
+    // lambda re-hashes every k-gram once PER WINDOW (lambda bodies are
+    // re-evaluated per element and subexpression elimination does not cross
+    // lambda boundaries), which measured 70× slower at sf0.01.
+    // ng >= w: windows 0..ng-w of length w; 1 <= ng < w: ONE window of all grams
+    element_at(transform(array(grams), gs =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(gs) - w, lit(0))),
+        i => array_min(slice(gs, i + 1, least(lit(w), size(gs))))))), 1)
+  }
+
   // ------------------------------------------------------------------ PII scrubbing
 
   /** PII patterns for the redaction pass — deliberately restricted to the

@@ -306,4 +306,74 @@ object CorpusOps {
           .when(bucket < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /**
+   * RAG-style overlapping token chunker: `chunkTokens`-token windows at
+   * `stride` tokens (overlap = chunkTokens − stride), tail kept — the
+   * retrieval-corpus prep step between cleaning and embedding. Output one
+   * row per chunk: (id, chunk_idx, chunk_start, chunk_end [exclusive],
+   * chunk_tokens, chunk_text). Start < n guarantees every chunk contributes
+   * ≥ 1 new token, so no chunk is a suffix-duplicate of its predecessor.
+   * ONE narrow Generate per document, zero shuffles — scan-speed at any
+   * corpus size and trivially partition-parallel (chunks never cross
+   * documents).
+   */
+  def chunkOverlap(docs: DataFrame, idCol: Column, textCol: Column,
+                   chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens]")
+    docs.select(idCol.as("id"), graft.functions.TextFunctions.tokens(textCol).as("ws"))
+      .select(col("id"), size(col("ws")).as("n"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $stride)")).as("st"))
+      .select(col("id"),
+        expr(s"st div $stride").as("chunk_idx"),
+        col("st").as("chunk_start"),
+        least(col("st") + chunkTokens, col("n")).as("chunk_end"),
+        (least(col("st") + chunkTokens, col("n")) - col("st")).as("chunk_tokens"),
+        array_join(slice(col("ws"), col("st") + 1,
+          least(lit(chunkTokens), col("n") - col("st"))), " ").as("chunk_text"))
+  }
+
+  /**
+   * Corpus-common-line removal with TEXT RECONSTRUCTION — the C4 cleaning
+   * rule (Raffel et al. 2020 §2.2: drop any line occurring ≥ `minOcc` times
+   * in the corpus), generalized to a pluggable unit: documents split into
+   * aligned `unitTokens`-token units (the unit splitter is the corpus-format
+   * knob — newline-delimited corpora would split on lines instead), every
+   * unit whose digest reaches `minOcc` corpus-wide occurrences is cut from
+   * EVERY document, and survivors re-join in original order. Output:
+   * (id, n_tokens, n_kept, clean_text) — fully-cleaned documents stay with
+   * clean_text = "" so row count is corpus-stable.
+   *
+   * 100 TB shapes: unit digesting is one narrow Generate; the census is a
+   * map-side-combinable `groupBy(dg).count()` (a boilerplate unit collapses
+   * per map partition before the exchange — the q115 skew posture); removal
+   * is a digest anti-join (AQE splits a hot probe side); reconstruction is
+   * one per-doc aggregation over the bounded unit list. No all-pairs work.
+   */
+  def lineDedup(docs: DataFrame, idCol: Column, textCol: Column,
+                unitTokens: Int, minOcc: Long): DataFrame = {
+    val units = docs
+      .select(idCol.as("id"), graft.functions.TextFunctions.tokens(textCol).as("ws"))
+      .select(col("id"), size(col("ws")).as("n"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $unitTokens)")).as("st"))
+      .select(col("id"), col("st"),
+        slice(col("ws"), col("st") + 1,
+          least(lit(unitTokens), col("n") - col("st"))).as("toks"))
+      .withColumn("dg", md5(array_join(col("toks"), " ")))
+    val hot = units.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc).select(col("dg"))
+    val rebuilt = units.join(hot, Seq("dg"), "left_anti")
+      .groupBy(col("id"))
+      .agg(sum(size(col("toks"))).cast("long").as("n_kept_raw"),
+        array_join(flatten(transform(
+          sort_array(collect_list(struct(col("st"), col("toks")))),
+          x => x.getField("toks"))), " ").as("clean_raw"))
+    docs.select(idCol.as("id"),
+        size(graft.functions.TextFunctions.tokens(textCol)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_raw"), lit("")).as("clean_text"))
+  }
 }

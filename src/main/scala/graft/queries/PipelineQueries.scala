@@ -589,6 +589,125 @@ object PipelineQueries {
         .orderBy(col("bucket_ord"))
     }),
 
+    "q120_ann_recall" -> ((s, d) => {
+      // ANN index shootout — the q112 calibration pattern for the embedding
+      // side: micro recall@5 of three approximate indexes (hyperplane LSH at
+      // 6 and 8 bits, IVF-Flat at nprobe=3) against the exact brute-force
+      // top-5, ONE row per configuration — the operational gate before
+      // trusting an approximate index at corpus scale (on THIS corpus the
+      // table shows LSH recall collapsing with signature width while IVF
+      // holds, which is the decision the report exists to make). Every index
+      // is deterministic (md5-parity hyperplanes, id-predicate centroids), so
+      // the oracle rebuilds the identical comparison. Shapes: exact top-k is
+      // the broadcast-queries corpus scan (q35); each config joins two
+      // bounded ≤ k-per-query tables on (query, neighbor); output is
+      // |configs| rows. The exact table is checkpointed once — three
+      // config joins read it.
+      val corpus = embVecs(s, d)
+      val queries = embVecs(s, d, col("vec_id") % 20 === 0)
+      val exact = Similarity.knnBruteForce(corpus, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      def recallOf(name: String, approx: DataFrame): DataFrame =
+        exact.join(
+            approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+          .select(lit(name).as("config"), col("n_queries"), col("n_exact"),
+            col("n_hit"), expr("1000000 * n_hit div n_exact").as("recall_ppm"))
+      val cents = Ivf.selectCentroids(corpus, col("id") % 64 === 0)
+      recallOf("lsh_b6", Similarity.annLsh(corpus, queries, dim = 64, nBits = 6, k = 5))
+        .unionByName(recallOf("lsh_b8",
+          Similarity.annLsh(corpus, queries, dim = 64, nBits = 8, k = 5)))
+        .unionByName(recallOf("ivf_p3",
+          Ivf.search(corpus, queries, cents, nprobe = 3, k = 5)))
+        .orderBy(col("config"))
+    }),
+
+    "q121_winnowing" -> ((s, d) => {
+      // winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+      // per document, hash every 3-gram, then keep the MINIMUM hash of every
+      // 4-window of consecutive grams (ties → leftmost position) — the
+      // guarantee-bearing selection (any shared run ≥ w+k-1 tokens shares a
+      // fingerprint) at ~1/w the density of q29's full rolling-hash set.
+      // Everything is SCALAR per row — gram hashing and window minima are
+      // array folds inside the scan, zero shuffles before the ORDER BY — so
+      // at 100 TB this runs at scan speed; the fingerprint set (not shown
+      // here) would feed the q63 postings shape for cross-doc matching.
+      // struct(h, p) ordering makes array_min pick the leftmost minimum.
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), T.winnow(col("ws"), 3, 4).as("sel"))
+        .select(col("doc_id"), explode(col("sel")).as("f"))
+        .select(col("doc_id"), col("f.p").as("pos"), col("f.h").as("fp"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    "q122_chunk_overlap" -> ((s, d) => {
+      // RAG-style overlapping chunker: 32-token windows at stride 24 (8-token
+      // overlap), tail kept — the retrieval-corpus prep step between cleaning
+      // and embedding. One narrow Generate per document (start < n guarantees
+      // every chunk contributes ≥ 1 new token), zero shuffles before the
+      // ORDER BY — scan-speed at any corpus size. The md5 is the chunk's
+      // content address for the downstream embed/dedup stages.
+      CorpusOps.chunkOverlap(Tables.documents(s, d), col("doc_id"),
+          col("text"), chunkTokens = 32, stride = 24)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("chunk_end"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    }),
+
+    "q123_temperature_mix" -> ((s, d) => {
+      // temperature-scaled source mixing (the multilingual-LM α-sampling
+      // rule, α = 0.5: sample ∝ p^α so low-resource sources up-weight) —
+      // per-source token mass, the √-scaled weight, its corpus share, the
+      // token allocation under a 10M-token budget, and the implied epochs
+      // over the source (>1e6 ppm = the source repeats). ONE corpus scan
+      // into a |sources|-row aggregate; every ratio is integer fixed-point
+      // on a √ that both engines compute as the identical IEEE double
+      // (exactly-representable integer in, correctly-rounded sqrt out), so
+      // the report is engine-exact bits. The window total is a sum of
+      // longs over the bounded per-source table — order-independent.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(T.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("wt",
+          floor(sqrt(col("n_tokens").cast("double") * 1000000.0)).cast("long"))
+        .withColumn("tw", sum(col("wt")).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("wt"),
+          expr("1000000 * wt div tw").as("share_ppm"),
+          expr("10000000 * wt div tw").as("alloc_tokens"),
+          expr("1000000 * (10000000 * wt div tw) div n_tokens").as("epochs_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    "q124_line_dedup" -> ((s, d) => {
+      // corpus-common-line removal with TEXT RECONSTRUCTION (the C4 rule,
+      // Raffel et al. 2020 §2.2 — drop any line occurring ≥ N times in the
+      // corpus): q106 FLAGS documents by duplicate-passage mass, this one
+      // REWRITES them — every unit (5-token aligned chunk; the unit splitter
+      // is the corpus-format knob) whose digest occurs ≥ 2 times corpus-wide
+      // is cut from every document, and the surviving units re-join in
+      // original order. Shapes for 100 TB: unit digesting is one narrow
+      // Generate; the census is a map-side-combinable groupBy(dg) count (a
+      // boilerplate unit collapses per map partition — the q115 skew
+      // posture); the anti-join is a plain digest equi-join; reconstruction
+      // is one per-doc sort-free aggregation (sort_array over the bounded
+      // per-doc unit list). Fully-cleaned documents stay in the output with
+      // empty text (md5('')), so the row count is corpus-stable.
+      CorpusOps.lineDedup(Tables.documents(s, d), col("doc_id"), col("text"),
+          unitTokens = 5, minOcc = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -2566,6 +2685,147 @@ object PipelineQueries {
                 CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
                 CAST(sum(tok_removed) AS BIGINT) AS tokens_removed
          FROM b GROUP BY bucket_ord, bucket ORDER BY bucket_ord""",
+
+    // Rebuilds all three deterministic indexes (q36's md5-parity hyperplanes
+    // at 6 and 8 bits, q39's id-predicate IVF) plus the exact top-5, then
+    // the same micro-recall aggregate per config.
+    "q120_ann_recall" -> {
+      def lshAnn(nb: Int, tag: String): String =
+        s"""sigs$tag AS MATERIALIZED (
+           SELECT vec_id, v,
+             CAST(list_reduce(list_concat([0::BIGINT], list_transform(range(0, $nb), j ->
+               CASE WHEN list_reduce(list_transform(range(0, 64), i ->
+                           v[i+1] * (CASE WHEN CAST(concat('0x', substr(md5(concat(j, ':', i)), 32, 1)) AS INT) % 2 = 1
+                                     THEN 1.0 ELSE -1.0 END)),
+                         (x, y) -> x + y) > 0
+               THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (x, y) -> x + y) AS BIGINT) AS sig
+           FROM e),
+         probes$tag AS (
+           SELECT query_id, qv, UNNEST(allsigs) AS sig FROM (
+             SELECT vec_id AS query_id, v AS qv,
+                    list_concat([sig], list_transform(range(0, $nb), b -> xor(sig, 1::BIGINT << b))) AS allsigs
+             FROM sigs$tag WHERE vec_id % 20 = 0)),
+         cand$tag AS (
+           SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, ${duckCos("c.v", "p.qv")} AS cos
+           FROM sigs$tag c JOIN probes$tag p ON c.sig = p.sig
+           WHERE c.vec_id != p.query_id),
+         ann$tag AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+             FROM cand$tag) WHERE rank <= 5)"""
+      def recallRow(name: String, ann: String): String =
+        s"""SELECT '$name' AS config,
+             CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+             (1000000 * CAST(count(a.neighbor_id) AS BIGINT)) // CAST(count(*) AS BIGINT) AS recall_ppm
+           FROM exact x LEFT JOIN $ann a
+             ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+         exact AS MATERIALIZED (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY ${duckCos("c.v", "q.v")} DESC, c.vec_id ASC) AS rank
+             FROM e c JOIN q ON c.vec_id != q.vec_id) WHERE rank <= 5),
+         ${lshAnn(6, "6")},
+         ${lshAnn(8, "8")},
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         probesI AS (
+           SELECT query_id, qv, cid AS cell FROM (
+             SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e q CROSS JOIN cent c WHERE q.vec_id % 20 = 0) WHERE rn <= 3),
+         candI AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id, ${duckCos("a.v", "p.qv")} AS cos
+           FROM assigned a JOIN probesI p USING (cell)
+           WHERE a.vec_id != p.query_id),
+         annI AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+             FROM candI) WHERE rank <= 5)
+         SELECT * FROM (
+           ${recallRow("lsh_b6", "ann6")}
+           UNION ALL ${recallRow("lsh_b8", "ann8")}
+           UNION ALL ${recallRow("ivf_p3", "annI")})
+         ORDER BY config"""
+    },
+
+    // Same 3-gram hash60 rolling hashes; the window argmin is the relational
+    // formulation (windows × grams join, row_number by (h, p)) of the Spark
+    // side's scalar array_min over struct(h, p) — leftmost-minimum both ways.
+    "q121_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+         g AS MATERIALIZED (
+           SELECT doc_id, len(ws) - 2 AS ng, i AS p,
+                  ${duckHash60("array_to_string(ws[i+1:i+3], ' ')")} AS h
+           FROM t, UNNEST(range(0, len(ws) - 2)) AS u(i)),
+         wins AS (
+           SELECT doc_id, ng, j FROM (SELECT DISTINCT doc_id, ng FROM g) dn,
+                UNNEST(range(0, greatest(ng - 4, 0) + 1)) AS v(j)),
+         sel AS (
+           SELECT DISTINCT doc_id, p, h FROM (
+             SELECT w.doc_id, g.p, g.h,
+                    row_number() OVER (PARTITION BY w.doc_id, w.j
+                                       ORDER BY g.h, g.p) AS rn
+             FROM wins w JOIN g ON g.doc_id = w.doc_id
+                  AND g.p BETWEEN w.j AND w.j + least(4, w.ng) - 1) WHERE rn = 1)
+         SELECT doc_id, p AS pos, h AS fp FROM sel ORDER BY doc_id, pos""",
+
+    "q122_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, len(ws) AS n, ws, s
+               FROM t, UNNEST(range(0, len(ws), 24)) AS u(s))
+         SELECT doc_id, s // 24 AS chunk_idx, s AS chunk_start,
+                least(s + 32, n) AS chunk_end, least(s + 32, n) - s AS chunk_tokens,
+                md5(array_to_string(ws[s+1 : least(s + 32, n)], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_start""",
+
+    // sqrt of an exactly-representable integer is the same IEEE double in
+    // both engines; everything after it is integer fixed-point.
+    "q123_temperature_mix" ->
+      """WITH src AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, n_tokens,
+                      CAST(floor(sqrt(n_tokens * 1000000.0)) AS BIGINT) AS wt FROM src),
+         tot AS (SELECT source, n_docs, n_tokens, wt,
+                        CAST(sum(wt) OVER () AS BIGINT) AS tw FROM w)
+         SELECT source, n_docs, n_tokens, wt,
+                (1000000 * wt) // tw AS share_ppm,
+                (10000000 * wt) // tw AS alloc_tokens,
+                (1000000 * ((10000000 * wt) // tw)) // n_tokens AS epochs_ppm
+         FROM tot ORDER BY source""",
+
+    "q124_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         u AS MATERIALIZED (
+           SELECT doc_id, s AS st,
+                  array_to_string(ws[s+1 : least(s + 5, len(ws))], ' ') AS seg
+           FROM t, UNNEST(range(0, len(ws), 5)) AS v(s)),
+         hot AS (SELECT md5(seg) AS dg FROM u GROUP BY 1 HAVING count(*) >= 2),
+         kept AS (SELECT doc_id, st, seg FROM u
+                  WHERE md5(seg) NOT IN (SELECT dg FROM hot)),
+         reb AS (SELECT doc_id,
+                   CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY st) AS clean
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                coalesce(r.n_kept, 0) AS n_kept,
+                md5(coalesce(r.clean, '')) AS clean_md5
+         FROM t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""",
 
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
     // probe flags — false positives included — hash-match exactly.
