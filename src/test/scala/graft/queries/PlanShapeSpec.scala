@@ -333,4 +333,45 @@ class PlanShapeSpec extends SparkSpec {
       "the component table must enter as the materialized checkpoint " +
         "(anti-vacuousness check)")
   }
+
+  test("winnowing and chunking are scan-speed scalar folds — no shuffle before the sort") {
+    // both claims: one narrow Generate per document, zero joins/aggregates/
+    // windows; only the output ORDER BY may exchange
+    Seq("q121_winnowing", "q122_chunk_overlap").foreach { q =>
+      assertNever(q, "Join", "Window", "HashAggregate")
+      val p = planOf(q)
+      assert(p.contains("Generate"),
+        s"$q: the per-doc explode must appear (anti-vacuousness check)")
+      assert(exchanges(q) <= 1, s"$q: only the output ORDER BY may exchange")
+    }
+  }
+
+  test("line dedup censuses by aggregate and removes by equi-anti-join — no window") {
+    // the digest census must be the map-side-combinable aggregate (the q115
+    // skew posture), never a count-over-digest window; unit removal is a
+    // plain digest anti-join
+    assertNever("q124_line_dedup",
+      "Window", "BroadcastNestedLoopJoin", "CartesianProduct")
+    val p = planOf("q124_line_dedup")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "the census must be an aggregate (anti-vacuousness check)")
+    assert(p.contains("LeftAnti"), "removal must be an anti-join")
+  }
+
+  test("ANN recall joins bounded top-k tables per config — no cartesian anywhere") {
+    // the exact side is q35's deliberate broadcast-nested-loop scan (bounded
+    // by the broadcast query set); everything AFTER it joins two <= k-per-
+    // query tables on (query, neighbor) — a cartesian would mean a config
+    // join degenerated
+    assertNever("q120_ann_recall", "CartesianProduct")
+  }
+
+  test("temperature mixing is one bounded aggregate — no join, no corpus window") {
+    // the window total runs over the |sources|-row aggregate output, never
+    // the corpus; the corpus contributes exactly one scan into one agg
+    assertNever("q123_temperature_mix", "Join", "CartesianProduct")
+    val p = planOf("q123_temperature_mix")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "exactly one corpus scan may appear")
+  }
 }
