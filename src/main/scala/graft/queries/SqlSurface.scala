@@ -47,6 +47,8 @@ object SqlSurface {
    *  - `duplicate_spans` — exact ≥10-token duplicated regions (q115);
    *  - `leakage_split` — near-dup-cluster-atomic train/val/test assignment
    *    (q116: a doc and its near-duplicate never straddle the split);
+   *  - `doc_chunks`    — 32-token/stride-24 overlapping RAG chunks (q122);
+   *  - `doc_clean`     — corpus-common-unit-removed rebuilt text (q124);
    *  - `doc_shingles`  — the word-2-gram feature table the dedup family
    *    shares (exposed so ad-hoc SQL can build its own detectors). */
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
@@ -67,5 +69,11 @@ object SqlSurface {
     graft.operators.CorpusOps.leakageSafeSplit(docs, col("doc_id"), pairs,
         salt = "lss", trainPct = 80, valPct = 10)
       .createOrReplaceTempView("leakage_split")
+    graft.operators.CorpusOps.chunkOverlap(docs, col("doc_id"), col("text"),
+        chunkTokens = 32, stride = 24)
+      .createOrReplaceTempView("doc_chunks")
+    graft.operators.CorpusOps.lineDedup(docs, col("doc_id"), col("text"),
+        unitTokens = 5, minOcc = 2)
+      .createOrReplaceTempView("doc_clean")
   }
 }

