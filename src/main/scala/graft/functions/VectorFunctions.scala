@@ -68,9 +68,44 @@ object VectorFunctions {
 
   /** Driver-side deterministic parity of md5("j:i") — same value the oracle
    * would derive; computed once at plan-build time (plain Scala, not a UDF). */
-  private def md5Parity(j: Int, i: Int): Int = {
+  private def md5Parity(j: Int, i: Int): Int = md5ParityOf(s"$j:$i")
+
+  /** Parity of the last md5 byte of `s` — the DuckDB twin is
+   * `CAST(concat('0x', substr(md5(s), 32, 1)) AS INT) % 2` (hex char 32 is
+   * the low nibble of byte 15, so its low bit is the byte's parity). */
+  private def md5ParityOf(s: String): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$j:$i".getBytes("UTF-8"))
+      .digest(s.getBytes("UTF-8"))
     d(d.length - 1) & 1
   }
+
+  /**
+   * The ±1 sign matrix of the Johnson-Lindenstrauss projection
+   * [[jlProject]]: `signs(k)(i)` is the weight of input dimension `i` in
+   * output component `k`, derived from the parity of md5("jl:k:i") — fully
+   * deterministic, no stored model, reproducible in any engine. Driver-side
+   * constants: 16×64 signs cost nothing at plan-build time, where computing
+   * them per ROW would be outDim×dim md5 calls per vector.
+   */
+  def jlSigns(dim: Int, outDim: Int): Seq[Seq[Double]] =
+    (0 until outDim).map(k => (0 until dim).map(i =>
+      if (md5ParityOf(s"jl:$k:$i") == 1) 1.0 else -1.0))
+
+  /**
+   * Johnson-Lindenstrauss random projection (Achlioptas 2003, the ±1
+   * database-friendly variant): `proj(k) = Σ_i v(i) · signs(k)(i)`, mapping a
+   * `dim`-vector to `signs.length` components whose squared norm is an
+   * unbiased estimate of `signs.length · ‖v‖²`. A narrow per-row map — at
+   * 100 TB this is the scan-speed dimensionality-reduction step in front of
+   * any kNN / clustering stage, cutting every downstream distance to
+   * `outDim` multiply-adds. Each component is a 0.0-seeded left fold in
+   * index order — bit-identical to the DuckDB `list_reduce` twin, the
+   * [[cosine]] determinism contract.
+   */
+  def jlProject(v: Column, signs: Seq[Seq[Double]]): Column =
+    array(signs.map { row =>
+      aggregate(
+        zip_with(v, typedLit(row), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
 }

@@ -376,4 +376,28 @@ object CorpusOps {
         coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
         coalesce(col("clean_raw"), lit("")).as("clean_text"))
   }
+
+  /**
+   * k-anonymity / l-diversity audit — the privacy gate before a dataset
+   * release (Sweeney 2002; Machanavajjhala et al. 2007): group the corpus by
+   * its quasi-identifier columns and flag every equivalence class that is
+   * re-identifiable (fewer than `k` members) or attribute-disclosing (fewer
+   * than `l` distinct values of the sensitive column). Returns one row per
+   * FAILING class: the QI values, `n` members, `n_sensitive` distinct
+   * sensitive values, and the two failure flags.
+   *
+   * Scale posture: ONE map-side-combinable groupBy on the QI key —
+   * count + countDistinct(sensitive) both partial-aggregate, so a 100 TB
+   * event log reduces to |QI classes| rows before the exchange; no window,
+   * no self-join. (The remediation pass — suppress or generalize the failing
+   * classes — is a broadcast semi-join of this output against the corpus.)
+   */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                      k: Long, l: Long): DataFrame =
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("fail_k", col("n") < k)
+      .withColumn("fail_l", col("n_sensitive") < l)
+      .where(col("fail_k") || col("fail_l"))
 }

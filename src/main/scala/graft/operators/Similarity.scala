@@ -200,6 +200,86 @@ object Similarity {
         col("n_members"), col("members"))
   }
 
+  /**
+   * kNN majority-vote classification — the auto-labeling stage of a training
+   * pipeline (propagate gold labels onto an unlabeled pool): each query's k
+   * nearest LABELED neighbors by cosine vote, majority wins, ties to the
+   * smallest label. `corpus` carries (id, vec, label); `queries` (id, vec).
+   *
+   * Scale posture: the neighbor search is [[knnBruteForce]]'s shape — queries
+   * broadcast, corpus scanned once, bounded-heap top-k — so the vote table is
+   * ≤ |queries|·k rows; the label lookup is an equi-join on neighbor id and
+   * the winner is one map-side-combined `min(struct(-votes, label))` per
+   * query (the q73 argmax discipline), never a window. For corpus-scale query
+   * sets, swap the search stage for [[annLsh]] / [[Ivf.search]] — the vote
+   * half is search-agnostic.
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val neighbors = knnBruteForce(corpus.select(col("id"), col("vec")), queries, k)
+    neighbors
+      .join(corpus.select(col("id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("label"))).as("w"),
+        sum(col("votes")).as("n_votes"))
+      .select(col("query_id"), col("w.label").as("pred_label"),
+        (-col("w.nv")).as("votes"), col("n_votes"))
+  }
+
+  /**
+   * Sparse tf-idf cosine similarity pairs over a term-occurrence table
+   * `toks(id, term)` — the weighted-vector twin of [[Dedup.allPairsJaccard]]
+   * (set overlap there, tf-idf dot product here). Weights are the engine-exact
+   * integer fixed point `wt = (1000·tf) div df` (monotone in tf·idf for a
+   * fixed corpus — the q48 convention, exact in any engine where ln() is
+   * not); cosine is `(10⁶·Σ wtₐ·wt_b) div (⌊√Σwtₐ²⌋·⌊√Σwt_b²⌋)` — the sqrt
+   * runs on an exactly-representable long (< 2⁵³ by the weight scaling), so
+   * both engines see the identical correctly-rounded double and the floor
+   * division is bit-stable.
+   *
+   * Terms with df > N/`maxDfDenom` (corpus-size fraction) are pruned BEFORE
+   * pair generation — semantically the standard stopword cut (idf has already
+   * discounted them to noise), and structurally the scale guard: the postings
+   * self-join costs Σ df² over KEPT terms only, bounded by
+   * (N/maxDfDenom)²·|vocab|. On Zipfian text this drops the boilerplate head
+   * that would otherwise dominate the join; the prune is part of the
+   * operator's contract (applied identically in the oracle), not a silent
+   * cap.
+   */
+  def tfidfCosinePairs(toks: DataFrame, maxDfDenom: Int = 2,
+                       minCosPpm: Long = 0L): DataFrame = {
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = toks.agg(countDistinct(col("id")).as("n_docs"))
+    // df-prune against the broadcast 1-row corpus count (declarative — no
+    // driver action); integer comparison so the fraction needs no rounding rule
+    val kept = df_.join(broadcast(nd),
+      col("df") * lit(maxDfDenom.toLong) <= col("n_docs"))
+    val post = tf.join(kept.select(col("term"), col("df")), "term")
+      .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"))
+      .where(col("wt") > 0)
+      // one narrow table read three ways (both pair sides + norms):
+      // materialize once, the q31 pattern
+      .localCheckpoint()
+    val norms = post.groupBy(col("id"))
+      .agg(sum(col("wt") * col("wt")).as("n2"))
+      .select(col("id"),
+        floor(sqrt(col("n2").cast("double"))).cast("long").as("nrm"))
+    val a = post.select(col("term"), col("id").as("a"), col("wt").as("wa"))
+    val b = post.select(col("term"), col("id").as("b"), col("wt").as("wb"))
+    a.join(b, Seq("term"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"),
+        count(lit(1)).as("n_shared"))
+      .join(norms.select(col("id").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("id").as("b"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        expr("1000000 * dot div (na * nb)").as("cos_ppm"))
+      .where(col("cos_ppm") >= minCosPpm)
+  }
+
   def nearDupLsh(vecs: DataFrame, dim: Int, threshold: Double,
                  bitsPerTable: Int = 2, nTables: Int = 16): DataFrame = {
     val totalBits = bitsPerTable * nTables

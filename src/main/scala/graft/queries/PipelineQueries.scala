@@ -708,6 +708,83 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q125_random_projection" -> ((s, d) => {
+      // Johnson-Lindenstrauss ±1 random projection (64 → 16 dims) with a
+      // per-vector distortion audit: the first 4 projected components plus
+      // ‖p‖²/(16·‖x‖²) — the JL norm-preservation ratio whose expectation is
+      // 1. The sign matrix is md5-parity-derived (model-free, any engine
+      // rebuilds it); every fold is 0.0-seeded left-to-right, so doubles are
+      // bit-identical to the oracle. A narrow per-row map — scan-speed at
+      // any corpus size, the front-end that cuts downstream kNN/clustering
+      // distances 4× (64 → 16 multiply-adds).
+      val signs = V.jlSigns(64, 16)
+      def sq(v: Column): Column =
+        aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
+      embVecs(s, d)
+        .select(col("id").as("vec_id"), col("vec"),
+          V.jlProject(col("vec"), signs).as("proj"))
+        .select(col("vec_id"),
+          round(element_at(col("proj"), 1), 4).as("p0"),
+          round(element_at(col("proj"), 2), 4).as("p1"),
+          round(element_at(col("proj"), 3), 4).as("p2"),
+          round(element_at(col("proj"), 4), 4).as("p3"),
+          round(when(sq(col("vec")) === 0, 0.0)
+            .otherwise(sq(col("proj")) / (lit(16.0) * sq(col("vec")))), 4)
+            .as("ratio"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q126_tfidf_cosine" -> ((s, d) => {
+      // sparse tf-idf cosine pairs via the postings self-join — the WEIGHTED
+      // twin of q31's set Jaccard (integer wt = 1000·tf div df, the q48
+      // convention; cosine as exact fixed-point over isqrt'd norms). The
+      // df > 50% stopword prune is the operator contract AND the scale
+      // guard (Σ df² over kept terms only); doc subsample %10 keeps the
+      // demo bounded on this uniformly-common 31-word vocabulary, the q31
+      // concession.
+      Similarity.tfidfCosinePairs(
+          Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("id"),
+              explode(T.tokens(col("text"))).as("term")),
+          maxDfDenom = 2, minCosPpm = 500000)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q127_knn_classify" -> ((s, d) => {
+      // kNN majority-vote auto-labeling: 10% of the embedding corpus plays
+      // the unlabeled pool, each point takes the majority label of its 5
+      // nearest labeled neighbors (ties → smallest label), scored against
+      // the held-out gold label. Search is the broadcast-queries corpus
+      // scan + bounded-heap top-k (q35); the vote is a map-side-combined
+      // argmax per query — no window anywhere.
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        V.asDouble(col("embedding")).as("vec"), col("label"))
+      val pool = emb.where(col("id") % 10 =!= 7)
+      val held = emb.where(col("id") % 10 === 7)
+      Similarity.knnClassify(pool, held.select(col("id"), col("vec")), k = 5)
+        .join(held.select(col("id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .select(col("query_id"), col("pred_label"), col("votes"), col("n_votes"),
+          col("true_label"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy(col("query_id"))
+    }),
+
+    "q128_k_anonymity" -> ((s, d) =>
+      // privacy-release audit over the event log: quasi-identifiers
+      // (event_type, hour, value decile-bucket), sensitive column user_id —
+      // every equivalence class with < 5 members (k-anonymity) or < 3
+      // distinct users (l-diversity) is flagged for suppression. ONE
+      // map-side-combinable groupBy at any scale.
+      CorpusOps.kAnonymityAudit(
+          Tables.events(s, d).select(col("event_type"),
+            hour(col("ts")).as("hh"),
+            floor(col("value") / 10).cast("long").as("vbucket"),
+            col("user_id")),
+          Seq(col("event_type"), col("hh"), col("vbucket")),
+          col("user_id"), k = 5, l = 3)
+        .orderBy(col("event_type"), col("hh"), col("vbucket"))),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -2826,6 +2903,92 @@ object PipelineQueries {
                 coalesce(r.n_kept, 0) AS n_kept,
                 md5(coalesce(r.clean, '')) AS clean_md5
          FROM t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""",
+
+    // The ±1 sign is the parity of md5's LAST byte (hex char 32 is its low
+    // nibble); every fold is the 0.0-seeded left fold, so doubles are
+    // bit-identical to the Spark aggregate() twin.
+    "q125_random_projection" -> {
+      def fsum(l: String) =
+        s"list_reduce(list_concat([0.0::DOUBLE], $l), (x, y) -> x + y)"
+      val signOf =
+        "(CASE WHEN CAST(concat('0x', substr(md5(concat('jl:', k, ':', i)), 32, 1)) AS INT) % 2 = 1 " +
+          "THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT vec_id, v,
+                 list_transform(range(0, 16), k ->
+                   ${fsum(s"list_transform(range(0, 64), i -> v[i+1] * $signOf)")}) AS proj
+               FROM e),
+         n AS (SELECT vec_id, proj,
+                 ${fsum("list_transform(proj, x -> x * x)")} AS np2,
+                 ${fsum("list_transform(v, x -> x * x)")} AS nx2
+               FROM p)
+         SELECT vec_id, round(proj[1], 4) AS p0, round(proj[2], 4) AS p1,
+                round(proj[3], 4) AS p2, round(proj[4], 4) AS p3,
+                round(CASE WHEN nx2 = 0 THEN 0.0 ELSE np2 / (16.0 * nx2) END, 4) AS ratio
+         FROM n ORDER BY vec_id"""
+    },
+
+    // Same integer fixed point end-to-end: wt = (1000·tf) // df, cosine as
+    // (10⁶·dot) // (⌊√n2a⌋·⌊√n2b⌋) — sqrt of an exactly-representable BIGINT
+    // is the identical IEEE double in both engines.
+    "q126_tfidf_cosine" ->
+      """WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+                    FROM documents WHERE doc_id % 10 = 0),
+         tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs FROM t),
+         post AS (SELECT id, term, (1000 * tf) // df AS wt
+                  FROM tf JOIN df USING (term), nd
+                  WHERE df * 2 <= nd.n_docs AND (1000 * tf) // df > 0),
+         norms AS (SELECT id,
+                     CAST(floor(sqrt(CAST(sum(wt * wt) AS BIGINT)::DOUBLE)) AS BIGINT) AS nrm
+                   FROM post GROUP BY 1),
+         pairs AS (SELECT a.id AS a, b.id AS b,
+                     CAST(sum(a.wt * b.wt) AS BIGINT) AS dot,
+                     CAST(count(*) AS BIGINT) AS n_shared
+                   FROM post a JOIN post b ON a.term = b.term AND a.id < b.id
+                   GROUP BY 1, 2)
+         SELECT p.a, p.b, n_shared,
+                (1000000 * dot) // (na.nrm * nb.nrm) AS cos_ppm
+         FROM pairs p JOIN norms na ON p.a = na.id JOIN norms nb ON p.b = nb.id
+         WHERE (1000000 * dot) // (na.nrm * nb.nrm) >= 500000
+         ORDER BY a, b""",
+
+    // Exact-kNN rank (cos DESC, vec_id ASC — the q35 tie rule), then the
+    // majority vote re-derived relationally (votes DESC, label ASC).
+    "q127_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         q AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 = 7),
+         c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 <> 7),
+         nn AS (SELECT query_id, label FROM (
+             SELECT q.vec_id AS query_id, c.label,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY ${duckCos("c.v", "q.v")} DESC, c.vec_id ASC) AS rank
+             FROM c CROSS JOIN q) WHERE rank <= 5),
+         votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+                   FROM nn GROUP BY 1, 2),
+         win AS (SELECT query_id, label AS pred_label, votes FROM (
+             SELECT query_id, label, votes,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, label ASC) AS rn
+             FROM votes) WHERE rn = 1),
+         tot AS (SELECT query_id, CAST(sum(votes) AS BIGINT) AS n_votes
+                 FROM votes GROUP BY 1)
+         SELECT w.query_id, w.pred_label, w.votes, t.n_votes,
+                q.label AS true_label, w.pred_label = q.label AS correct
+         FROM win w JOIN tot t USING (query_id) JOIN q ON q.vec_id = w.query_id
+         ORDER BY query_id""",
+
+    "q128_k_anonymity" ->
+      """WITH g AS (SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hh,
+                CAST(floor(value / 10) AS BIGINT) AS vbucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+              FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, hh, vbucket, n, n_sensitive,
+                n < 5 AS fail_k, n_sensitive < 3 AS fail_l
+         FROM g WHERE n < 5 OR n_sensitive < 3
+         ORDER BY event_type, hh, vbucket""",
 
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
     // probe flags — false positives included — hash-match exactly.

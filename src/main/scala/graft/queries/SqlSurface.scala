@@ -50,7 +50,11 @@ object SqlSurface {
    *  - `doc_chunks`    — 32-token/stride-24 overlapping RAG chunks (q122);
    *  - `doc_clean`     — corpus-common-unit-removed rebuilt text (q124);
    *  - `doc_shingles`  — the word-2-gram feature table the dedup family
-   *    shares (exposed so ad-hoc SQL can build its own detectors). */
+   *    shares (exposed so ad-hoc SQL can build its own detectors);
+   *  - `privacy_audit` — k-anonymity/l-diversity failing classes over the
+   *    event log (q128's gate, queryable before any release);
+   *  - `emb_jl16`      — 16-dim JL-projected embeddings (q125's front-end
+   *    for cheap ad-hoc SQL distance work). */
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
     registerTables(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
@@ -75,5 +79,18 @@ object SqlSurface {
     graft.operators.CorpusOps.lineDedup(docs, col("doc_id"), col("text"),
         unitTokens = 5, minOcc = 2)
       .createOrReplaceTempView("doc_clean")
+    graft.operators.CorpusOps.kAnonymityAudit(
+        Tables.events(spark, sfDir).select(col("event_type"),
+          hour(col("ts")).as("hh"),
+          floor(col("value") / 10).cast("long").as("vbucket"), col("user_id")),
+        Seq(col("event_type"), col("hh"), col("vbucket")),
+        col("user_id"), k = 5, l = 3)
+      .createOrReplaceTempView("privacy_audit")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.jlProject(
+          col("embedding").cast("array<double>"),
+          graft.functions.VectorFunctions.jlSigns(64, 16)).as("vec16"))
+      .createOrReplaceTempView("emb_jl16")
   }
 }

@@ -176,4 +176,26 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(again == side)
   }
+
+  test("kAnonymityAudit flags exactly the classes failing k or l, with correct counts") {
+    import spark.implicits._
+    // (qi, sensitive): class "a" has 5 members / 3 users (passes both),
+    // "b" has 2 members (fails k), "c" has 6 members but 1 user (fails l),
+    // "d" has 1 member (fails both)
+    val rows = Seq.tabulate(5)(i => ("a", (i % 3).toLong)) ++
+      Seq(("b", 1L), ("b", 2L)) ++
+      Seq.fill(6)(("c", 9L)) ++
+      Seq(("d", 4L))
+    val got = CorpusOps.kAnonymityAudit(rows.toDF("qi", "user"),
+        Seq(col("qi")), col("user"), k = 5, l = 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(got == Map(
+      "b" -> ((2L, 2L, true, true)),
+      "c" -> ((6L, 1L, false, true)),
+      "d" -> ((1L, 1L, true, true))), s"got $got")
+    // the passing class must NOT appear
+    assert(!got.contains("a"))
+  }
 }

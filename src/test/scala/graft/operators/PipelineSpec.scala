@@ -286,4 +286,93 @@ class PipelineSpec extends SparkSpec {
     }
     assert(obj.last < obj.head, "three rounds must strictly improve on the seed centroids")
   }
+
+  test("jlProject matches the driver-side dot product exactly and preserves norms on average") {
+    import spark.implicits._
+    val dim = 64
+    val signs = V.jlSigns(dim, 16)
+    assert(signs.size == 16 && signs.forall(_.size == dim))
+    assert(signs.flatten.forall(w => w == 1.0 || w == -1.0))
+    // deterministic test vectors (no RNG): v(i) = sin(id + i)
+    val vecs = (0 until 20).map(id =>
+      (id.toLong, Array.tabulate(dim)(i => math.sin(id + i))))
+    val out = vecs.toDF("id", "vec")
+      .select(col("id"), V.jlProject(col("vec"), signs).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // exact equality: the Spark fold is the same left-to-right double sum
+    vecs.foreach { case (id, v) =>
+      val expected = signs.map(row =>
+        v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * row(i)))
+      assert(out(id) == expected, s"projection mismatch for vec $id")
+    }
+    // JL sanity: mean norm ratio ||p||^2/(16*||x||^2) near 1 over the set
+    val ratios = vecs.map { case (id, v) =>
+      val np2 = out(id).map(x => x * x).sum
+      val nx2 = v.map(x => x * x).sum
+      np2 / (16.0 * nx2)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distortion off: $mean")
+  }
+
+  test("tfidfCosinePairs equals the brute-force integer formula with df-pruning") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> Seq("x", "x", "y", "z"),
+      2L -> Seq("x", "y", "y", "w"),
+      3L -> Seq("z", "z", "q", "w"),
+      4L -> Seq("q", "w", "w", "x", "v"))
+    val toks = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("id", "term")
+    val got = Similarity.tfidfCosinePairs(toks, maxDfDenom = 2, minCosPpm = 0L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // brute force, replicating the operator contract exactly
+    val n = docs.size
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => ((id, t), o.size.toLong) } }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val kept = df.filter { case (_, d) => d * 2 <= n }.keySet
+    val wt = tf.collect { case ((id, t), f) if kept(t) && 1000 * f / df(t) > 0 =>
+      (id, t) -> 1000 * f / df(t) }
+    val norms = wt.groupBy(_._1._1).map { case (id, m) =>
+      id -> math.sqrt(m.values.map(w => w * w).sum.toDouble).toLong }
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      shared = kept.filter(t => wt.contains((a, t)) && wt.contains((b, t)))
+      if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq.map(t => wt((a, t)) * wt((b, t))).sum
+      ((a, b), (shared.size.toLong, 1000000L * dot / (norms(a) * norms(b))))
+    }).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // anti-vacuousness: the prune must actually drop at least one hot term
+    assert(kept != df.keySet, "test corpus must exercise the df prune")
+    assert(expected.nonEmpty)
+  }
+
+  test("knnClassify takes the majority label and breaks vote ties to the smallest label") {
+    import spark.implicits._
+    // 2-D geometry (padded): cluster A around (1,0) labeled 0, cluster B
+    // around (0,1) labeled 1; a query near A must classify 0
+    def v(x: Double, y: Double) = Array(x, y)
+    val corpus = Seq(
+      (1L, v(1.0, 0.0), 0), (2L, v(0.9, 0.1), 0), (3L, v(1.0, 0.1), 0),
+      (4L, v(0.0, 1.0), 1), (5L, v(0.1, 0.9), 1), (6L, v(0.1, 1.0), 1))
+      .toDF("id", "vec", "label")
+    val queries = Seq((100L, v(0.95, 0.05))).toDF("id", "vec")
+    val got = Similarity.knnClassify(corpus, queries, k = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 100L && r.getInt(1) == 0)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 5L) // 3 of 5 votes for label 0
+    // tie-break: k=2 nearest are one of each label -> smaller label wins.
+    // query sits exactly on the bisector of (1,0) and (0,1); ranks 1-2 are
+    // the two unit-axis members by (cos, id) order
+    val tie = Similarity.knnClassify(
+      Seq((1L, v(1.0, 0.0), 7), (2L, v(0.0, 1.0), 3)).toDF("id", "vec", "label"),
+      Seq((100L, v(1.0, 1.0))).toDF("id", "vec"), k = 2).collect().head
+    assert(tie.getInt(1) == 3 && tie.getLong(2) == 1L && tie.getLong(3) == 2L)
+  }
 }

@@ -374,4 +374,42 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1,
       "exactly one corpus scan may appear")
   }
+
+  test("JL projection is a scan-speed scalar map — no join/agg/window before the sort") {
+    assertNever("q125_random_projection", "Join", "HashAggregate", "Window",
+      "Generate")
+    assert(exchanges("q125_random_projection") <= 1,
+      "only the output ORDER BY may exchange")
+  }
+
+  test("tf-idf cosine generates candidates via the postings equi-join only") {
+    // pair generation must be the term equi-join over the df-pruned postings
+    // — never an all-pairs nested loop; the winner/norm lookups are plain
+    // equi-joins; no window anywhere
+    assertNever("q126_tfidf_cosine",
+      "CartesianProduct", "BroadcastNestedLoopJoin", "Window")
+    val p = planOf("q126_tfidf_cosine")
+    assert(p.contains("Scan ExistingRDD"),
+      "the pruned postings must enter as the materialized checkpoint " +
+        "(anti-vacuousness check)")
+  }
+
+  test("knn classification votes by aggregate — no window, no cartesian") {
+    // the search half is q35's deliberate broadcast scan (bounded by the
+    // broadcast query set); the vote half must be map-side-combined
+    // aggregates, never a row_number window
+    assertNever("q127_knn_classify", "Window", "CartesianProduct")
+    val p = planOf("q127_knn_classify")
+    assert(p.contains("topk_by"),
+      "the bounded-heap top-k aggregate must appear (anti-vacuousness check)")
+  }
+
+  test("k-anonymity audit is one map-side-combinable aggregate over the log") {
+    assertNever("q128_k_anonymity", "Join", "CartesianProduct", "Window")
+    val p = planOf("q128_k_anonymity")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "exactly one event-log scan may appear")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "the QI census must be an aggregate (anti-vacuousness check)")
+  }
 }

@@ -101,6 +101,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cleaned.getLong(0) > cleaned.getLong(1),
       "the unit census must bind on this corpus (anti-vacuousness)")
 
+    // 8. the privacy-audit view: every flagged class really fails k or l,
+    // re-derived in SQL from the raw event log
+    val badFlags = spark.sql(
+      """SELECT count(*) FROM privacy_audit p
+         JOIN (SELECT event_type, hour(ts) AS hh,
+                      CAST(floor(value / 10) AS BIGINT) AS vbucket,
+                      count(*) AS n2, count(DISTINCT user_id) AS s2
+               FROM events GROUP BY 1, 2, 3) g
+           ON p.event_type = g.event_type AND p.hh = g.hh
+              AND p.vbucket = g.vbucket
+         WHERE (p.n != g.n2) OR (p.n_sensitive != g.s2)
+            OR NOT (g.n2 < 5 OR g.s2 < 3)""").first().getLong(0)
+    assert(badFlags == 0L, s"$badFlags privacy_audit rows disagree with the raw log")
+
+    // 9. the JL view: 16 components per vector, queryable distance in SQL
+    val jl = spark.sql(
+      """SELECT size(vec16) AS w,
+                aggregate(vec16, 0.0D, (a, x) -> a + x * x) AS n2
+         FROM emb_jl16 LIMIT 5""").collect()
+    assert(jl.length == 5 && jl.forall(r => r.getInt(0) == 16 && r.getDouble(1) > 0))
+
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 }
