@@ -47,8 +47,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
 
     // sorted: deterministic pass order (Map iteration order is arbitrary), so
-    // partial artifacts from different runs cover a comparable prefix
+    // partial artifacts from different runs cover a comparable prefix.
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated name prefixes) narrows the set
+    // for local iteration — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // min time per query so far; -1.0 = errored, absent = not yet measured
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

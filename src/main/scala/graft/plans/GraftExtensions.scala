@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(MinKByExpr.descriptor)
     extensions.injectFunction(WordNgramsExpr.descriptor)
     extensions.injectFunction(CdcBoundsExpr.descriptor)
+    extensions.injectFunction(WinnowSelectExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

@@ -637,10 +637,16 @@ object PipelineQueries {
       // at 100 TB this runs at scan speed; the fingerprint set (not shown
       // here) would feed the q63 postings shape for cross-doc matching.
       // struct(h, p) ordering makes array_min pick the leftmost minimum.
+      // Native fused kernel when registered (one O(ng) deque pass vs the
+      // O(ng·w) interpreted slice-argmin HOF); value-identical either way.
+      def winnowExpr(ws: Column): Column =
+        if (s.catalog.functionExists("winnow_select"))
+          call_function("winnow_select", ws, lit(3), lit(4))
+        else T.winnow(ws, 3, 4)
       Tables.documents(s, d)
         .select(col("doc_id"), T.tokens(col("text")).as("ws"))
         .where(size(col("ws")) >= 3)
-        .select(col("doc_id"), T.winnow(col("ws"), 3, 4).as("sel"))
+        .select(col("doc_id"), winnowExpr(col("ws")).as("sel"))
         .select(col("doc_id"), explode(col("sel")).as("f"))
         .select(col("doc_id"), col("f.p").as("pos"), col("f.h").as("fp"))
         .orderBy(col("doc_id"), col("pos"))

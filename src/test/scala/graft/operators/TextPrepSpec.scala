@@ -55,6 +55,40 @@ class TextPrepSpec extends SparkSpec {
         s"doc $id tokens=$w")
   }
 
+  test("native winnow_select equals the HOF winnow element-for-element") {
+    // the fused deque kernel must reproduce the HOF output EXACTLY —
+    // including selection ORDER (first-occurrence distinct) and leftmost
+    // tie-breaks, which the tiny vocab makes collision-heavy
+    val rnd = new Random(90210L)
+    val k = 3
+    val ww = 4
+    val docs = (1L to 60L).map { id =>
+      val vocab = (1 to (2 + rnd.nextInt(3))).map(i => s"t$i")
+      id -> Vector.fill(k + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = docs.toDF("id", "ws")
+    def arrOf(c: org.apache.spark.sql.Column): Map[Long, Seq[(Long, Int)]] =
+      df.select(col("id"), c.as("sel")).collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(f => (f.getLong(0), f.getInt(1)))
+      }.toMap
+    val hof = arrOf(TextFunctions.winnow(col("ws"), k, ww))
+    val native = arrOf(call_function("winnow_select", col("ws"), lit(k), lit(ww)))
+    docs.foreach { case (id, w) =>
+      assert(native(id) == hof(id), s"doc $id tokens=$w")
+    }
+    // degenerate shapes: ng < w (one window), ng == 1, and all-equal tokens
+    Seq(Vector("a", "a", "a"), Vector("a", "b", "c", "a", "b", "c"),
+      Vector.fill(9)("z")).zipWithIndex.foreach { case (w, i) =>
+      val d2 = Seq((i.toLong, w)).toDF("id", "ws")
+      def one(c: org.apache.spark.sql.Column) =
+        d2.select(c).first().getSeq[org.apache.spark.sql.Row](0)
+          .map(f => (f.getLong(0), f.getInt(1)))
+      assert(one(call_function("winnow_select", col("ws"), lit(k), lit(ww))) ==
+        one(TextFunctions.winnow(col("ws"), k, ww)), s"case $i: $w")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
     val rnd = new Random(7L)
     val k = 3
