@@ -400,4 +400,39 @@ object CorpusOps {
       .withColumn("fail_k", col("n") < k)
       .withColumn("fail_l", col("n_sensitive") < l)
       .where(col("fail_k") || col("fail_l"))
+
+  /**
+   * Vocabulary coverage report — the tokenizer-design question "what share
+   * of the corpus token mass do the top-k vocabulary entries cover?" (the
+   * curve that sets BPE vocab size and flags boilerplate-dominated corpora).
+   * Input: one row per token OCCURRENCE (`term`); `ks` are the report
+   * points. Output: one row per k — (k, top_k_tokens, total_tokens,
+   * coverage_ppm, vocab_size), coverage in ×1e6 fixed point (integer `div`,
+   * engine-exact).
+   *
+   * Scale posture: the census is one map-side-combinable `groupBy(term)` —
+   * the only corpus-size shuffle (a hot token collapses per map partition);
+   * the top-max(ks) cut is a TakeOrderedAndProject (per-partition bounded
+   * heaps, never a global sort); the cumulative window then runs over
+   * ≤ max(ks) rows — single-partition by construction but BOUNDED by the
+   * limit, not corpus-sized. The 1-row totals summary broadcasts. Ties rank
+   * deterministically by (count desc, term).
+   */
+  def vocabCoverage(toks: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val census = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = census.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val top = census.orderBy(col("cnt").desc, col("term")).limit(ks.max)
+    val ord = Window.orderBy(col("cnt").desc, col("term"))
+    top
+      .select(row_number().over(ord).as("k"),
+        sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("top_k_tokens"))
+      .where(col("k").isin(ks: _*))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("top_k_tokens"), col("total_tokens"),
+        expr("(1000000 * top_k_tokens) div total_tokens").as("coverage_ppm"),
+        col("vocab_size"))
+  }
 }

@@ -228,6 +228,43 @@ object Similarity {
   }
 
   /**
+   * Semantic decontamination — the embedding-space twin of the n-gram
+   * decontaminate ([[CorpusOps.decontaminate]] / q44, q114): flag every
+   * corpus vector whose cosine similarity to ANY benchmark/eval vector
+   * reaches `threshold`. This is the paraphrase-leakage detector exact
+   * n-gram matching structurally misses — a reworded eval question shares
+   * no 8-gram with its source but sits next to it in embedding space.
+   * Inputs carry (id, vec); the two id sets are assumed disjoint (the
+   * caller's split contract). Output: one row per contaminated corpus
+   * vector — (id, eval_id = best match, cos rounded, n_matches).
+   *
+   * Scale posture: eval benchmarks are bounded (10³..10⁵ rows), so the
+   * eval side BROADCASTS and the corpus is scanned exactly once with no
+   * shuffle before the filter; the threshold filter runs BEFORE the
+   * per-doc argmax aggregation, so the only exchange carries contaminated
+   * hits — at sane thresholds a vanishing fraction of the corpus — never
+   * the N×E scored rows. The best-match argmax is ONE map-side-combined
+   * `max(struct(cos, -eval_id))` (ties to the smallest eval id — the q73
+   * discipline), never a window. For eval sets too large to broadcast,
+   * bucket both sides with [[annLsh]]'s hyperplane signature first and
+   * run the same scan per bucket.
+   */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double): DataFrame = {
+    val ev = evalSet.select(col("id").as("eval_id"), col("vec").as("evec"))
+    corpus.select(col("id"), col("vec"))
+      .crossJoin(broadcast(ev))
+      .select(col("id"), col("eval_id"),
+        cosineNative(col("vec"), col("evec")).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos").as("cos"), (-col("eval_id")).as("neg"))).as("m"),
+        count(lit(1)).as("n_matches"))
+      .select(col("id"), (-col("m.neg")).as("eval_id"),
+        round(col("m.cos"), 4).as("cos"), col("n_matches"))
+  }
+
+  /**
    * Sparse tf-idf cosine similarity pairs over a term-occurrence table
    * `toks(id, term)` — the weighted-vector twin of [[Dedup.allPairsJaccard]]
    * (set overlap there, tf-idf dot product here). Weights are the engine-exact

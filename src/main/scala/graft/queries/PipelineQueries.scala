@@ -791,6 +791,74 @@ object PipelineQueries {
           col("user_id"), k = 5, l = 3)
         .orderBy(col("event_type"), col("hh"), col("vbucket"))),
 
+    "q129_semantic_decontaminate" -> ((s, d) => {
+      // embedding-space decontamination: vec_id % 10 == 0 plays the held-out
+      // benchmark, the rest the training corpus; every training vector whose
+      // cosine to ANY benchmark vector reaches 0.3 is flagged with its best
+      // match — the paraphrase-leakage gate the n-gram decontaminate (q44/
+      // q114) cannot catch. Benchmark side broadcast, corpus scanned once,
+      // filter BEFORE the argmax agg so only hits shuffle.
+      Similarity.semanticContamination(
+          corpus = embVecs(s, d, col("vec_id") % 10 =!= 0),
+          evalSet = embVecs(s, d, col("vec_id") % 10 === 0),
+          threshold = 0.3)
+        .orderBy(col("id"))
+    }),
+
+    "q130_vocab_coverage" -> ((s, d) =>
+      // tokenizer-design report: share of corpus token mass covered by the
+      // top-5/10/25 vocabulary entries (this corpus has 31 distinct tokens;
+      // production ks are 10³..10⁵ against a BPE budget). Census is the one
+      // corpus shuffle; the ranked cut is a TakeOrdered bounded heap; the
+      // cumulative window is bounded by the cut, never corpus-sized.
+      CorpusOps.vocabCoverage(
+          Tables.documents(s, d)
+            .select(explode(T.tokens(col("text"))).as("term")),
+          ks = Seq(5, 10, 25))
+        .orderBy(col("k"))),
+
+    "q131_skipgram_cooccur" -> ((s, d) => {
+      // word2vec/GloVe-style windowed co-occurrence census: every ordered
+      // (center, context) pair with the context 1..2 positions to the right,
+      // global top-20 by count. One narrow Generate per document (no join,
+      // no explode×explode self-join), a map-side-combinable pair census,
+      // and a TakeOrderedAndProject top-20 — per-partition bounded heaps,
+      // never a global sort. Ties break on (w1, w2) for determinism.
+      Tables.documents(s, d)
+        .select(T.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(w) - 2), i -> " +
+            "transform(sequence(i + 1, least(i + 2, size(w) - 1)), j -> " +
+            "struct(element_at(w, i + 1) AS w1, element_at(w, j + 1) AS w2))))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    "q132_phrase_blocklist" -> ((s, d) => {
+      // C4-style phrase-blocklist census: a bounded dictionary of exact
+      // phrases counted per document via the codegen'd occurrence identity
+      // (len(text) − len(replace(text, p))) div len(p) — no regex engine, no
+      // tokenization drift, and the whole query is a NARROW per-row map
+      // (zero joins/shuffles before the output sort): the dictionary lives
+      // in the plan as literals, the blocklist analogue of q108's inlined
+      // prototypes. keep = no phrase hit.
+      val phrases = Seq("hash join", "row batch", "filter scan")
+      val occs = phrases.map(p =>
+        expr(s"(length(text) - length(replace(text, '$p', ''))) div ${p.length}")
+          .as(s"n_${p.replace(' ', '_')}"))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: occs: _*)
+        .withColumn("n_hits",
+          phrases.map(p => col(s"n_${p.replace(' ', '_')}")).reduce(_ + _))
+        .withColumn("keep", col("n_hits") === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -2995,6 +3063,66 @@ object PipelineQueries {
                 n < 5 AS fail_k, n_sensitive < 3 AS fail_l
          FROM g WHERE n < 5 OR n_sensitive < 3
          ORDER BY event_type, hh, vbucket""",
+
+    // Same bit-identical cosine fold; the argmax re-derived relationally
+    // (cos DESC, eval_id ASC — the max(struct(cos, -eval_id)) tie rule).
+    "q129_semantic_decontaminate" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ev AS (SELECT vec_id AS eval_id, v AS evec FROM e WHERE vec_id % 10 = 0),
+         tr AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         hits AS (SELECT id, eval_id, cos FROM (
+             SELECT tr.id, ev.eval_id, ${duckCos("tr.v", "ev.evec")} AS cos
+             FROM tr CROSS JOIN ev)
+           WHERE cos >= 0.3),
+         best AS (SELECT id, eval_id, cos FROM (
+             SELECT id, eval_id, cos,
+                    row_number() OVER (PARTITION BY id
+                                       ORDER BY cos DESC, eval_id ASC) AS rn
+             FROM hits) WHERE rn = 1),
+         m AS (SELECT id, CAST(count(*) AS BIGINT) AS n_matches FROM hits GROUP BY 1)
+         SELECT b.id, b.eval_id, round(b.cos, 4) AS cos, m.n_matches
+         FROM best b JOIN m USING (id) ORDER BY id""",
+
+    "q130_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         census AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                        CAST(count(*) AS BIGINT) AS vocab_size FROM census),
+         top AS (SELECT term, cnt FROM census ORDER BY cnt DESC, term LIMIT 25),
+         ranked AS (SELECT
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS k,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS top_k_tokens
+           FROM top)
+         SELECT k, top_k_tokens, total_tokens,
+                (1000000 * top_k_tokens) // total_tokens AS coverage_ppm,
+                vocab_size
+         FROM ranked, tot WHERE k IN (5, 10, 25) ORDER BY k""",
+
+    // Same windowed pair Generate (context 1..2 positions right of the
+    // center): Spark sequence(a, b) is end-INCLUSIVE, DuckDB range(a, b)
+    // end-EXCLUSIVE — hence least(i + 3, len) here vs least(i + 2, size - 1).
+    "q131_skipgram_cooccur" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         p AS (SELECT unnest(flatten(list_transform(range(0, len(ws) - 1), i ->
+                  list_transform(range(i + 1, least(i + 3, len(ws))), j ->
+                    struct_pack(w1 := ws[i + 1], w2 := ws[j + 1]))))) AS p
+               FROM w)
+         SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
+         FROM p GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20""",
+
+    "q132_phrase_blocklist" ->
+      """WITH c AS (SELECT doc_id,
+           (length(text) - length(replace(text, 'hash join', ''))) // 9 AS n_hash_join,
+           (length(text) - length(replace(text, 'row batch', ''))) // 9 AS n_row_batch,
+           (length(text) - length(replace(text, 'filter scan', ''))) // 11 AS n_filter_scan
+         FROM documents)
+         SELECT doc_id, n_hash_join, n_row_batch, n_filter_scan,
+                n_hash_join + n_row_batch + n_filter_scan AS n_hits,
+                (n_hash_join + n_row_batch + n_filter_scan) = 0 AS keep
+         FROM c ORDER BY doc_id""",
 
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
     // probe flags — false positives included — hash-match exactly.

@@ -54,7 +54,12 @@ object SqlSurface {
    *  - `privacy_audit` — k-anonymity/l-diversity failing classes over the
    *    event log (q128's gate, queryable before any release);
    *  - `emb_jl16`      — 16-dim JL-projected embeddings (q125's front-end
-   *    for cheap ad-hoc SQL distance work). */
+   *    for cheap ad-hoc SQL distance work);
+   *  - `contamination` — training vectors semantically too close (cosine
+   *    ≥ 0.3) to the held-out benchmark split (q129's paraphrase-leakage
+   *    gate);
+   *  - `vocab_coverage` — top-5/10/25 vocabulary token-mass coverage
+   *    (q130's tokenizer-design report). */
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
     registerTables(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
@@ -92,5 +97,16 @@ object SqlSurface {
           col("embedding").cast("array<double>"),
           graft.functions.VectorFunctions.jlSigns(64, 16)).as("vec16"))
       .createOrReplaceTempView("emb_jl16")
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    graft.operators.Similarity.semanticContamination(
+        corpus = vecs.where(col("id") % 10 =!= 0),
+        evalSet = vecs.where(col("id") % 10 === 0),
+        threshold = 0.3)
+      .createOrReplaceTempView("contamination")
+    graft.operators.CorpusOps.vocabCoverage(
+        docs.select(explode(T.tokens(col("text"))).as("term")),
+        ks = Seq(5, 10, 25))
+      .createOrReplaceTempView("vocab_coverage")
   }
 }

@@ -198,4 +198,21 @@ class CorpusOpsSpec extends SparkSpec {
     // the passing class must NOT appear
     assert(!got.contains("a"))
   }
+
+  test("vocabCoverage: ranked cumulative mass, deterministic ties, k beyond vocab") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=3 (tie breaks b before c), d=1, e=1 — total 12
+    val toks = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e")).toDF("term")
+    val got = CorpusOps.vocabCoverage(toks, Seq(1, 3, 5, 10))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(
+      1 -> ((4L, 12L, 333333L, 5L)),   // a
+      3 -> ((10L, 12L, 833333L, 5L)),  // a+b+c
+      5 -> ((12L, 12L, 1000000L, 5L))), s"got $got")
+    // k = 10 exceeds the 5-term vocabulary: no row, never a partial one
+    assert(!got.contains(10))
+  }
 }

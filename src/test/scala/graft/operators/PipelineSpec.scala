@@ -375,4 +375,24 @@ class PipelineSpec extends SparkSpec {
       Seq((100L, v(1.0, 1.0))).toDF("id", "vec"), k = 2).collect().head
     assert(tie.getInt(1) == 3 && tie.getLong(2) == 1L && tie.getLong(3) == 2L)
   }
+
+  test("semanticContamination flags the max-cos eval match, ties to the smallest eval id") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x, y)
+    val corpus = Seq(
+      (10L, v(1.0, 0.0)),  // cos 1.0 to evals 1 AND 2 (identical) → tie → eval 1
+      (11L, v(0.0, 1.0)),  // cos 1.0 to eval 3 only
+      (12L, v(-1.0, 0.0))) // negative cos to every eval → NOT flagged
+      .toDF("id", "vec")
+    val evals = Seq((1L, v(1.0, 0.0)), (2L, v(1.0, 0.0)), (3L, v(0.0, 1.0)))
+      .toDF("id", "vec")
+    val got = Similarity.semanticContamination(corpus, evals, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // n_matches counts every eval at/above the threshold, not just the best
+    assert(got == Map(
+      10L -> ((1L, 1.0, 2L)),
+      11L -> ((3L, 1.0, 1L))), s"got $got")
+  }
 }

@@ -412,4 +412,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       "the QI census must be an aggregate (anti-vacuousness check)")
   }
+
+  test("semantic decontamination broadcasts the eval side and argmaxes by aggregate") {
+    // the eval scan is a deliberate bounded broadcast (the q35 shape); the
+    // threshold filter runs before the per-doc argmax, which must be a
+    // map-side-combined max(struct) — never a row_number window
+    assertNever("q129_semantic_decontaminate", "Window", "SortMergeJoin")
+    val p = planOf("q129_semantic_decontaminate")
+    assert(p.contains("Broadcast"), "the eval side must broadcast")
+    assert(p.contains("cosine_sim"),
+      "the native cosine kernel must appear (anti-vacuousness check)")
+  }
+
+  test("vocab coverage cuts with a bounded heap before its bounded window") {
+    // the census is the one corpus shuffle; the top-k cut must plan as
+    // TakeOrderedAndProject (per-partition heaps), and only then may the
+    // ≤ max(ks)-row cumulative window run
+    assertNever("q130_vocab_coverage", "CartesianProduct", "SortMergeJoin")
+    val p = planOf("q130_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be a bounded heap, not a global sort")
+  }
+
+  test("skipgram census is one narrow Generate — no join anywhere") {
+    assertNever("q131_skipgram_cooccur", "Join", "CartesianProduct", "Window")
+    val p = planOf("q131_skipgram_cooccur")
+    assert(p.contains("Generate"), "pair expansion must be a Generate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the global top-20 must be a bounded heap")
+  }
+
+  test("phrase blocklist is a scan-speed scalar map") {
+    assertNever("q132_phrase_blocklist", "Join", "HashAggregate", "Window",
+      "Generate")
+    assert(exchanges("q132_phrase_blocklist") <= 1,
+      "only the output ORDER BY may exchange")
+  }
 }

@@ -122,6 +122,25 @@ class SqlSurfaceSpec extends SparkSpec {
          FROM emb_jl16 LIMIT 5""").collect()
     assert(jl.length == 5 && jl.forall(r => r.getInt(0) == 16 && r.getDouble(1) > 0))
 
+    // 10. the contamination view: every flagged training vector must belong
+    // to the training split, match a benchmark vector, and its rounded best
+    // cosine must clear the threshold
+    val badContam = spark.sql(
+      """SELECT count(*) FROM contamination
+         WHERE id % 10 = 0 OR eval_id % 10 != 0 OR cos < 0.3 OR n_matches < 1
+      """).first().getLong(0)
+    assert(badContam == 0L, s"$badContam contamination rows violate the contract")
+
+    // 11. the vocab-coverage view: coverage must be monotone in k and the
+    // totals constant across rows
+    val cov = spark.sql(
+      "SELECT k, coverage_ppm, total_tokens FROM vocab_coverage ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(cov.map(_._1).toSeq == Seq(5, 10, 25))
+    assert(cov.map(_._2).toSeq == cov.map(_._2).sorted.toSeq,
+      "coverage must be monotone in k")
+    assert(cov.map(_._3).distinct.length == 1)
+
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 }
