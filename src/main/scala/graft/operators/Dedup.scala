@@ -61,6 +61,13 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
+  /** [[bandedKeys]] for consumers outside this file (the streaming twin
+   * bands micro-batches with the IDENTICAL signature pipeline, so streamed
+   * buckets collide exactly where batch buckets do). Narrow (no shuffle, no
+   * checkpoint) — safe under Structured Streaming. */
+  private[graft] def bandedDocs(docs: DataFrame, k: Int, bands: Int): DataFrame =
+    bandedKeys(docs, k, bands)
+
   /**
    * MinHash-LSH candidate pairs: signature → `bands` bands of `k/bands` rows →
    * equi-join on (band index, band slice). Input must have columns `id` and

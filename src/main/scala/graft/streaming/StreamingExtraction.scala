@@ -14,6 +14,13 @@ case class UserTotals(nEvents: Long, sumValue: Double)
  * greatest (ts, event_id) change seen so far and its payload. */
 case class LatestRow(tsUs: Long, eventId: Long, isDel: Boolean, value: Double)
 
+/** Per-LSH-bucket membership state for
+ * [[StreamingExtraction.streamingNearDupCandidates]]: the ids seen in this
+ * bucket so far (capped at `maxBucket`) and whether the cap ever bound —
+ * once hot, the bucket keeps only its members and pairs arrivals against
+ * the minimum-id representative. */
+case class BucketMembers(ids: List[Long], overflow: Boolean)
+
 /**
  * Structured Streaming surface of the engine.
  *
@@ -248,5 +255,74 @@ object StreamingExtraction {
           Iterator.single((user, cur.tsUs, cur.eventId, cur.isDel, cur.value))
       }
       .toDF("user_id", "ts_us", "event_id", "is_del", "value")
+  }
+
+  /**
+   * STREAMING MinHash-LSH near-dup candidate detection — the continuously-
+   * running twin of [[graft.operators.Dedup.incrementalCandidates]]: every
+   * arriving document bands with the IDENTICAL signature pipeline as the
+   * batch path ([[graft.operators.Dedup.bandedDocs]] — a narrow map, no
+   * shuffle), buckets key the state store on (band, band slice), and each
+   * bucket's state holds the member ids seen so far. A new arrival emits one
+   * candidate pair per existing member, so the CUMULATIVE emitted set over
+   * any number of micro-batches equals the symmetric batch candidate set
+   * ([[graft.operators.Dedup.minhashCandidates]]) over the same corpus —
+   * proven across micro-batches in SessionizeSpec.
+   *
+   * Input: streaming (or batch) DataFrame with `id` and `shingles`. Output:
+   * candidate pairs (a, b), a < b; multi-band collisions can re-emit a pair
+   * (bands are independent state keys) — downstream either set-dedups
+   * batch-side or feeds an idempotent verify-join, exactly like the batch
+   * candidates before their `distinct()`.
+   *
+   * Bounded state (the stream-runs-forever requirement): a bucket's member
+   * list caps at `maxBucket` ids; once the cap binds the bucket turns HOT
+   * permanently — later arrivals pair against the minimum-id representative
+   * only (the [[graft.operators.Dedup.bucketedPairs]] star fallback, O(1)
+   * state and emission per arrival), so one boilerplate bucket can never
+   * grow state or output quadratically. Within a micro-batch, a bucket's
+   * arrivals process in ascending id order — emission is deterministic for
+   * any fixed micro-batch partitioning.
+   */
+  def streamingNearDupCandidates(docs: DataFrame, k: Int = 36, bands: Int = 12,
+                                 maxBucket: Int = 10000): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    graft.operators.Dedup.bandedDocs(docs, k, bands)
+      // state-store key: band index + the exact band slice, rendered to one
+      // string (collision-free: fixed band count, "," never in a long)
+      .select(
+        concat(col("band").cast("string"), lit(":"),
+          array_join(transform(col("band_key"), x => x.cast("string")), ","))
+          .as("bucket"),
+        col("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketMembers, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val prev = state.getOption.getOrElse(BucketMembers(Nil, overflow = false))
+          var members = prev.ids
+          var overflow = prev.overflow
+          val out = List.newBuilder[(Long, Long)]
+          rows.map(_._2).toSeq.distinct.sorted.foreach { id =>
+            if (!members.contains(id)) {
+              if (overflow || members.size >= maxBucket) {
+                overflow = true
+                // star fallback: pair against the bucket representative only
+                val rep = members.min
+                if (id != rep)
+                  out += ((math.min(rep, id), math.max(rep, id)))
+              } else {
+                members.foreach(m =>
+                  out += ((math.min(m, id), math.max(m, id))))
+                members = id :: members
+              }
+            }
+          }
+          state.update(BucketMembers(members, overflow))
+          out.result().iterator
+      }
+      .toDF("a", "b")
   }
 }

@@ -259,4 +259,58 @@ class SessionizeSpec extends SparkSpec {
     // so its rows are exactly the survivors
     assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 20L))
   }
+
+  test("streaming LSH candidates accumulate across micro-batches to the batch set") {
+    import graft.functions.{TextFunctions => T}
+    val inDir = Files.createTempDirectory("graft-lsh-in").toFile
+    val ckDir = Files.createTempDirectory("graft-lsh-ck").toFile
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text"))
+    // split by id parity → near-dup pairs straddle the micro-batch boundary,
+    // so batch 2's arrivals MUST pair against batch 1's bucket state
+    docs.where(col("id") % 2 === 0).coalesce(1).write.parquet(s"$inDir/chunk=0")
+    docs.where(col("id") % 2 === 1).coalesce(1).write.parquet(s"$inDir/chunk=1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+      .select(col("id"), T.shingles(col("text"), 2).as("shingles"))
+    val q = StreamingExtraction.streamingNearDupCandidates(stream, k = 36, bands = 12)
+      .writeStream.format("memory").queryName("stream_lsh")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // cumulative streamed candidates (set — multi-band collisions re-emit)
+    // must equal the symmetric batch candidate set over the same corpus
+    val streamed = spark.table("stream_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shingled = docs.select(col("id"),
+      T.shingles(col("text"), 2).as("shingles"))
+    val batch = graft.operators.Dedup.minhashCandidates(shingled, 36, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} != batch ${batch.size}")
+    assert(batch.nonEmpty, "the planted near-dups must collide (anti-vacuousness)")
+    // cross-boundary accumulation is really exercised: some pair must span
+    // the parity split (one even, one odd id)
+    assert(streamed.exists { case (a, b) => (a + b) % 2 == 1 },
+      "no candidate pair straddles the micro-batch split")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("streaming LSH hot buckets collapse to star pairs under the state cap") {
+    import spark.implicits._
+    // 4 identical docs all but guarantee every band collides; cap = 2 →
+    // ids 1,2 fill the bucket and pair exactly; 3 and 4 overflow and pair
+    // against the representative (min id 1) only — bounded state + output.
+    // Batch mode exercises the same flatMapGroupsWithState fold (one group
+    // call, arrivals sorted ascending), the q46 batch-twin discipline.
+    val docs = Seq(1L, 2L, 3L, 4L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextFunctions.shingles(col("text"), 2).as("shingles"))
+    val got = StreamingExtraction
+      .streamingNearDupCandidates(docs, k = 36, bands = 12, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)), s"got $got")
+  }
 }
