@@ -228,6 +228,60 @@ object Similarity {
   }
 
   /**
+   * Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+   * diversity-aware re-ranker a RAG retrieval stage runs AFTER candidate
+   * generation: greedily select `k` items maximizing
+   * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+   * against redundancy with what is already picked, so five near-identical
+   * top hits collapse to one plus four genuinely different results.
+   *
+   * Scale contract: MMR is inherently SEQUENTIAL in k and quadratic in the
+   * candidate pool, so the pool must be the bounded output of a retrieval
+   * stage ([[knnBruteForce]] / [[annLsh]] top-N — thousands of rows, not
+   * the corpus); it is collected and scored driver-side, the bounded
+   * driver-held-model idiom of IVF centroids and BPE merges. The heavy
+   * lifting (the corpus scan) stays in the retrieval stage. All arithmetic
+   * is the shared left-fold IEEE cosine, so selections are engine-exact
+   * (the q134 oracle replays them relationally).
+   *
+   * Ties break to the smallest id; round-1 redundancy is 0 (empty
+   * selection). Returns (rank, id, rel, mmr) with rel/mmr rounded to 4.
+   */
+  def mmrDiversify(candidates: DataFrame, query: Array[Double],
+                   k: Int, lambda: Double = 0.5): DataFrame = {
+    val session = candidates.sparkSession
+    import session.implicits._
+    def fsum(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    def cosOf(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = fsum(a.zip(b).map { case (x, y) => x * y })
+      val na = math.sqrt(fsum(a.map(x => x * x)))
+      val nb = math.sqrt(fsum(b.map(x => x * x)))
+      dot / (na * nb)
+    }
+    val pool = candidates.select(col("id"), col("vec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val rel = pool.map { case (id, v) => id -> cosOf(query, v) }.toMap
+    val byId = pool.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(pool.map(_._1): _*)
+    for (rank <- 1 to math.min(k, pool.length)) {
+      val best = remaining.toSeq.map { c =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (_, sid, _, _) => cosOf(byId(c), byId(sid)) }.max
+        (c, lambda * rel(c) - (1 - lambda) * redundancy)
+      }.minBy { case (c, score) => (-score, c) }
+      selected += ((rank, best._1, rel(best._1), best._2))
+      remaining -= best._1
+    }
+    selected.toSeq.toDF("rank", "id", "rel", "mmr")
+      .select(col("rank"), col("id"),
+        round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+  }
+
+  /**
    * Semantic decontamination — the embedding-space twin of the n-gram
    * decontaminate ([[CorpusOps.decontaminate]] / q44, q114): flag every
    * corpus vector whose cosine similarity to ANY benchmark/eval vector

@@ -859,6 +859,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q133_quantile_normalize" -> ((s, d) => {
+      // per-source CDF (quantile) normalization of the q27/q96 fixed-point
+      // quality score — the cross-source calibration step before mixture
+      // sampling (a "good" score in a clean source and a boilerplate source
+      // mean different things; the percentile is comparable). SCALE SHAPE:
+      // never a percent_rank window over the corpus — the per-source VALUE
+      // CENSUS (groupBy(source, quality_fp), map-side-combinable) is bounded
+      // by the fixed-point resolution, the cumulative window runs over the
+      // census rows only, and docs get their percentile back via one
+      // (source, quality_fp) equi-join. cdf_ppm = 1e6·|docs ≤ v| div |docs|,
+      // integer bits in any engine.
+      val w = T.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(w).cast("long").as("n_tokens"),
+          size(filter(w, x => x.isin("the", "a"))).cast("long").as("n_stop"))
+        .selectExpr("doc_id", "source",
+          "(1000000 * least(n_tokens, 50) * (n_tokens - n_stop)) div (50 * n_tokens) as quality_fp")
+      CorpusOps.quantileNormalize(scored, "source", "quality_fp")
+        .select(col("doc_id"), col("source"), col("quality_fp"), col("cdf_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q134_mmr_diversify" -> ((s, d) => {
+      // Maximal Marginal Relevance re-rank of a bounded retrieval pool:
+      // query = vector 0, pool = every 25th vector (the modulus stands in
+      // for a top-N retrieval stage's bounded output), k = 5 at λ = 0.5 —
+      // the RAG result-diversification pass. The pool collects driver-side
+      // (the bounded driver-held-model idiom: MMR is sequential in k and
+      // quadratic in the pool, which retrieval already bounded); the corpus
+      // never joins itself. Selections are engine-exact: the shared
+      // left-fold IEEE cosine, ties to the smallest id.
+      val q0 = embVecs(s, d, col("vec_id") === 0)
+        .select(col("vec")).head.getSeq[Double](0).toArray
+      Similarity.mmrDiversify(
+          embVecs(s, d, col("vec_id") % 25 === 0 && col("vec_id") =!= 0),
+          query = q0, k = 5, lambda = 0.5)
+        .orderBy(col("rank"))
+    }),
+
     "q45_shard_packing" -> ((s, d) =>
       // token-budget shard assignment: 8 deterministic workers, docs packed
       // in id order into 512-token shards by running token count
@@ -3123,6 +3163,65 @@ object PipelineQueries {
                 n_hash_join + n_row_batch + n_filter_scan AS n_hits,
                 (n_hash_join + n_row_batch + n_filter_scan) = 0 AS keep
          FROM c ORDER BY doc_id""",
+
+    // Identical integer pipeline: the q96 quality_fp, a per-source value
+    // census, the cumulative-≤ window over census rows, and the ppm floor
+    // division — every step integer bits.
+    "q133_quantile_normalize" ->
+      """WITH base AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+             FROM documents),
+         scored AS (SELECT doc_id, source,
+               (1000000 * least(n_tokens, 50) * (n_tokens - n_stop))
+                 // (50 * n_tokens) AS quality_fp
+             FROM base),
+         census AS (SELECT source, quality_fp, CAST(count(*) AS BIGINT) AS cnt
+                    FROM scored GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
+                 FROM census GROUP BY 1),
+         cdf AS (SELECT source, quality_fp,
+               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY quality_fp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_le
+             FROM census),
+         j AS (SELECT c.source, c.quality_fp,
+                      (1000000 * c.cum_le) // t.n_docs AS cdf_ppm
+               FROM cdf c JOIN tot t USING (source))
+         SELECT s.doc_id, s.source, s.quality_fp, j.cdf_ppm
+         FROM scored s JOIN j USING (source, quality_fp) ORDER BY doc_id""",
+
+    // The 5 greedy MMR rounds unrolled: each round's winner maximizes
+    // 0.5·rel − 0.5·max-sim-to-selected (ties → smallest id), exactly the
+    // driver-side fold — the shared left-fold cosine makes every score
+    // bit-identical.
+    "q134_mmr_diversify" -> {
+      val cosQ = duckCos("c.v", "q.qv")
+      val cosAB = duckCos("a.v", "b.v")
+      def cand(n: Int): String = {
+        val sel = (1 until n).map(i => s"SELECT id FROM sel$i").mkString(" UNION ALL ")
+        s"""cand$n AS (SELECT r.id, r.rel,
+              0.5*r.rel - 0.5*(SELECT max(s.s) FROM sim s
+                               WHERE s.i = r.id AND s.j IN ($sel)) AS mmr
+            FROM rel r WHERE r.id NOT IN ($sel)),
+           sel$n AS (SELECT id, rel, mmr FROM cand$n ORDER BY mmr DESC, id LIMIT 1)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         c AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 25 = 0 AND vec_id <> 0),
+         rel AS (SELECT c.id, $cosQ AS rel FROM c, q),
+         sim AS MATERIALIZED (SELECT a.id AS i, b.id AS j, $cosAB AS s
+               FROM c a JOIN c b ON a.id <> b.id),
+         sel1 AS (SELECT id, rel, 0.5*rel AS mmr FROM rel
+                  ORDER BY 0.5*rel DESC, id LIMIT 1),
+         ${(2 to 5).map(cand).mkString(",\n         ")}
+         SELECT 1 AS rank, id, round(rel, 4) AS rel, round(mmr, 4) AS mmr FROM sel1
+         ${(2 to 5).map(i =>
+           s"UNION ALL SELECT $i, id, round(rel, 4), round(mmr, 4) FROM sel$i")
+           .mkString("\n         ")}
+         ORDER BY rank"""
+    },
 
     // Rebuilds the IDENTICAL Bloom bitset (same md5-seeded positions), so the
     // probe flags — false positives included — hash-match exactly.

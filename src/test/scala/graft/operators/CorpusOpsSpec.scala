@@ -215,4 +215,16 @@ class CorpusOpsSpec extends SparkSpec {
     // k = 10 exceeds the 5-term vocabulary: no row, never a partial one
     assert(!got.contains(10))
   }
+
+  test("quantileNormalize: within-group CDF ppm with ties sharing one percentile") {
+    import spark.implicits._
+    // group g1: values 10, 20, 20, 40 → cdf(10)=25%, cdf(20)=75%, cdf(40)=100%
+    // group g2: single row → cdf = 100%; groups never mix
+    val df = Seq(("g1", 10L, 1L), ("g1", 20L, 2L), ("g1", 20L, 3L),
+      ("g1", 40L, 4L), ("g2", 99L, 5L)).toDF("src", "score", "id")
+    val got = CorpusOps.quantileNormalize(df, "src", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cdf_ppm")).toMap
+    assert(got == Map(1L -> 250000L, 2L -> 750000L, 3L -> 750000L,
+      4L -> 1000000L, 5L -> 1000000L), s"got $got")
+  }
 }

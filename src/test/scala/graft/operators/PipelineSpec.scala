@@ -395,4 +395,47 @@ class PipelineSpec extends SparkSpec {
       10L -> ((1L, 1.0, 2L)),
       11L -> ((3L, 1.0, 1L))), s"got $got")
   }
+
+  test("mmrDiversify equals an independent greedy reference and penalizes near-dups") {
+    import spark.implicits._
+    // fixed 3-D pool with an exact duplicate pair (ids 1, 2) — MMR must not
+    // pick both early even though they share the top relevance
+    val query = Array(1.0, 0.2, 0.0)
+    val pool = Seq(
+      1L -> Array(0.9, 0.1, 0.0), 2L -> Array(0.9, 0.1, 0.0),
+      3L -> Array(0.5, 0.5, 0.1), 4L -> Array(0.0, 0.9, 0.3),
+      5L -> Array(0.3, 0.0, 0.9), 6L -> Array(0.7, 0.3, 0.2))
+    val got = Similarity.mmrDiversify(pool.toDF("id", "vec"), query, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // independent reference implementation (fresh code, same IEEE folds)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      dot / (math.sqrt(a.map(x => x * x).foldLeft(0.0)(_ + _)) *
+        math.sqrt(b.map(x => x * x).foldLeft(0.0)(_ + _)))
+    }
+    val rel = pool.map { case (id, v) => id -> cos(query.toSeq, v.toSeq) }.toMap
+    var sel = Vector.empty[(Int, Long, Double, Double)]
+    var rem = pool.map(_._1)
+    for (rank <- 1 to 4) {
+      val scored = rem.map { c =>
+        val red = if (sel.isEmpty) 0.0
+          else sel.map { case (_, s, _, _) =>
+            cos(pool.toMap.apply(c).toSeq, pool.toMap.apply(s).toSeq) }.max
+        c -> (0.5 * rel(c) - 0.5 * red)
+      }
+      val (cid, sc) = scored.minBy { case (c, v) => (-v, c) }
+      sel :+= ((rank, cid, rel(cid), sc))
+      rem = rem.filterNot(_ == cid)
+    }
+    def r4(x: Double): Double = // Spark round() semantics: HALF_UP
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = sel.map { case (rk, id, r, m) => (rk, id, r4(r), r4(m)) }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
+    // the duplicate of rank-1's pick must not appear at rank 2: its
+    // redundancy is exactly 1.0, the maximal penalty
+    val first = got(0)._2
+    val dupOf = Map(1L -> 2L, 2L -> 1L)
+    assert(got(1)._2 != dupOf.getOrElse(first, -1L),
+      "rank 2 picked the exact duplicate of rank 1")
+  }
 }

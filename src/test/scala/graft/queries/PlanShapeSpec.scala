@@ -442,6 +442,26 @@ class PlanShapeSpec extends SparkSpec {
       "the global top-20 must be a bounded heap")
   }
 
+  test("quantile normalization censuses values — never a percent_rank over docs") {
+    // the cumulative window must run over the (source, value) census, which
+    // the aggregate below it proves; doc rows rejoin via equi-joins only
+    assertNever("q133_quantile_normalize",
+      "CartesianProduct", "BroadcastNestedLoopJoin")
+    val p = planOf("q133_quantile_normalize")
+    assert(p.contains("HashAggregate"),
+      "the value census must be an aggregate (anti-vacuousness check)")
+    assert(p.contains("Window"), "the census CDF window must appear")
+  }
+
+  test("MMR re-rank is a bounded driver-held model — the plan is a local table") {
+    // the pool collects at construction (the IVF-centroid/BPE-merge idiom);
+    // the returned plan must carry no distributed scan at all
+    val p = planOf("q134_mmr_diversify")
+    assert(p.contains("LocalTableScan"), "selection must be a local table")
+    assert(!p.contains("Scan parquet"),
+      "no distributed scan may survive into the result plan")
+  }
+
   test("phrase blocklist is a scan-speed scalar map") {
     assertNever("q132_phrase_blocklist", "Join", "HashAggregate", "Window",
       "Generate")
