@@ -882,6 +882,69 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q135_source_drift" -> ((s, d) => {
+      // per-source distribution-drift monitor: the two-sample KS statistic
+      // of each source's doc-length distribution against the corpus — the
+      // "did this crawl slice change shape?" gate a pipeline runs per
+      // ingest. SCALE SHAPE: both CDFs come from bounded VALUE CENSUSES
+      // (doc length in tokens — resolution-bounded), evaluated on the
+      // sources × distinct-values grid (bounded × bounded, never docs);
+      // the per-source cumulative window runs over grid rows, the global
+      // one over the value census (single-partition but census-bounded,
+      // the q130 discipline); KS argmax is one map-side max(struct), ties
+      // to the smallest value. All integer ppm arithmetic.
+      val docs = Tables.documents(s, d)
+        .select(col("source"), size(T.tokens(col("text"))).cast("long").as("v"))
+      val sCensus = docs.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val gCensus = docs.groupBy(col("v")).agg(count(lit(1)).as("gcnt"))
+      val sTotals = sCensus.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+      val gTotal = gCensus.agg(sum(col("gcnt")).as("n_c")) // 1 row
+      val gW = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val gCdf = gCensus.withColumn("gcum", sum(col("gcnt")).over(gW))
+      val grid = sCensus.select(col("source")).distinct()
+        .crossJoin(gCdf.select(col("v"), col("gcum")))
+      val sW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid
+        .join(sCensus, Seq("source", "v"), "left")
+        .withColumn("scum", sum(coalesce(col("cnt"), lit(0L))).over(sW))
+        .join(broadcast(sTotals), "source")
+        .crossJoin(broadcast(gTotal))
+        .selectExpr("source", "v", "n_s",
+          "abs((1000000 * scum) div n_s - (1000000 * gcum) div n_c) as d_ppm")
+        .groupBy(col("source"))
+        .agg(max(struct(col("d_ppm").as("d"), (-col("v")).as("nv"))).as("m"),
+          min(col("n_s")).as("n_docs"))
+        .select(col("source"), col("n_docs"), col("m.d").as("ks_ppm"),
+          (-col("m.nv")).as("at_value"))
+        .orderBy(col("source"))
+    }),
+
+    "q136_event_trigrams" -> ((s, d) => {
+      // behavioral sequence mining: the most frequent per-user event-type
+      // TRIGRAMS in chronological order — the pattern census behind funnel
+      // discovery (q82 checks a KNOWN funnel; this surfaces candidates).
+      // Shape: two lead() windows CHAINED over ONE (user_id, ts, event_id)
+      // partitioning — one shuffle, no self-join (the q82 discipline; an
+      // event_seq×event_seq×event_seq join would cube the log) — then a
+      // map-side-combinable census and a TakeOrdered top-10.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .where(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    }),
+
     "q134_mmr_diversify" -> ((s, d) => {
       // Maximal Marginal Relevance re-rank of a bounded retrieval pool:
       // query = vector 0, pool = every 25th vector (the modulus stands in
@@ -3191,6 +3254,48 @@ object PipelineQueries {
                FROM cdf c JOIN tot t USING (source))
          SELECT s.doc_id, s.source, s.quality_fp, j.cdf_ppm
          FROM scored s JOIN j USING (source, quality_fp) ORDER BY doc_id""",
+
+    // Same bounded-grid construction: per-source and global CDFs in ppm from
+    // the value censuses, |F_s − F_c| maximized per source (ties → smallest
+    // value, the max(struct(d, −v)) rule re-derived relationally).
+    "q135_source_drift" ->
+      """WITH docs AS (SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+         sc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+                FROM docs GROUP BY 1, 2),
+         gc AS (SELECT v, CAST(count(*) AS BIGINT) AS gcnt FROM docs GROUP BY 1),
+         st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+         gt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_c FROM gc),
+         gcdf AS (SELECT v, CAST(sum(gcnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS gcum FROM gc),
+         grid AS (SELECT s.source, g.v, g.gcum
+                  FROM (SELECT DISTINCT source FROM sc) s CROSS JOIN gcdf g),
+         scdf AS (SELECT grid.source, grid.v, grid.gcum,
+               CAST(sum(COALESCE(sc.cnt, 0)) OVER (PARTITION BY grid.source
+                 ORDER BY grid.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS scum
+             FROM grid LEFT JOIN sc ON grid.source = sc.source AND grid.v = sc.v),
+         dppm AS (SELECT c.source, c.v, t.n_s,
+               abs((1000000 * c.scum) // t.n_s - (1000000 * c.gcum) // gt.n_c) AS d_ppm
+             FROM scdf c JOIN st t USING (source) CROSS JOIN gt),
+         win AS (SELECT source, v, n_s, d_ppm,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY d_ppm DESC, v ASC) AS rn
+             FROM dppm)
+         SELECT source, n_s AS n_docs, d_ppm AS ks_ppm, v AS at_value
+         FROM win WHERE rn = 1 ORDER BY source""",
+
+    "q136_event_trigrams" ->
+      """WITH seq AS (SELECT event_type AS t1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+             FROM events)
+         SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+         FROM seq WHERE t3 IS NOT NULL
+         GROUP BY 1, 2, 3 ORDER BY cnt DESC, t1, t2, t3 LIMIT 10""",
 
     // The 5 greedy MMR rounds unrolled: each round's winner maximizes
     // 0.5·rel − 0.5·max-sim-to-selected (ties → smallest id), exactly the

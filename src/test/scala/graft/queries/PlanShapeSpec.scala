@@ -462,6 +462,29 @@ class PlanShapeSpec extends SparkSpec {
       "no distributed scan may survive into the result plan")
   }
 
+  test("source drift evaluates CDFs on the bounded census grid — one corpus scan family") {
+    // both CDFs derive from value censuses; the sources × values grid cross
+    // join is bounded × bounded BY CONSTRUCTION (the one legitimate cross
+    // join shape); the KS argmax must be an aggregate, never a final window
+    val p = planOf("q135_source_drift")
+    assert(p.contains("HashAggregate"),
+      "the value censuses must be aggregates (anti-vacuousness check)")
+    assert(!p.contains("SortMergeJoin"),
+      "census joins must stay broadcast-sized, never corpus sort-merge")
+  }
+
+  test("event trigrams chain two leads over ONE partitioning — no self-join") {
+    assertNever("q136_event_trigrams", "Join", "CartesianProduct")
+    val p = planOf("q136_event_trigrams")
+    assert("Window".r.findAllIn(p).length >= 1 &&
+      p.contains("TakeOrderedAndProject"),
+      "the lead window and bounded-heap top-10 must appear")
+    // both lead() columns share one Window operator — a second Window would
+    // mean a second user_id sort
+    assert("Window".r.findAllIn(p).length == 1,
+      "both leads must plan into a single Window operator")
+  }
+
   test("phrase blocklist is a scan-speed scalar map") {
     assertNever("q132_phrase_blocklist", "Join", "HashAggregate", "Window",
       "Generate")
