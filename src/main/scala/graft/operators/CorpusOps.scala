@@ -402,6 +402,39 @@ object CorpusOps {
       .where(col("fail_k") || col("fail_l"))
 
   /**
+   * Per-group CDF (quantile) normalization of an integer-valued score
+   * column — the cross-source calibration step before mixture sampling: a
+   * raw quality score means different things in a clean source and a
+   * boilerplate source; its within-source percentile is comparable. Appends
+   * `cdf_ppm = 1e6 · |group rows with value ≤ v| div |group rows|` (integer
+   * bits in any engine) to every input row.
+   *
+   * Scale posture: never a percent_rank window over the corpus — the
+   * per-group VALUE CENSUS (`groupBy(group, value)`, map-side-combinable)
+   * is bounded by the score's fixed-point resolution, the cumulative window
+   * runs over census rows only, the |groups|-row totals broadcast, and rows
+   * get their percentile back via one (group, value) equi-join.
+   *
+   * NULL contract: rows with a NULL group or value are EXCLUDED — from the
+   * census, the denominators, and the output (a percentile among nulls has
+   * no meaning, and engines disagree on null window ordering). Callers with
+   * nullable scores filter or impute first.
+   */
+  def quantileNormalize(df: DataFrame, group: String, value: String): DataFrame = {
+    val clean = df.where(col(group).isNotNull && col(value).isNotNull)
+    val census = clean.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
+    val totals = census.groupBy(col(group)).agg(sum(col("cnt")).as("n_rows"))
+    val cumW = Window.partitionBy(col(group)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = census
+      .withColumn("cum_le", sum(col("cnt")).over(cumW))
+      .join(broadcast(totals), group)
+      .select(col(group), col(value),
+        expr("(1000000 * cum_le) div n_rows").as("cdf_ppm"))
+    clean.join(cdf, Seq(group, value))
+  }
+
+  /**
    * Vocabulary coverage report — the tokenizer-design question "what share
    * of the corpus token mass do the top-k vocabulary entries cover?" (the
    * curve that sets BPE vocab size and flags boilerplate-dominated corpora).
@@ -418,33 +451,6 @@ object CorpusOps {
    * limit, not corpus-sized. The 1-row totals summary broadcasts. Ties rank
    * deterministically by (count desc, term).
    */
-  /**
-   * Per-group CDF (quantile) normalization of an integer-valued score
-   * column — the cross-source calibration step before mixture sampling: a
-   * raw quality score means different things in a clean source and a
-   * boilerplate source; its within-source percentile is comparable. Appends
-   * `cdf_ppm = 1e6 · |group rows with value ≤ v| div |group rows|` (integer
-   * bits in any engine) to every input row.
-   *
-   * Scale posture: never a percent_rank window over the corpus — the
-   * per-group VALUE CENSUS (`groupBy(group, value)`, map-side-combinable)
-   * is bounded by the score's fixed-point resolution, the cumulative window
-   * runs over census rows only, the |groups|-row totals broadcast, and rows
-   * get their percentile back via one (group, value) equi-join.
-   */
-  def quantileNormalize(df: DataFrame, group: String, value: String): DataFrame = {
-    val census = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
-    val totals = census.groupBy(col(group)).agg(sum(col("cnt")).as("n_rows"))
-    val cumW = Window.partitionBy(col(group)).orderBy(col(value))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = census
-      .withColumn("cum_le", sum(col("cnt")).over(cumW))
-      .join(broadcast(totals), group)
-      .select(col(group), col(value),
-        expr("(1000000 * cum_le) div n_rows").as("cdf_ppm"))
-    df.join(cdf, Seq(group, value))
-  }
-
   def vocabCoverage(toks: DataFrame, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
     val census = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))

@@ -31,8 +31,12 @@ object Dedup {
 
   /** (id, band, band_key) for every doc with features: the MinHash signature
    * cut into `bands` row-groups — the shared front half of the symmetric and
-   * incremental LSH paths. */
-  private def bandedKeys(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+   * incremental LSH paths. `private[graft]` for the streaming twin
+   * ([[graft.streaming.StreamingExtraction.streamingNearDupCandidates]]),
+   * which bands micro-batches with this IDENTICAL pipeline so streamed
+   * buckets collide exactly where batch buckets do; the whole transform is
+   * narrow (no shuffle, no checkpoint) — safe under Structured Streaming. */
+  private[graft] def bandedKeys(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // Operator boundary: a doc with no features has no signature (the native
@@ -60,13 +64,6 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
   }
-
-  /** [[bandedKeys]] for consumers outside this file (the streaming twin
-   * bands micro-batches with the IDENTICAL signature pipeline, so streamed
-   * buckets collide exactly where batch buckets do). Narrow (no shuffle, no
-   * checkpoint) — safe under Structured Streaming. */
-  private[graft] def bandedDocs(docs: DataFrame, k: Int, bands: Int): DataFrame =
-    bandedKeys(docs, k, bands)
 
   /**
    * MinHash-LSH candidate pairs: signature → `bands` bands of `k/bands` rows →

@@ -266,15 +266,22 @@ object Similarity {
     val byId = pool.toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
     val remaining = scala.collection.mutable.LinkedHashSet(pool.map(_._1): _*)
+    // running max-similarity-to-selected per candidate: each round updates
+    // against the NEWEST selection only — O(k·n) cosines total instead of
+    // recomputing every candidate×selected pair per round (O(k²·n)); max is
+    // exact, so scores are identical. Absent key ⇔ empty selection ⇔ 0.
+    val redMax = scala.collection.mutable.Map.empty[Long, Double]
     for (rank <- 1 to math.min(k, pool.length)) {
       val best = remaining.toSeq.map { c =>
-        val redundancy =
-          if (selected.isEmpty) 0.0
-          else selected.map { case (_, sid, _, _) => cosOf(byId(c), byId(sid)) }.max
-        (c, lambda * rel(c) - (1 - lambda) * redundancy)
+        (c, lambda * rel(c) - (1 - lambda) * redMax.getOrElse(c, 0.0))
       }.minBy { case (c, score) => (-score, c) }
       selected += ((rank, best._1, rel(best._1), best._2))
       remaining -= best._1
+      val sv = byId(best._1)
+      remaining.foreach { c =>
+        val s = cosOf(byId(c), sv)
+        redMax(c) = redMax.get(c).map(math.max(_, s)).getOrElse(s)
+      }
     }
     selected.toSeq.toDF("rank", "id", "rel", "mmr")
       .select(col("rank"), col("id"),

@@ -261,11 +261,12 @@ object StreamingExtraction {
    * STREAMING MinHash-LSH near-dup candidate detection — the continuously-
    * running twin of [[graft.operators.Dedup.incrementalCandidates]]: every
    * arriving document bands with the IDENTICAL signature pipeline as the
-   * batch path ([[graft.operators.Dedup.bandedDocs]] — a narrow map, no
+   * batch path ([[graft.operators.Dedup.bandedKeys]] — a narrow map, no
    * shuffle), buckets key the state store on (band, band slice), and each
    * bucket's state holds the member ids seen so far. A new arrival emits one
-   * candidate pair per existing member, so the CUMULATIVE emitted set over
-   * any number of micro-batches equals the symmetric batch candidate set
+   * candidate pair per existing member, so WHILE EVERY BUCKET STAYS AT OR
+   * UNDER `maxBucket` MEMBERS the cumulative emitted set over any number of
+   * micro-batches equals the symmetric batch candidate set
    * ([[graft.operators.Dedup.minhashCandidates]]) over the same corpus —
    * proven across micro-batches in SessionizeSpec.
    *
@@ -280,15 +281,23 @@ object StreamingExtraction {
    * permanently — later arrivals pair against the minimum-id representative
    * only (the [[graft.operators.Dedup.bucketedPairs]] star fallback, O(1)
    * state and emission per arrival), so one boilerplate bucket can never
-   * grow state or output quadratically. Within a micro-batch, a bucket's
+   * grow state or output quadratically. ABOVE the cap the streamed set
+   * deliberately DIVERGES from batch (both guard, differently): streaming
+   * keeps the exact pairs among the first `maxBucket` arrivals and stars
+   * later ones against the minimum id seen SO FAR, while batch
+   * `bucketedPairs` stars the whole bucket against its global minimum —
+   * order-dependent vs corpus-global, the inherent cost of single-pass
+   * state; both preserve the bucket as one connected component, which is
+   * what a downstream clustering consumes. Within a micro-batch, a bucket's
    * arrivals process in ascending id order — emission is deterministic for
    * any fixed micro-batch partitioning.
    */
   def streamingNearDupCandidates(docs: DataFrame, k: Int = 36, bands: Int = 12,
                                  maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
     val session = docs.sparkSession
     import session.implicits._
-    graft.operators.Dedup.bandedDocs(docs, k, bands)
+    graft.operators.Dedup.bandedKeys(docs, k, bands)
       // state-store key: band index + the exact band slice, rendered to one
       // string (collision-free: fixed band count, "," never in a long)
       .select(
@@ -302,21 +311,27 @@ object StreamingExtraction {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
           val prev = state.getOption.getOrElse(BucketMembers(Nil, overflow = false))
+          // one O(members) rehydration per group call, then O(1) membership
+          // and representative lookups per arrival — a hot bucket at the cap
+          // must not pay a linear scan for every arriving doc forever
+          val seen = scala.collection.mutable.HashSet(prev.ids: _*)
+          var rep = if (prev.ids.isEmpty) Long.MaxValue else prev.ids.min
           var members = prev.ids
           var overflow = prev.overflow
           val out = List.newBuilder[(Long, Long)]
           rows.map(_._2).toSeq.distinct.sorted.foreach { id =>
-            if (!members.contains(id)) {
+            if (!seen.contains(id)) {
               if (overflow || members.size >= maxBucket) {
                 overflow = true
                 // star fallback: pair against the bucket representative only
-                val rep = members.min
                 if (id != rep)
                   out += ((math.min(rep, id), math.max(rep, id)))
               } else {
                 members.foreach(m =>
                   out += ((math.min(m, id), math.max(m, id))))
                 members = id :: members
+                seen += id
+                if (id < rep) rep = id
               }
             }
           }

@@ -226,5 +226,13 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cdf_ppm")).toMap
     assert(got == Map(1L -> 250000L, 2L -> 750000L, 3L -> 750000L,
       4L -> 1000000L, 5L -> 1000000L), s"got $got")
+    // NULL contract: null-valued rows are excluded from output AND from
+    // every denominator/cumulative count (engines disagree on null window
+    // order, so they must never reach the census)
+    val withNulls = Seq(("g1", Some(10L), 1L), ("g1", None, 2L),
+      ("g1", Some(20L), 3L)).toDF("src", "score", "id")
+    val gotN = CorpusOps.quantileNormalize(withNulls, "src", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cdf_ppm")).toMap
+    assert(gotN == Map(1L -> 500000L, 3L -> 1000000L), s"got $gotN")
   }
 }
