@@ -381,13 +381,57 @@ object TrainingScaleSmoke {
       spanStats.getLong(1) == expectedSpans,
       s"expected $expectedSpans exact [0,49) spans, got ${spanStats.getLong(0)} " +
         s"(${spanStats.getLong(1)} of length 49)")
+
+    // 12. Round-9 curation reports at the full corpus. Claims under test:
+    //     vocab coverage reduces ~50M token occurrences to a ~501-term
+    //     census before its bounded-heap cut (3 report rows out); quantile
+    //     normalization's value census stays at sources × distinct-scores
+    //     rows and every input row comes back with a percentile (never a
+    //     corpus-wide rank window); semantic decontamination scans the
+    //     corpus ONCE against the broadcast eval slice with the threshold
+    //     filter ahead of the argmax — and at 0.95 the flagged set is
+    //     EXACTLY the planted dup partners, each matched to its true twin.
+    val nCov = timed(s"vocab coverage ($nDocs docs)") {
+      CorpusOps.vocabCoverage(
+        docs.select(explode(split(col("text"), " ")).as("term")),
+        ks = Seq(10, 100, 500)).count()
+    }
+    require(nCov == 3, s"expected 3 coverage report rows, got $nCov")
+    val nQn = timed(s"quantile normalize ($nDocs docs, 20 sources)") {
+      CorpusOps.quantileNormalize(
+        docs.select(col("id"), (col("id") % 20).as("src"),
+          (graft.functions.TextFunctions.hash60(col("text")) % 1000L).as("score")),
+        "src", "score").count()
+    }
+    require(nQn == nDocs.toLong,
+      s"every doc must get a percentile back: $nQn of $nDocs")
+    val nVecC = math.min(nDocs, 50000).toLong
+    val cVecs = mkVecs(nVecC)
+    val contam = timed(s"semantic decontamination ($nVecC vecs, " +
+      s"${nVecC / 100} eval)") {
+      Similarity.semanticContamination(
+          corpus = cVecs.where(col("id") % 100 =!= 0),
+          evalSet = cVecs.where(col("id") % 100 === 0),
+          threshold = 0.95)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("eval_id") === col("id") - 1, 1L).otherwise(0L)).as("nTwin"))
+        .first()
+    }
+    // planted partners: id ≡ 1 (mod 100) copies id−1 (≡ 0, always in the
+    // eval slice); random 32-dim cosines never reach 0.95
+    val expectedContam = (nVecC + 98) / 100
+    require(contam.getLong(0) == expectedContam &&
+      contam.getLong(1) == expectedContam,
+      s"expected $expectedContam flagged docs each matched to its twin, " +
+        s"got ${contam.toSeq}")
+
     // everything persisted so far (docs corpus, span digests, Lloyd lifts) is
     // dead before the graph stage — a full sweep keeps the block manager
     // empty for the adversarial chain's own round checkpoints
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 
-    // 12. Clustering on the ADVERSARIAL graph shape at the full document
+    // 13. Clustering on the ADVERSARIAL graph shape at the full document
     //     count: an nDocs-vertex chain is label propagation's worst case
     //     (rounds = diameter = nDocs), so componentsStar's O(log n) star
     //     contraction is the only formulation that terminates here. Vertex
