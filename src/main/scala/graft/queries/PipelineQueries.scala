@@ -882,6 +882,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q137_triangle_count" -> ((s, d) => {
+      // triangle listing over the verified near-dup graph — the cluster-
+      // density diagnostic (a dedup graph of star fragments vs true cliques
+      // behaves very differently downstream). DEGREE-ORIENTED enumeration:
+      // every edge points from its lower-(degree, id) endpoint to the
+      // higher, each triangle is counted at exactly one vertex, and a
+      // vertex's out-degree is bounded by O(√E) on ANY graph (arboricity),
+      // so the wedge join does Σ outdeg² = O(E^1.5) work — the classic
+      // scale-safe formulation; a hub vertex of degree 10⁶ contributes
+      // wedges only toward HIGHER-degree vertices, never d² pairs. All
+      // equi-joins; ties in the orientation order break by id.
+      val docs = docShingles(s, d, 2)
+      val pairs = Dedup.verifyJaccard(
+        Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      graft.operators.Graph.triangles(
+          pairs.select(col("a").as("u"), col("b").as("v")))
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
+
     "q135_source_drift" -> ((s, d) => {
       // per-source distribution-drift monitor: the two-sample KS statistic
       // of each source's doc-length distribution against the corpus — the
@@ -3254,6 +3273,30 @@ object PipelineQueries {
                FROM cdf c JOIN tot t USING (source))
          SELECT s.doc_id, s.source, s.quality_fp, j.cdf_ppm
          FROM scored s JOIN j USING (source, quality_fp) ORDER BY doc_id""",
+
+    // Same verified pair graph (the q32 quadratic twin), same degree
+    // orientation with (d, id) lexicographic ties — each triangle surfaces
+    // at exactly one vertex in both engines.
+    "q137_triangle_count" ->
+      s"""${withDocShingles(2, "TRUE")},
+         pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.8),
+         dg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+             SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs)
+           GROUP BY 1),
+         o AS (SELECT
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dt
+           FROM pairs JOIN dg du ON pairs.u = du.x JOIN dg dv ON pairs.v = dv.x),
+         tri AS (SELECT o1.s AS s, o1.t AS t1, o2.t AS t2
+           FROM o o1 JOIN o o2 ON o1.s = o2.s
+             AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))
+           JOIN o oc ON oc.s = o1.t AND oc.t = o2.t)
+         SELECT l[1] AS a, l[2] AS b, l[3] AS c
+         FROM (SELECT list_sort([s, t1, t2]) AS l FROM tri)
+         ORDER BY a, b, c""",
 
     // Same bounded-grid construction: per-source and global CDFs in ppm from
     // the value censuses, |F_s − F_c| maximized per source (ties → smallest

@@ -485,6 +485,16 @@ class PlanShapeSpec extends SparkSpec {
       "both leads must plan into a single Window operator")
   }
 
+  test("triangle listing is equi-joins over the oriented edge set — never all-pairs") {
+    // the wedge and closing joins must both be hash equi-joins; the pair
+    // graph comes from the LSH chain, which is itself equi-join-only
+    assertNever("q137_triangle_count",
+      "CartesianProduct", "BroadcastNestedLoopJoin")
+    val p = planOf("q137_triangle_count")
+    assert(p.contains("HashAggregate"),
+      "the degree census must be an aggregate (anti-vacuousness check)")
+  }
+
   test("phrase blocklist is a scan-speed scalar map") {
     assertNever("q132_phrase_blocklist", "Join", "HashAggregate", "Window",
       "Generate")
