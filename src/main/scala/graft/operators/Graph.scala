@@ -76,11 +76,19 @@ object Graph {
    * the optimal-listing bound; a hub of degree 10⁶ emits wedges only toward
    * its HIGHER-rank neighbors, never d² pairs. Three hash equi-joins, all
    * map-side prunable; ties in the orientation order break by id.
+   *
+   * CALLER CONTRACT (the [[Dedup.minhashCandidates]] eager trade): the edge
+   * set and its oriented form are each read by several join branches, so
+   * both materialize via localCheckpoint at construction — an expensive
+   * upstream pair pipeline (LSH + verify) runs ONCE, not once per branch
+   * (measured 3.5× on q137), at the price of an eager job and pinned blocks
+   * the caller frees (Bench/Verify sweep between queries).
    */
   def triangles(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(
       least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     val dg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -93,6 +101,7 @@ object Graph {
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"),
       when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint()
     val o1 = oriented.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
     val o2 = oriented.select(col("s"), col("t").as("t2"), col("dt").as("d2"))
     o1.join(o2, Seq("s"))
