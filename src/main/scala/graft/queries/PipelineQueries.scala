@@ -882,6 +882,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q138_winsorize" -> ((s, d) => {
+      // per-source WINSORIZATION of event values — the robust-statistics
+      // cleaning pass before aggregate features (a fat-finger 10⁶ purchase
+      // must not dominate a mean): values clip to their source's empirical
+      // [p05, p95]. Same census discipline as q133: cutoffs come from the
+      // bounded per-(type, value) census CDF — the p05/p95 quantile is the
+      // SMALLEST value whose cumulative count reaches the rank ⌈q·n⌉, one
+      // map-side-combinable min(struct) per source over census rows — then
+      // broadcast back and applied as a narrow clamp. Never a corpus
+      // percentile window. Values in exact 2-decimal fixed point (the q88
+      // convention).
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vfp"))
+      val census = ev.groupBy(col("event_type"), col("vfp"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("vfp"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cdf = census.withColumn("cum", sum(col("cnt")).over(cumW))
+        .join(broadcast(census.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n"))), "event_type")
+      // rank thresholds ⌈0.05n⌉ / ⌈0.95n⌉ — positive-operand ceiling
+      // (a+99) div 100 only: Spark's div TRUNCATES toward zero while
+      // DuckDB's // FLOORS, so negative-operand ceiling tricks diverge
+      val cuts = cdf
+        .withColumn("lo_ok", col("cum") >= expr("(5 * n + 99) div 100"))
+        .withColumn("hi_ok", col("cum") >= expr("(95 * n + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("lo_ok"), col("vfp"))).as("p05_fp"),
+          min(when(col("hi_ok"), col("vfp"))).as("p95_fp"))
+      ev.join(broadcast(cuts), "event_type")
+        .select(col("event_id"), col("event_type"), col("vfp"),
+          greatest(col("p05_fp"), least(col("p95_fp"), col("vfp"))).as("clipped_fp"),
+          (col("vfp") < col("p05_fp") || col("vfp") > col("p95_fp")).as("was_clipped"))
+        .orderBy(col("event_id"))
+    }),
+
     "q137_triangle_count" -> ((s, d) => {
       // triangle listing over the verified near-dup graph — the cluster-
       // density diagnostic (a dedup graph of star fragments vs true cliques
@@ -3273,6 +3310,30 @@ object PipelineQueries {
                FROM cdf c JOIN tot t USING (source))
          SELECT s.doc_id, s.source, s.quality_fp, j.cdf_ppm
          FROM scored s JOIN j USING (source, quality_fp) ORDER BY doc_id""",
+
+    // Same census CDF + ⌈q·n⌉ rank cutoffs (positive-operand ceiling, so
+    // Spark's truncating div and DuckDB's flooring // agree) + clamp.
+    "q138_winsorize" ->
+      """WITH ev AS (SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vfp FROM events),
+         census AS (SELECT event_type, vfp, CAST(count(*) AS BIGINT) AS cnt
+                    FROM ev GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM census GROUP BY 1),
+         cdf AS (SELECT c.event_type, c.vfp, t.n,
+               CAST(sum(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.vfp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+             FROM census c JOIN tot t USING (event_type)),
+         cuts AS (SELECT event_type,
+               min(CASE WHEN cum >= (5 * n + 99) // 100 THEN vfp END) AS p05_fp,
+               min(CASE WHEN cum >= (95 * n + 99) // 100 THEN vfp END) AS p95_fp
+             FROM cdf GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.vfp,
+                greatest(c.p05_fp, least(c.p95_fp, e.vfp)) AS clipped_fp,
+                (e.vfp < c.p05_fp OR e.vfp > c.p95_fp) AS was_clipped
+         FROM ev e JOIN cuts c USING (event_type)
+         ORDER BY event_id""",
 
     // Same verified pair graph (the q32 quadratic twin), same degree
     // orientation with (d, id) lexicographic ties — each triangle surfaces

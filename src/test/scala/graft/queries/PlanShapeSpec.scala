@@ -499,6 +499,18 @@ class PlanShapeSpec extends SparkSpec {
         "(anti-vacuousness check)")
   }
 
+  test("winsorization cuts come from the census — broadcast clamp, no corpus window") {
+    // the p05/p95 cutoffs reduce over census rows (map-side min(struct));
+    // the event log is touched by one census aggregate + one broadcast
+    // clamp join — never a per-row percentile window or a sort-merge join
+    assertNever("q138_winsorize", "CartesianProduct", "SortMergeJoin")
+    val p = planOf("q138_winsorize")
+    assert(p.contains("HashAggregate"),
+      "the value census must be an aggregate (anti-vacuousness check)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the cut table must broadcast back onto the log")
+  }
+
   test("phrase blocklist is a scan-speed scalar map") {
     assertNever("q132_phrase_blocklist", "Join", "HashAggregate", "Window",
       "Generate")
