@@ -59,7 +59,9 @@ object SqlSurface {
    *    ≥ 0.3) to the held-out benchmark split (q129's paraphrase-leakage
    *    gate);
    *  - `vocab_coverage` — top-5/10/25 vocabulary token-mass coverage
-   *    (q130's tokenizer-design report). */
+   *    (q130's tokenizer-design report);
+   *  - `neardup_triangles` — triangles of the verified near-dup graph
+   *    (q137's cluster-density diagnostic, degree-oriented listing). */
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
     registerTables(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
@@ -108,5 +110,8 @@ object SqlSurface {
         docs.select(explode(T.tokens(col("text"))).as("term")),
         ks = Seq(5, 10, 25))
       .createOrReplaceTempView("vocab_coverage")
+    graft.operators.Graph.triangles(
+        pairs.select(col("a").as("u"), col("b").as("v")))
+      .createOrReplaceTempView("neardup_triangles")
   }
 }

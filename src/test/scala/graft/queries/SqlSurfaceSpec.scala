@@ -141,6 +141,19 @@ class SqlSurfaceSpec extends SparkSpec {
       "coverage must be monotone in k")
     assert(cov.map(_._3).distinct.length == 1)
 
+    // 12. the triangle view: every listed triangle's three edges must exist
+    // in the verified pair view (closure re-derived in SQL) and be ordered
+    val badTri = spark.sql(
+      """SELECT count(*) FROM neardup_triangles t
+         WHERE NOT (t.a < t.b AND t.b < t.c)
+            OR NOT EXISTS (SELECT 1 FROM neardup_pairs p
+                           WHERE p.a = t.a AND p.b = t.b)
+            OR NOT EXISTS (SELECT 1 FROM neardup_pairs p
+                           WHERE p.a = t.a AND p.b = t.c)
+            OR NOT EXISTS (SELECT 1 FROM neardup_pairs p
+                           WHERE p.a = t.b AND p.b = t.c)""").first().getLong(0)
+    assert(badTri == 0L, s"$badTri triangles lack a verified edge")
+
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 }
