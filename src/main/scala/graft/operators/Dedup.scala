@@ -275,8 +275,11 @@ object Dedup {
    * aggregate runs on the rows already flowing into the split joins), and a
    * once-per-session listener WARNs with the collapsed-shingle count and
    * the max df seen whenever a capped run actually dropped pair
-   * enumeration. [[hotShingles]] remains the detailed audit view. */
-  private def loudWhenCapBinds(hotDf: DataFrame, maxDf: Long): DataFrame = {
+   * enumeration. [[hotShingles]] remains the detailed audit view. Shared
+   * with every postings-join guard in the package (the tf-idf term cap in
+   * [[Similarity.tfidfCosinePairs]] rides the same listener); `hotDf` must
+   * carry a `df` column. */
+  private[operators] def loudWhenCapBinds(hotDf: DataFrame, maxDf: Long): DataFrame = {
     val spark = hotDf.sparkSession
     hotAuditSessions.synchronized {
       if (hotAuditSessions.add(spark))
@@ -313,8 +316,10 @@ object Dedup {
 
   /** Star pairs (min-id, other-id) from hot postings — one linear star per
    * hot shingle, the [[bucketedPairs]] fallback shape: preserves the
-   * connected component a dedup pass needs at O(df) instead of O(df²). */
-  private def hotStarPairs(hot: DataFrame): DataFrame = {
+   * connected component a dedup pass needs at O(df) instead of O(df²).
+   * Input columns: (id, sh). Shared with [[Similarity.tfidfCosinePairs]]'s
+   * hot-term star fallback. */
+  private[operators] def hotStarPairs(hot: DataFrame): DataFrame = {
     val reps = hot.groupBy(col("sh")).agg(min(col("id")).as("rep"))
     hot.join(reps, "sh")
       .where(col("id") =!= col("rep"))

@@ -338,45 +338,127 @@ object Similarity {
    *
    * Terms with df > N/`maxDfDenom` (corpus-size fraction) are pruned BEFORE
    * pair generation — semantically the standard stopword cut (idf has already
-   * discounted them to noise), and structurally the scale guard: the postings
-   * self-join costs Σ df² over KEPT terms only, bounded by
-   * (N/maxDfDenom)²·|vocab|. On Zipfian text this drops the boilerplate head
-   * that would otherwise dominate the join; the prune is part of the
-   * operator's contract (applied identically in the oracle), not a silent
-   * cap.
+   * discounted them to noise), and structurally the first scale guard: the
+   * postings self-join costs Σ df² over KEPT terms only. On Zipfian text this
+   * drops the boilerplate head that would otherwise dominate the join; the
+   * prune is part of the operator's contract (applied identically in the
+   * oracle), not a silent cap.
+   *
+   * ABSOLUTE DF-CAP (`maxDf`, the Σ df² guard the relative prune alone
+   * cannot give): at web scale a mid-frequency term with df = 10⁶ sails
+   * under N/maxDfDenom yet would contribute ~5·10¹¹ rows to the self-join
+   * on one key. Terms with df > `maxDf` are excluded from pair GENERATION
+   * (the [[Dedup.allPairsJaccard]] discipline, same loud-when-binding
+   * audit); their weight contribution to every surviving pair's dot product
+   * and shared-term count is restored EXACTLY by a bounded ride-along
+   * correction join (|candidates| × hot-terms-per-doc, never hot-df²), so
+   * each emitted cos_ppm is still the exact value — norms always sum over
+   * ALL kept terms. Pairs whose only overlap is hot terms re-enter as
+   * per-term STAR candidates scored exactly from their full postings — a
+   * boilerplate-bound cluster stays one connected component without the df²
+   * join ever running. Recall concession (documented, as in
+   * [[Dedup.allPairsJaccard]]): a non-star pair both of whose members share
+   * only hot terms is not enumerated. When `minCosPpm` > 0, candidates are
+   * pre-pruned with a Cauchy-Schwarz upper bound on the hot credit before
+   * the correction join multiplies anything. Below the cap the plan is the
+   * unguarded original; a binding cap WARNs through the shared
+   * [[Dedup.loudWhenCapBinds]] listener. Bounded candidate behavior on a
+   * planted mega-df term is pinned in ScaleOpsSpec.
    */
   def tfidfCosinePairs(toks: DataFrame, maxDfDenom: Int = 2,
-                       minCosPpm: Long = 0L): DataFrame = {
+                       minCosPpm: Long = 0L, maxDf: Long = 10000L): DataFrame = {
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = toks.agg(countDistinct(col("id")).as("n_docs"))
-    // df-prune against the broadcast 1-row corpus count (declarative — no
-    // driver action); integer comparison so the fraction needs no rounding rule
+    // relative df-prune against the broadcast 1-row corpus count (declarative
+    // — no driver action); integer comparison so the fraction needs no
+    // rounding rule
     val kept = df_.join(broadcast(nd),
       col("df") * lit(maxDfDenom.toLong) <= col("n_docs"))
     val post = tf.join(kept.select(col("term"), col("df")), "term")
       .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"))
       .where(col("wt") > 0)
-      // one narrow table read three ways (both pair sides + norms):
-      // materialize once, the q31 pattern
+      // one narrow table read several ways (pair sides + norms + hot
+      // correction + star verify): materialize once, the q31 pattern
       .localCheckpoint()
+    // norms are over ALL kept postings — the cap changes candidate
+    // generation, never the vector the cosine is taken against
     val norms = post.groupBy(col("id"))
       .agg(sum(col("wt") * col("wt")).as("n2"))
       .select(col("id"),
         floor(sqrt(col("n2").cast("double"))).cast("long").as("nrm"))
-    val a = post.select(col("term"), col("id").as("a"), col("wt").as("wa"))
-    val b = post.select(col("term"), col("id").as("b"), col("wt").as("wb"))
-    a.join(b, Seq("term"))
+    val hotSet = Dedup.loudWhenCapBinds(kept.where(col("df") > maxDf), maxDf)
+      .select(col("term"))
+    val cold = post.join(hotSet, Seq("term"), "left_anti")
+    val hot = post.join(hotSet, Seq("term"), "left_semi")
+    val coldPairs = cold.select(col("term"), col("id").as("a"), col("wt").as("wa"))
+      .join(cold.select(col("term"), col("id").as("b"), col("wt").as("wb")),
+        Seq("term"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(sum(col("wa") * col("wb")).as("dot"),
-        count(lit(1)).as("n_shared"))
+      .agg(sum(col("wa") * col("wb")).as("dot_cold"),
+        count(lit(1)).as("n_cold"))
       .join(norms.select(col("id").as("a"), col("nrm").as("na")), "a")
       .join(norms.select(col("id").as("b"), col("nrm").as("nb")), "b")
+    // upper-bound prune before the correction join: the hot contribution to
+    // the dot product is at most √(Σwtₐ²·Σwt_b²) over hot terms
+    // (Cauchy-Schwarz); +1 absorbs double rounding so the bound can only
+    // over-admit, never drop a qualifying pair. With minCosPpm = 0 the
+    // filter is vacuous and every cold candidate proceeds (still linear).
+    val hotNorm2 = hot.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
+    val bounded = coldPairs
+      .join(hotNorm2.select(col("id").as("a"), col("h2").as("h2a")), Seq("a"), "left")
+      .join(hotNorm2.select(col("id").as("b"), col("h2").as("h2b")), Seq("b"), "left")
+      .withColumn("credit",
+        floor(sqrt(coalesce(col("h2a"), lit(0L)).cast("double") *
+          coalesce(col("h2b"), lit(0L)).cast("double"))).cast("long") + lit(1L))
+      .where(expr("1000000 * (dot_cold + credit) div (na * nb)") >= minCosPpm)
+      .select(col("a"), col("b"), col("dot_cold"), col("n_cold"),
+        col("na"), col("nb"))
+    // exact correction riding the candidate row — expand by a's hot terms,
+    // match those b also holds, re-collapse: |candidates| × hot-terms-per-doc
+    val corrected = bounded
+      .join(hot.select(col("id").as("a"), col("term"), col("wt").as("wah")),
+        Seq("a"), "left")
+      .join(hot.select(col("id").as("b"), col("term"), col("wt").as("wbh")),
+        Seq("b", "term"), "left")
+      .groupBy(col("a"), col("b"), col("dot_cold"), col("n_cold"),
+        col("na"), col("nb"))
+      .agg(sum(col("wah") * col("wbh")).as("dot_hot"),
+        count(col("wbh")).as("n_hot"))
+      .select(col("a"), col("b"),
+        (col("n_cold") + col("n_hot")).as("n_shared"),
+        (col("dot_cold") + coalesce(col("dot_hot"), lit(0L))).as("dot"),
+        col("na"), col("nb"))
+    // hot-only clusters: one linear star per hot term, scored exactly from
+    // the full postings (both cold and hot terms of each member)
+    val starScored = scorePairsExact(
+      Dedup.hotStarPairs(hot.select(col("id"), col("term").as("sh"))),
+      post, norms)
+    corrected.unionByName(starScored)
       .select(col("a"), col("b"), col("n_shared"),
         expr("1000000 * dot div (na * nb)").as("cos_ppm"))
       .where(col("cos_ppm") >= minCosPpm)
+      .distinct()
   }
+
+  /** Exact (dot, n_shared, norms) for candidate pairs from the full weighted
+   * postings — the star-pair verifier for [[tfidfCosinePairs]]'s hot path:
+   * expand each candidate by a's postings, match the terms b also holds,
+   * collapse. Linear in |candidates| × terms-per-doc. */
+  private def scorePairsExact(candidates: DataFrame, post: DataFrame,
+                              norms: DataFrame): DataFrame =
+    candidates
+      .join(post.select(col("id").as("a"), col("term"), col("wt").as("wa")), "a")
+      .join(post.select(col("id").as("b"), col("term"), col("wt").as("wb")),
+        Seq("b", "term"), "left")
+      .groupBy(col("a"), col("b"))
+      .agg(count(col("wb")).as("n_shared"),
+        coalesce(sum(col("wa") * col("wb")), lit(0L)).as("dot"))
+      .join(norms.select(col("id").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("id").as("b"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_shared"), col("dot"),
+        col("na"), col("nb"))
 
   def nearDupLsh(vecs: DataFrame, dim: Int, threshold: Double,
                  bitsPerTable: Int = 2, nTables: Int = 16): DataFrame = {

@@ -451,4 +451,59 @@ class ScaleOpsSpec extends SparkSpec {
     // empty edge set → empty labeling, not a crash
     assert(Dedup.componentsStar(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
   }
+
+  test("tf-idf df-cap bounds a planted mega-df term to star pairs") {
+    import spark.implicits._
+    // 400 of 1000 docs share one term that passes the RELATIVE prune
+    // (df·2 = 800 ≤ 1000) but would put ~80k pairs on one join key; above
+    // the absolute cap, pair generation must collapse to the per-term star
+    // (399 pairs against the min id), scored exactly from full postings.
+    val toks = ((1L to 400L).flatMap(i => Seq((i, "hot"), (i, s"u$i"))) ++
+      (401L to 1000L).map(i => (i, s"f$i")))
+      .toDF("id", "term")
+    val rows = Similarity.tfidfCosinePairs(toks, maxDfDenom = 2,
+        minCosPpm = 0L, maxDf = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 399, s"expected 399 star pairs, got ${rows.length}")
+    assert(rows.forall(_._1 == 1L))
+    assert(rows.map(_._2).toSet == (2L to 400L).toSet)
+    // exact fixed-point score through the star path: wt(hot) = 1000·1 div
+    // 400 = 2, wt(u_i) = 1000, norm = ⌊√1000004⌋ = 1000, dot = 4 →
+    // cos_ppm = 4·10⁶ div 10⁶ = 4; n_shared = 1
+    assert(rows.forall(r => r._3 == 1L && r._4 == 4L))
+  }
+
+  test("tf-idf df-cap restores hot-term dot products exactly for cold candidates") {
+    import spark.implicits._
+    // docs 1-2 share a COLD term ("pair") and the HOT boilerplate ("hb");
+    // background docs share only "hb". The capped path finds (1,2) via the
+    // cold join and must credit the hot term's weight product back into the
+    // dot, the shared count, and survive the Cauchy-Schwarz prune.
+    val toks = ((1L to 2L).flatMap(i => Seq((i, "hb"), (i, "pair"), (i, s"u$i"))) ++
+      (3L to 200L).flatMap(i => Seq((i, "hb"), (i, s"u$i"))))
+      .toDF("id", "term")
+    def run(maxDf: Long, minCos: Long) =
+      Similarity.tfidfCosinePairs(toks, maxDfDenom = 1, minCos, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val capped = run(50L, 0L)
+    val uncapped = run(1000000L, 0L)
+    // the shared-cold pair carries the exact uncapped value through the
+    // correction join: wt(hb) = 5, wt(pair) = 500, wt(u) = 1000; dot =
+    // 25 + 250000; norms = ⌊√1250025⌋ = 1118 → cos_ppm = 200032, 2 shared
+    val one2 = (1L, 2L, 2L, 200032L)
+    assert(capped.contains(one2))
+    assert(uncapped.contains(one2))
+    // capped output is the exact pair + the hot star (1, j) — 199 rows
+    // total (the (1,2) star row dedups against the exact row: identical)
+    assert(capped.length == 199)
+    assert(capped.forall(_._1 == 1L))
+    // uncapped enumerates every hot-only background pair too
+    assert(uncapped.length == 200 * 199 / 2)
+    // a threshold above the star scores must keep ONLY the exact pair —
+    // proving the upper-bound prune never drops a qualifying candidate
+    assert(run(50L, 200000L).toSeq == Seq(one2))
+    // below the binding point the guard is inert: default cap reproduces
+    // the unguarded candidate set exactly
+    assert(run(10000L, 0L).toSet == uncapped.toSet)
+  }
 }
