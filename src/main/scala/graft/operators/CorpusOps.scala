@@ -288,14 +288,26 @@ object CorpusOps {
    * join, and the join's small side is broadcast-eligible.
    */
   def leakageSafeSplit(ids: DataFrame, idCol: Column, pairs: DataFrame,
-                       salt: String, trainPct: Int, valPct: Int): DataFrame = {
+                       salt: String, trainPct: Int, valPct: Int): DataFrame =
     // componentsStar, not components: a >50-doc chain of serially-edited
     // near-dups (a real corpus shape) exceeds min-label propagation's
     // diameter bound and would abort the whole split job; star contraction
     // converges in O(log n) rounds with the identical (id, component=min)
     // output contract
-    val comp = Dedup.componentsStar(pairs).select(
-      col("id").as("cid"), col("component"))
+    leakageSafeSplitFromComponents(ids, idCol, Dedup.componentsStar(pairs),
+      salt, trainPct, valPct)
+
+  /** [[leakageSafeSplit]] served from a precomputed `(id, component)` table —
+   * the [[Dedup.writePairGraphIndex]] artifact path: the LSH → verify →
+   * components pipeline runs once at index time, and every split assignment
+   * afterwards is ONE broadcast-eligible left join of the corpus against the
+   * (small — only docs with a near-dup appear) component table plus a narrow
+   * hash projection, with zero corpus-side exchange. Identical output
+   * contract to [[leakageSafeSplit]] (proven in PairGraphIndexSpec). */
+  def leakageSafeSplitFromComponents(ids: DataFrame, idCol: Column,
+                                     components: DataFrame, salt: String,
+                                     trainPct: Int, valPct: Int): DataFrame = {
+    val comp = components.select(col("id").as("cid"), col("component"))
     val bucket = graft.functions.TextFunctions
       .hash60(concat(lit(s"$salt:"), col("cluster").cast("string"))) % 100
     ids.select(idCol.as("id"))

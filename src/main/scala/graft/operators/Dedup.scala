@@ -222,6 +222,38 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * PERSISTED near-dup PAIR-GRAPH artifact — the serving layer for every
+   * graph-downstream report: the VERIFIED pair set `(a, b)` and its
+   * connected components `(id, component)` written ONCE as bucketed tables.
+   * Several curation reports (cluster rollups, leakage-safe splits,
+   * dedup-impact, triangle density, survivor keep-lists) consume the same
+   * verified graph; deriving it in-session means each re-runs LSH →
+   * exact-verify → components. Pay that pipeline ONCE at index time; every
+   * report then starts from a lineage-free parquet scan — no checkpoint
+   * blocks pinned for the session (immune to the blanket unpersist sweep
+   * that breaks checkpoint-backed views), nothing recomputed on executor
+   * loss, and the components table (bucketed by id, dwarfed by the corpus
+   * since only docs WITH a near-dup appear) broadcasts or co-located-joins
+   * against the corpus with zero corpus-side exchange. Components use
+   * [[componentsStar]] (O(log n) rounds on any topology). Serve with
+   * `spark.table(componentsTable)` →
+   * [[CorpusOps.leakageSafeSplitFromComponents]], and
+   * `spark.table(pairsTable)` → [[Graph.triangles]] with
+   * `materialize = false` (the artifact scan re-reads for free — checkpoint
+   * jobs would buy nothing). Artifact ≡ in-session proven in
+   * PairGraphIndexSpec.
+   */
+  def writePairGraphIndex(pairs: DataFrame, pairsTable: String,
+                          componentsTable: String, numBuckets: Int = 32): Unit = {
+    // materialize once: the pair write and the components derivation both
+    // consume the (expensive: LSH + exact-verify) upstream pair pipeline
+    val (p, pIds) = trackedCheckpoint(pairs.select(col("a"), col("b")))
+    CorpusOps.writeBucketed(p, pairsTable, Seq("a"), numBuckets)
+    CorpusOps.writeBucketed(componentsStar(p), componentsTable, Seq("id"), numBuckets)
+    freeBlocks(p, pIds)
+  }
+
   /** All ordered pairs (a < b) from a sorted id array. */
   private def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>

@@ -78,17 +78,23 @@ object Graph {
    * map-side prunable; ties in the orientation order break by id.
    *
    * CALLER CONTRACT (the [[Dedup.minhashCandidates]] eager trade): the edge
-   * set and its oriented form are each read by several join branches, so
-   * both materialize via localCheckpoint at construction — an expensive
-   * upstream pair pipeline (LSH + verify) runs ONCE, not once per branch
-   * (measured 3.5× on q137), at the price of an eager job and pinned blocks
-   * the caller frees (Bench/Verify sweep between queries).
+   * set and its oriented form are each read by several join branches, so by
+   * default both materialize via localCheckpoint at construction — an
+   * expensive upstream pair pipeline (LSH + verify) runs ONCE, not once per
+   * branch (measured 3.5× on q137), at the price of an eager job and pinned
+   * blocks the caller frees (Bench/Verify sweep between queries). When the
+   * edges come from a PERSISTED artifact ([[Dedup.writePairGraphIndex]]'s
+   * pairs table), pass `materialize = false`: the lineage-free parquet scan
+   * re-reads for free, so the checkpoint jobs and pinned blocks buy nothing
+   * — and the plan stays scan-backed (survives unpersist sweeps and
+   * executor loss).
    */
-  def triangles(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(
+  def triangles(pairs: DataFrame, materialize: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val edges = mat(pairs.select(
       least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .where(col("u") =!= col("v")).distinct())
     val dg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -97,11 +103,10 @@ object Graph {
       .join(dg.select(col("x").as("v"), col("d").as("dv")), "v")
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = w.select(
+    val oriented = mat(w.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"),
-      when(fwd, col("dv")).otherwise(col("du")).as("dt"))
-      .localCheckpoint()
+      when(fwd, col("dv")).otherwise(col("du")).as("dt")))
     val o1 = oriented.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
     val o2 = oriented.select(col("s"), col("t").as("t2"), col("dt").as("d2"))
     o1.join(o2, Seq("s"))

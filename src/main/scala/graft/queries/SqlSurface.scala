@@ -61,8 +61,25 @@ object SqlSurface {
    *  - `vocab_coverage` — top-5/10/25 vocabulary token-mass coverage
    *    (q130's tokenizer-design report);
    *  - `neardup_triangles` — triangles of the verified near-dup graph
-   *    (q137's cluster-density diagnostic, degree-oriented listing). */
-  def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
+   *    (q137's cluster-density diagnostic, degree-oriented listing) —
+   *    OPT-IN via `withTriangles`, see below.
+   *
+   * COST AND LIFETIME NOTE: most views are lazy, but the near-dup pair
+   * pipeline materializes its LSH band table eagerly at registration (the
+   * [[Dedup.minhashCandidates]] localCheckpoint contract), and
+   * `neardup_triangles` would additionally run the WHOLE LSH + verify
+   * pipeline plus two more checkpoint jobs up front even if the view is
+   * never queried — so it is gated behind `withTriangles = true`.
+   * Because localCheckpoint truncates lineage, the blanket
+   * `getPersistentRDDs ... unpersist` sweep the Bench/Verify harnesses run
+   * between queries PERMANENTLY breaks checkpoint-backed views (the
+   * dropped blocks cannot recompute): after any such sweep, re-run
+   * `registerOperatorViews` before querying them again. Long-lived serving
+   * sessions should persist the band table via [[Dedup.writeBandIndex]] /
+   * the pair graph via [[Dedup.writePairGraphIndex]] instead of leaning on
+   * checkpoint blocks. */
+  def registerOperatorViews(spark: SparkSession, sfDir: String,
+                            withTriangles: Boolean = false): Unit = {
     registerTables(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
     val shingled = docs.select(col("doc_id").as("id"),
@@ -110,8 +127,9 @@ object SqlSurface {
         docs.select(explode(T.tokens(col("text"))).as("term")),
         ks = Seq(5, 10, 25))
       .createOrReplaceTempView("vocab_coverage")
-    graft.operators.Graph.triangles(
-        pairs.select(col("a").as("u"), col("b").as("v")))
-      .createOrReplaceTempView("neardup_triangles")
+    if (withTriangles)
+      graft.operators.Graph.triangles(
+          pairs.select(col("a").as("u"), col("b").as("v")))
+        .createOrReplaceTempView("neardup_triangles")
   }
 }

@@ -16,10 +16,11 @@ case class LatestRow(tsUs: Long, eventId: Long, isDel: Boolean, value: Double)
 
 /** Per-LSH-bucket membership state for
  * [[StreamingExtraction.streamingNearDupCandidates]]: the ids seen in this
- * bucket so far (capped at `maxBucket`) and whether the cap ever bound —
- * once hot, the bucket keeps only its members and pairs arrivals against
- * the minimum-id representative. */
-case class BucketMembers(ids: List[Long], overflow: Boolean)
+ * bucket so far (capped at `maxBucket`), whether the cap ever bound, and
+ * `repMin` — the minimum id seen over ALL arrivals including post-overflow
+ * ones (one long, so tracking it costs no state growth). Once hot, the
+ * bucket stops storing members and pairs arrivals against `repMin`. */
+case class BucketMembers(ids: List[Long], overflow: Boolean, repMin: Long)
 
 /**
  * Structured Streaming surface of the engine.
@@ -278,19 +279,24 @@ object StreamingExtraction {
    *
    * Bounded state (the stream-runs-forever requirement): a bucket's member
    * list caps at `maxBucket` ids; once the cap binds the bucket turns HOT
-   * permanently — later arrivals pair against the minimum-id representative
-   * only (the [[graft.operators.Dedup.bucketedPairs]] star fallback, O(1)
+   * permanently — later arrivals pair against the minimum id seen so far
+   * (`repMin`, updated on EVERY arrival including post-overflow ones — one
+   * long, the [[graft.operators.Dedup.bucketedPairs]] star fallback at O(1)
    * state and emission per arrival), so one boilerplate bucket can never
    * grow state or output quadratically. ABOVE the cap the streamed set
    * deliberately DIVERGES from batch (both guard, differently): streaming
    * keeps the exact pairs among the first `maxBucket` arrivals and stars
-   * later ones against the minimum id seen SO FAR, while batch
-   * `bucketedPairs` stars the whole bucket against its global minimum —
-   * order-dependent vs corpus-global, the inherent cost of single-pass
-   * state; both preserve the bucket as one connected component, which is
-   * what a downstream clustering consumes. Within a micro-batch, a bucket's
-   * arrivals process in ascending id order — emission is deterministic for
-   * any fixed micro-batch partitioning.
+   * later ones against the running minimum, while batch `bucketedPairs`
+   * stars the whole bucket against its global minimum — order-dependent vs
+   * corpus-global, the inherent cost of single-pass state; both preserve
+   * the bucket as one connected component, which is what a downstream
+   * clustering consumes. Post-overflow arrivals are NOT remembered (that
+   * set is exactly what the cap exists to bound), so a hot-bucket id
+   * re-arriving in a LATER micro-batch re-emits its star pair — the same
+   * at-least-once contract as multi-band re-emission above, absorbed by
+   * the downstream set-dedup or idempotent verify-join. Within a
+   * micro-batch, a bucket's arrivals process in ascending id order —
+   * emission is deterministic for any fixed micro-batch partitioning.
    */
   def streamingNearDupCandidates(docs: DataFrame, k: Int = 36, bands: Int = 12,
                                  maxBucket: Int = 10000): DataFrame = {
@@ -310,22 +316,28 @@ object StreamingExtraction {
       .flatMapGroupsWithState[BucketMembers, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
-          val prev = state.getOption.getOrElse(BucketMembers(Nil, overflow = false))
+          val prev = state.getOption
+            .getOrElse(BucketMembers(Nil, overflow = false, Long.MaxValue))
           // one O(members) rehydration per group call, then O(1) membership
           // and representative lookups per arrival — a hot bucket at the cap
           // must not pay a linear scan for every arriving doc forever
+          // (seen.size is the member count: HashSet size is O(1), the List's
+          // is not)
           val seen = scala.collection.mutable.HashSet(prev.ids: _*)
-          var rep = if (prev.ids.isEmpty) Long.MaxValue else prev.ids.min
+          var rep = prev.repMin
           var members = prev.ids
           var overflow = prev.overflow
           val out = List.newBuilder[(Long, Long)]
           rows.map(_._2).toSeq.distinct.sorted.foreach { id =>
             if (!seen.contains(id)) {
-              if (overflow || members.size >= maxBucket) {
+              if (overflow || seen.size >= maxBucket) {
                 overflow = true
-                // star fallback: pair against the bucket representative only
+                // star fallback: pair against the running minimum, then let
+                // a smaller id take over as representative — each new rep
+                // was just paired with the old one, so connectivity chains
                 if (id != rep)
                   out += ((math.min(rep, id), math.max(rep, id)))
+                if (id < rep) rep = id
               } else {
                 members.foreach(m =>
                   out += ((math.min(m, id), math.max(m, id))))
@@ -335,7 +347,7 @@ object StreamingExtraction {
               }
             }
           }
-          state.update(BucketMembers(members, overflow))
+          state.update(BucketMembers(members, overflow, rep))
           out.result().iterator
       }
       .toDF("a", "b")

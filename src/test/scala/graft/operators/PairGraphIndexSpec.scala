@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+import graft.queries.Tables
+
+/**
+ * The persisted pair-graph artifact round-trip ([[Dedup.writePairGraphIndex]]):
+ * the verified near-dup pair set and its connected components written once,
+ * then SERVING every graph-downstream report — leakage-safe splits, cluster
+ * rollups, triangle diagnostics — identically to the in-session LSH → verify →
+ * components derivation, from lineage-free scans with zero corpus-side
+ * exchange on the split join. This closes the "six queries re-derive the same
+ * pair graph" observation: build once, serve many.
+ */
+class PairGraphIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shingled = Tables.documents(spark, sf)
+    .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+
+  test("pair-graph artifact serves components, splits, and triangles identically") {
+    import spark.implicits._
+    val docs = shingled
+    val verified = Dedup.verifyJaccard(
+      Dedup.minhashCandidates(docs, k = 36, bands = 12), docs, 0.8)
+      .select(col("a"), col("b"))
+    // plant one triangle on synthetic ids so the triangle branch is
+    // non-vacuous regardless of the corpus's cluster shapes
+    val planted = Seq((900001L, 900002L), (900002L, 900003L),
+      (900001L, 900003L)).toDF("a", "b")
+    val pairs = verified.unionByName(planted)
+    Dedup.writePairGraphIndex(pairs, "pgx_pairs", "pgx_comp", numBuckets = 8)
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // 1. the persisted component table == the in-session derivation
+      val inSession = pairSet(Dedup.componentsStar(pairs)
+        .select(col("id"), col("component")))
+      val served = pairSet(spark.table("pgx_comp").select(col("id"), col("component")))
+      assert(served.nonEmpty && served == inSession)
+
+      // 2. artifact-served split assignment == the full-pipeline split
+      val full = CorpusOps.leakageSafeSplit(Tables.documents(spark, sf),
+        col("doc_id"), pairs, "lss", trainPct = 80, valPct = 10)
+      val viaIndex = CorpusOps.leakageSafeSplitFromComponents(
+        Tables.documents(spark, sf), col("doc_id"), spark.table("pgx_comp"),
+        "lss", trainPct = 80, valPct = 10)
+      def splitSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val fullSet = splitSet(full)
+      assert(fullSet == splitSet(viaIndex))
+      // anti-vacuousness: some cluster really groups >1 doc
+      assert(fullSet.groupBy(_._2).exists(_._2.size > 1))
+
+      // 3. the artifact-served split plan is corpus-side exchange-free: the
+      // small component table broadcasts, so the corpus is scanned once with
+      // no hash-partitioning shuffle anywhere
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"artifact-served split must not shuffle the corpus:\n$plan")
+
+      // 4. triangles served from the pairs table without checkpoint jobs ==
+      // triangles over the in-session pair frame
+      val tri = Graph.triangles(
+        pairs.select(col("a").as("u"), col("b").as("v")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val triServed = Graph.triangles(
+        spark.table("pgx_pairs").select(col("a").as("u"), col("b").as("v")),
+        materialize = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(tri.contains((900001L, 900002L, 900003L)))
+      assert(triServed == tri)
+      // the serving plan is scan-backed end to end — no checkpoint RDD scan,
+      // so it survives unpersist sweeps and recomputes freely on failure
+      val triPlan = Graph.triangles(
+        spark.table("pgx_pairs").select(col("a").as("u"), col("b").as("v")),
+        materialize = false)
+        .queryExecution.executedPlan.toString
+      assert(!triPlan.contains("Scan ExistingRDD"),
+        s"artifact-served triangles must not read checkpoint blocks:\n$triPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pgx_pairs")
+      spark.sql("DROP TABLE IF EXISTS pgx_comp")
+    }
+  }
+}

@@ -17,7 +17,7 @@ class SqlSurfaceSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("star schema, operator views, and native functions drive from SQL text alone") {
-    SqlSurface.registerOperatorViews(spark, sf)
+    SqlSurface.registerOperatorViews(spark, sf, withTriangles = true)
 
     // 1. classic star join + aggregation across four view joins
     val revenue = spark.sql(

@@ -313,4 +313,37 @@ class SessionizeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)), s"got $got")
   }
+
+  test("streaming LSH hot-bucket representative tracks the minimum across overflow arrivals") {
+    import spark.implicits._
+    // ids 10,11 fill the bucket (cap=2) in micro-batch 1; 1,2 arrive in
+    // micro-batch 2 AFTER overflow. The representative must be the minimum
+    // seen over ALL arrivals: 1 stars against the old rep 10 (chaining the
+    // two reps into one component), takes over, and 2 stars against 1 —
+    // never against the stale stored-member minimum.
+    val inDir = Files.createTempDirectory("graft-lshrep-in").toFile
+    val ckDir = Files.createTempDirectory("graft-lshrep-ck").toFile
+    def chunk(ids: Seq[Long], n: Int): Unit =
+      ids.map(i => (i, "alpha beta gamma delta")).toDF("id", "text")
+        .coalesce(1).write.parquet(s"$inDir/chunk=$n")
+    chunk(Seq(10L, 11L), 0)
+    chunk(Seq(1L, 2L), 1)
+    val stream = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("text", "string"))
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+      .select(col("id"),
+        graft.functions.TextFunctions.shingles(col("text"), 2).as("shingles"))
+    val q = StreamingExtraction
+      .streamingNearDupCandidates(stream, k = 36, bands = 12, maxBucket = 2)
+      .writeStream.format("memory").queryName("stream_lsh_rep")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("stream_lsh_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L), (1L, 10L), (1L, 2L)), s"got $got")
+  }
 }
