@@ -405,6 +405,17 @@ object TrainingScaleSmoke {
     }
     require(nQn == nDocs.toLong,
       s"every doc must get a percentile back: $nQn of $nDocs")
+    // winsorization shares the census-CDF + broadcast-clamp shape: the only
+    // corpus-size shuffle is the (src, value) census groupBy; with ~uniform
+    // hash-derived values, [p05, p95] clipping must mark ~10% of rows
+    val nClip = timed(s"winsorize ($nDocs rows, 20 sources)") {
+      CorpusOps.winsorize(
+        docs.select(col("id"), (col("id") % 20).as("src"),
+          (graft.functions.TextFunctions.hash60(col("text")) % 10000L).as("vfp")),
+        "src", "vfp").where(col("was_clipped")).count()
+    }
+    require(nClip > (nDocs * 8L) / 100 && nClip < (nDocs * 11L) / 100,
+      s"p05/p95 winsorization should clip ~10% of uniform values, clipped $nClip of $nDocs")
     val nVecC = math.min(nDocs, 50000).toLong
     val cVecs = mkVecs(nVecC)
     val contam = timed(s"semantic decontamination ($nVecC vecs, " +
@@ -445,7 +456,7 @@ object TrainingScaleSmoke {
     val chain = spark.range(nV - 1).select(
       (col("id") * 1000003L % nV).as("a"),
       ((col("id") + 1) * 1000003L % nV).as("b"))
-    val rounds = timed(s"componentsStar ($nV-vertex scrambled chain)") {
+    val (localLabels, rounds) = timed(s"componentsStar ($nV-vertex scrambled chain)") {
       val (labels, r) = Dedup.componentsStarWithRounds(chain, maxIters = 40)
       val stats = labels.agg(count(lit(1)).as("n"),
         countDistinct(col("component")).as("nc"),
@@ -453,11 +464,28 @@ object TrainingScaleSmoke {
       require(stats.getLong(0) == nV && stats.getLong(1) == 1L &&
         stats.getLong(2) == 0L,
         s"chain must collapse to one component labeled 0: got ${stats.toSeq}")
-      r
+      (labels, r)
     }
     println(s"[training-smoke] componentsStar chain rounds=$rounds")
     require(rounds <= 25,
       s"star contraction should converge in O(log n) <= 25 rounds, took $rounds")
+
+    // 14. The opt-in RELIABLE checkpoint mode (the real-cluster
+    //     fault-tolerance answer to localCheckpoint's lost-block caveat)
+    //     must label the same adversarial chain IDENTICALLY at the full
+    //     vertex count — every round writes to the checkpoint dir instead
+    //     of pinning local blocks.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-smoke-ck").toFile
+    spark.sparkContext.setCheckpointDir(ckDir.getAbsolutePath)
+    spark.conf.set("graft.iterative.reliableCheckpoint", "true")
+    try timed(s"componentsStar reliable-checkpoint mode ($nV vertices)") {
+      val rel = Dedup.componentsStar(chain, maxIters = 40)
+      val mismatches = localLabels.withColumnRenamed("component", "c1")
+        .join(rel.withColumnRenamed("component", "c2"), "id")
+        .where(col("c1") =!= col("c2")).count()
+      require(mismatches == 0L,
+        s"reliable mode diverged from local mode on $mismatches vertices")
+    } finally spark.conf.set("graft.iterative.reliableCheckpoint", "false")
     spark.stop()
   }
 }

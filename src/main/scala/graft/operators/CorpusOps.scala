@@ -365,14 +365,7 @@ object CorpusOps {
    */
   def lineDedup(docs: DataFrame, idCol: Column, textCol: Column,
                 unitTokens: Int, minOcc: Long): DataFrame = {
-    val units = docs
-      .select(idCol.as("id"), graft.functions.TextFunctions.tokens(textCol).as("ws"))
-      .select(col("id"), size(col("ws")).as("n"), col("ws"),
-        explode(expr(s"sequence(0, size(ws) - 1, $unitTokens)")).as("st"))
-      .select(col("id"), col("st"),
-        slice(col("ws"), col("st") + 1,
-          least(lit(unitTokens), col("n") - col("st"))).as("toks"))
-      .withColumn("dg", md5(array_join(col("toks"), " ")))
+    val units = unitDigests(docs, idCol, textCol, unitTokens)
     val hot = units.groupBy(col("dg")).agg(count(lit(1)).as("occ"))
       .where(col("occ") >= minOcc).select(col("dg"))
     val rebuilt = units.join(hot, Seq("dg"), "left_anti")
@@ -388,6 +381,34 @@ object CorpusOps {
         coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
         coalesce(col("clean_raw"), lit("")).as("clean_text"))
   }
+
+  /** One row per `unitTokens`-token unit of each document: (id, st, toks,
+   * dg = md5 of the joined unit) — the shared front half of the line-dedup
+   * family. Narrow (tokenize + one Generate), zero shuffles. */
+  private def unitDigests(docs: DataFrame, idCol: Column, textCol: Column,
+                          unitTokens: Int): DataFrame =
+    docs
+      .select(idCol.as("id"), graft.functions.TextFunctions.tokens(textCol).as("ws"))
+      .select(col("id"), size(col("ws")).as("n"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $unitTokens)")).as("st"))
+      .select(col("id"), col("st"),
+        slice(col("ws"), col("st") + 1,
+          least(lit(unitTokens), col("n") - col("st"))).as("toks"))
+      .withColumn("dg", md5(array_join(col("toks"), " ")))
+
+  /** The corpus-common-unit CENSUS behind [[lineDedup]], exposed as its own
+   * artifact: the md5 digest of every `unitTokens`-token unit occurring at
+   * least `minOcc` times across the corpus. ONE map-side-combinable digest
+   * aggregate; persist the result once and serve both the batch rebuild and
+   * the streaming twin
+   * ([[graft.streaming.StreamingExtraction.streamingLineDedup]]) from it —
+   * the daily-crawl posture where boilerplate is a property of the existing
+   * corpus, not of each increment. */
+  def hotUnits(docs: DataFrame, idCol: Column, textCol: Column,
+               unitTokens: Int, minOcc: Long): DataFrame =
+    unitDigests(docs, idCol, textCol, unitTokens)
+      .groupBy(col("dg")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc).select(col("dg"))
 
   /**
    * k-anonymity / l-diversity audit — the privacy gate before a dataset
@@ -432,6 +453,45 @@ object CorpusOps {
    * no meaning, and engines disagree on null window ordering). Callers with
    * nullable scores filter or impute first.
    */
+  /**
+   * Per-group WINSORIZATION in exact fixed point — the robust-statistics
+   * cleaning pass before aggregate features (a fat-finger 10⁶ value must not
+   * dominate a mean): each row's value clips to its group's empirical
+   * [p`loPct`, p`hiPct`]. Same census discipline as [[quantileNormalize]]:
+   * cutoffs come from the BOUNDED per-(group, value) census CDF — the
+   * quantile is the smallest value whose cumulative count reaches the rank
+   * ⌈q·n⌉ (positive-operand ceiling `(q·n + 99) div 100` only: Spark's div
+   * truncates toward zero while DuckDB's // floors, so negative-operand
+   * ceiling tricks diverge) — then broadcast back and applied as a narrow
+   * clamp. Never a corpus-sized percentile window: the only full-size
+   * shuffle is the map-side-combinable census groupBy; the window runs over
+   * census rows (|distinct values| per group). Emits the input columns plus
+   * `p_lo_fp`, `p_hi_fp`, `clipped_fp`, `was_clipped`. Value column must
+   * already be integer fixed point (the q88 2-decimal convention).
+   */
+  def winsorize(df: DataFrame, group: String, vfp: String,
+                loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      "need 0 <= loPct < hiPct <= 100")
+    val census = df.groupBy(col(group), col(vfp)).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col(group)).orderBy(col(vfp))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = census.withColumn("cum", sum(col("cnt")).over(cumW))
+      .join(broadcast(census.groupBy(col(group)).agg(sum(col("cnt")).as("n"))),
+        group)
+    val cuts = cdf
+      .withColumn("lo_ok", col("cum") >= expr(s"($loPct * n + 99) div 100"))
+      .withColumn("hi_ok", col("cum") >= expr(s"($hiPct * n + 99) div 100"))
+      .groupBy(col(group))
+      .agg(min(when(col("lo_ok"), col(vfp))).as("p_lo_fp"),
+        min(when(col("hi_ok"), col(vfp))).as("p_hi_fp"))
+    df.join(broadcast(cuts), group)
+      .withColumn("clipped_fp",
+        greatest(col("p_lo_fp"), least(col("p_hi_fp"), col(vfp))))
+      .withColumn("was_clipped",
+        col(vfp) < col("p_lo_fp") || col(vfp) > col("p_hi_fp"))
+  }
+
   def quantileNormalize(df: DataFrame, group: String, value: String): DataFrame = {
     val clean = df.where(col(group).isNotNull && col(value).isNotNull)
     val census = clean.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))

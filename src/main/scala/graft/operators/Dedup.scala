@@ -681,8 +681,13 @@ object Dedup {
   /** Eager localCheckpoint plus the persistent-RDD ids it registered, so the
    * iterative loops below can free each SUPERSEDED round's blocks the moment
    * the next round materializes — without this a 1M-vertex chain run pins
-   * every round's edge set in the block manager for the whole loop. */
+   * every round's edge set in the block manager for the whole loop. Under
+   * the opt-in [[Checkpoints]] reliable mode the round instead writes to the
+   * checkpoint dir (survives executor loss; nothing to free — no blocks are
+   * pinned, file reclamation is the context cleaner's job). */
   private def trackedCheckpoint(df: DataFrame): (DataFrame, Seq[Int]) = {
+    if (Checkpoints.reliableEnabled(df.sparkSession))
+      return (df.checkpoint(), Seq.empty)
     val out = df.localCheckpoint()
     // the persisted id comes from the checkpoint's OWN LogicalRDD — a
     // before/after diff of getPersistentRDDs would race a concurrent query

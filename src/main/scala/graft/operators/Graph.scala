@@ -38,16 +38,19 @@ object Graph {
                   dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iterations >= 1 && scale >= 1000 && dampNum < dampDen,
       "pageRankInt needs iterations >= 1, scale >= 1000, damping < 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+    // Checkpoints.iterative: localCheckpoint by default; the opt-in reliable
+    // mode (graft.iterative.reliableCheckpoint) writes rounds to the
+    // checkpoint dir so a lost executor can't abort the fixpoint
+    val e = Checkpoints.iterative(edges.select(col("src"), col("dst")))
+    val nodes = Checkpoints.iterative(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct())
     // the denominator (dampDen * outdeg) is static — pre-join it onto the
     // edge list ONCE so each iteration is a single pr ⋈ edges join + one
     // map-side-combined sum, not an extra degree join per round
-    val eDen = e.join(
-        e.groupBy(col("src")).agg((count(lit(1)) * dampDen).as("den")), "src")
-      .localCheckpoint()
+    val eDen = Checkpoints.iterative(e.join(
+      e.groupBy(col("src")).agg((count(lit(1)) * dampDen).as("den")), "src"))
     val base = (scale * (dampDen - dampNum)) / dampDen
     var pr = nodes.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to iterations) {
@@ -55,9 +58,9 @@ object Graph {
         // integer floor division keeps every engine bit-identical
         .select(col("dst"), expr(s"(pr * $dampNum) div den").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      pr = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
-        .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("pr"))
-        .localCheckpoint()
+      pr = Checkpoints.iterative(
+        nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+          .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("pr")))
     }
     pr
   }

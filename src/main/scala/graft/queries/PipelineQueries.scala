@@ -602,9 +602,17 @@ object PipelineQueries {
       // the broadcast-queries corpus scan (q35); each config joins two
       // bounded ≤ k-per-query tables on (query, neighbor); output is
       // |configs| rows. The exact table is checkpointed once — three
-      // config joins read it.
+      // config joins read it. The query sample is ABSOLUTELY bounded (256
+      // ids by hash60 bottom-k, the q57 bounded-heap draw — one map-side
+      // mink_by, never a corpus fraction), so the exact ground-truth stage
+      // costs O(N·256) at ANY corpus size — a calibration gate must stay
+      // runnable on the full production corpus, not scale quadratically.
       val corpus = embVecs(s, d)
-      val queries = embVecs(s, d, col("vec_id") % 20 === 0)
+      val queries = embVecs(s, d).join(
+        CorpusOps.sampleStratifiedBounded(Tables.embeddings(s, d),
+          col("vec_id"), lit(1), quota = 256, salt = "q120")
+          .select(col("id")),
+        "id")
       val exact = Similarity.knnBruteForce(corpus, queries, k = 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint()
@@ -895,27 +903,9 @@ object PipelineQueries {
       // convention).
       val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
         expr("cast(round(value * 100) as bigint)").as("vfp"))
-      val census = ev.groupBy(col("event_type"), col("vfp"))
-        .agg(count(lit(1)).as("cnt"))
-      val cumW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("vfp"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val cdf = census.withColumn("cum", sum(col("cnt")).over(cumW))
-        .join(broadcast(census.groupBy(col("event_type"))
-          .agg(sum(col("cnt")).as("n"))), "event_type")
-      // rank thresholds ⌈0.05n⌉ / ⌈0.95n⌉ — positive-operand ceiling
-      // (a+99) div 100 only: Spark's div TRUNCATES toward zero while
-      // DuckDB's // FLOORS, so negative-operand ceiling tricks diverge
-      val cuts = cdf
-        .withColumn("lo_ok", col("cum") >= expr("(5 * n + 99) div 100"))
-        .withColumn("hi_ok", col("cum") >= expr("(95 * n + 99) div 100"))
-        .groupBy(col("event_type"))
-        .agg(min(when(col("lo_ok"), col("vfp"))).as("p05_fp"),
-          min(when(col("hi_ok"), col("vfp"))).as("p95_fp"))
-      ev.join(broadcast(cuts), "event_type")
+      CorpusOps.winsorize(ev, "event_type", "vfp", loPct = 5, hiPct = 95)
         .select(col("event_id"), col("event_type"), col("vfp"),
-          greatest(col("p05_fp"), least(col("p95_fp"), col("vfp"))).as("clipped_fp"),
-          (col("vfp") < col("p05_fp") || col("vfp") > col("p95_fp")).as("was_clipped"))
+          col("clipped_fp"), col("was_clipped"))
         .orderBy(col("event_id"))
     }),
 
@@ -3014,7 +3004,7 @@ object PipelineQueries {
            SELECT query_id, qv, UNNEST(allsigs) AS sig FROM (
              SELECT vec_id AS query_id, v AS qv,
                     list_concat([sig], list_transform(range(0, $nb), b -> xor(sig, 1::BIGINT << b))) AS allsigs
-             FROM sigs$tag WHERE vec_id % 20 = 0)),
+             FROM sigs$tag WHERE vec_id IN (SELECT vec_id FROM q))),
          cand$tag AS (
            SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, ${duckCos("c.v", "p.qv")} AS cos
            FROM sigs$tag c JOIN probes$tag p ON c.sig = p.sig
@@ -3033,7 +3023,9 @@ object PipelineQueries {
            FROM exact x LEFT JOIN $ann a
              ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         q AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+         q AS (SELECT vec_id, v FROM e
+               ORDER BY ${duckHash60("'q120:' || CAST(vec_id AS VARCHAR)")}, vec_id
+               LIMIT 256),
          exact AS MATERIALIZED (
            SELECT query_id, neighbor_id FROM (
              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3054,7 +3046,7 @@ object PipelineQueries {
              SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
                     row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
-             FROM e q CROSS JOIN cent c WHERE q.vec_id % 20 = 0) WHERE rn <= 3),
+             FROM q CROSS JOIN cent c) WHERE rn <= 3),
          candI AS (
            SELECT p.query_id, a.vec_id AS neighbor_id, ${duckCos("a.v", "p.qv")} AS cos
            FROM assigned a JOIN probesI p USING (cell)

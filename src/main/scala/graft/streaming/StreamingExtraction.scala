@@ -259,6 +259,85 @@ object StreamingExtraction {
   }
 
   /**
+   * STREAMING benchmark decontamination — the continuous-ingest twin of
+   * [[graft.operators.CorpusOps.decontaminate]]: every arriving corpus
+   * document is dropped iff its id is in the benchmark set or it shares at
+   * least one word n-gram with it. Both guards are STREAM-STATIC anti-joins
+   * against the (static, broadcast) benchmark tables — zero state, append
+   * mode, no watermark needed, so the stream runs forever at scan speed and
+   * in batch mode the SAME code returns exactly the batch operator's
+   * survivor set (proven over micro-batches in SessionizeSpec).
+   *
+   * The gram guard is a broadcast nested-loop anti-join
+   * (`array_contains(shingles, gram)` — no equi-key): per arriving doc it
+   * costs |benchmark grams| membership probes, the
+   * [[graft.operators.Similarity.semanticContamination]] eval-side-bounded
+   * posture. For benchmark sets too large to broadcast, the production
+   * escape is the Bloom route (q67): build the filter batch-side once and
+   * filter the stream with the narrow scalar probe, accepting the
+   * documented false-positive over-drop.
+   *
+   * `docs` carries (`id`, `shingles`, …payload); `benchmark` is the static
+   * (`id`, `shingles`) frame — callers should `.persist()` it so the gram
+   * explode+distinct doesn't recompute per micro-batch.
+   */
+  def streamingDecontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchIds = benchmark.select(col("id"))
+    val benchGrams = benchmark.select(explode(col("shingles")).as("gram")).distinct()
+    docs
+      .join(broadcast(benchIds), Seq("id"), "left_anti")
+      .join(broadcast(benchGrams), expr("array_contains(shingles, gram)"), "left_anti")
+  }
+
+  /**
+   * STREAMING line-level dedup — the continuous-ingest twin of
+   * [[graft.operators.CorpusOps.lineDedup]], serving a PRECOMPUTED unit
+   * census (the daily-crawl posture: the corpus-common-unit table is built
+   * batch-side once over the existing corpus —
+   * [[graft.operators.CorpusOps.hotUnits]] — and each arriving document is
+   * rebuilt with those units removed; a streaming-exact global census is
+   * impossible with bounded state, and boilerplate is a property of the
+   * EXISTING corpus anyway). Per arrival: ONE narrow unit explode, a
+   * broadcast hash left-join marking hot units (static side — no stream
+   * state), and a per-document reassembly keyed on (id, ts) whose state the
+   * watermark reclaims; emits `(id, n_tokens, n_kept, clean_text)` in
+   * append mode once the watermark passes the document's event time —
+   * identical values to the batch rebuild over the same census (proven
+   * across micro-batches in SessionizeSpec).
+   *
+   * `docs` carries (`id`, `ts`, `text`). Divergence from batch (documented):
+   * a document producing no units (empty text) never emits here, while the
+   * batch operator's outer join restores it as an empty row.
+   */
+  def streamingLineDedup(docs: DataFrame, hotUnits: DataFrame, unitTokens: Int,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val units = docs
+      .select(col("id"), col("ts"),
+        graft.functions.TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("id"), col("ts"), size(col("ws")).as("n"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $unitTokens)")).as("st"))
+      .select(col("id"), col("ts"), col("n"), col("st"),
+        slice(col("ws"), col("st") + 1,
+          least(lit(unitTokens), col("n") - col("st"))).as("toks"))
+      .withColumn("dg", md5(array_join(col("toks"), " ")))
+    units
+      .join(broadcast(hotUnits.select(col("dg"), lit(1).as("hot"))), Seq("dg"), "left")
+      .withWatermark("ts", watermark)
+      .groupBy(col("id"), col("ts"), col("n"))
+      // `when` yields NULL for hot units and collect_list skips nulls, so
+      // the kept units reassemble in offset order without a second pass
+      .agg(
+        sum(when(col("hot").isNull, size(col("toks"))).otherwise(0))
+          .cast("long").as("n_kept"),
+        array_join(flatten(transform(
+          sort_array(collect_list(
+            when(col("hot").isNull, struct(col("st"), col("toks"))))),
+          x => x.getField("toks"))), " ").as("clean_text"))
+      .select(col("id"), col("n").cast("long").as("n_tokens"),
+        col("n_kept"), col("clean_text"))
+  }
+
+  /**
    * STREAMING MinHash-LSH near-dup candidate detection — the continuously-
    * running twin of [[graft.operators.Dedup.incrementalCandidates]]: every
    * arriving document bands with the IDENTICAL signature pipeline as the

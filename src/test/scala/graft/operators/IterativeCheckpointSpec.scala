@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * The opt-in reliable-checkpoint mode for iterative operators
+ * ([[Checkpoints]]): with `graft.iterative.reliableCheckpoint=true` and a
+ * checkpoint dir set, every fixpoint round writes to the dir instead of
+ * pinning local blocks — identical results, and the round state survives the
+ * blanket unpersist sweep that permanently breaks localCheckpoint-backed
+ * frames (the stand-in for executor loss that local mode can exhibit).
+ * The 1M-vertex-chain equality of both modes runs in TrainingScaleSmoke.
+ */
+class IterativeCheckpointSpec extends SparkSpec {
+
+  private def withReliable[A](body: => A): A = {
+    val dir = Files.createTempDirectory("graft-reliable-ck").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    spark.conf.set(Checkpoints.ConfKey, "true")
+    try body finally spark.conf.set(Checkpoints.ConfKey, "false")
+  }
+
+  test("reliable mode produces identical components and pagerank, and survives an unpersist sweep") {
+    import spark.implicits._
+    // the flag without a checkpoint dir must fail LOUDLY, not fall back —
+    // checked FIRST (setCheckpointDir below is context-global and permanent)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set(Checkpoints.ConfKey, "true")
+      try intercept[IllegalArgumentException] { Checkpoints.reliableEnabled(spark) }
+      finally spark.conf.set(Checkpoints.ConfKey, "false")
+    }
+    // scrambled 64-node chain: the adversarial shape both loops care about
+    val ids = new scala.util.Random(11).shuffle((200L to 263L).toVector)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val edges = chain.select(col("a").as("src"), col("b").as("dst"))
+
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val localComp = toMap(Dedup.componentsStar(chain))
+    val localProp = toMap(Dedup.components(chain, maxIters = 100))
+    val localPr = toMap(Graph.pageRankInt(edges, iterations = 5))
+    val (reliableComp, reliablePr) = withReliable {
+      val comp = Dedup.componentsStar(chain)
+      val pr = Graph.pageRankInt(edges, iterations = 5)
+      // round state is on disk, not in pinned blocks: a blanket unpersist
+      // sweep (which would permanently break a localCheckpoint-backed frame)
+      // must leave both results recomputable
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      assert(toMap(Dedup.components(chain, maxIters = 100)) == localProp)
+      (toMap(comp), toMap(pr))
+    }
+    assert(reliableComp == localComp)
+    assert(reliableComp.values.toSet == Set(200L), "one component, min label")
+    assert(reliablePr == localPr)
+  }
+}

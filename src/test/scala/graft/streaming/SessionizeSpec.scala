@@ -346,4 +346,84 @@ class SessionizeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((10L, 11L), (1L, 10L), (1L, 2L)), s"got $got")
   }
+
+  test("streaming decontamination accumulates across micro-batches to the batch survivor set") {
+    import graft.functions.{TextFunctions => T}
+    val inDir = Files.createTempDirectory("graft-decon-in").toFile
+    val ckDir = Files.createTempDirectory("graft-decon-ck").toFile
+    val shingled = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 5).as("shingles"))
+    val bench = shingled.where(col("id") % 97 === 0).persist()
+    // contaminated docs must straddle the micro-batch split for the test to
+    // exercise more than one batch's anti-joins
+    shingled.where(col("id") % 2 === 0).coalesce(1).write.parquet(s"$inDir/chunk=0")
+    shingled.where(col("id") % 2 === 1).coalesce(1).write.parquet(s"$inDir/chunk=1")
+    val stream = spark.readStream.schema(shingled.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.streamingDecontaminate(stream, bench)
+      .select(col("id"))
+      .writeStream.format("memory").queryName("stream_decon")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_decon").collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.CorpusOps.decontaminate(shingled, bench)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    bench.unpersist()
+    assert(streamed == batch, s"streamed ${streamed.size} != batch ${batch.size}")
+    assert(streamed.nonEmpty, "some docs must survive")
+    val total = shingled.count()
+    assert(streamed.size < total, "some docs must be dropped (anti-vacuousness)")
+  }
+
+  test("streaming line dedup against the batch census equals the batch rebuild") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-ldd-in").toFile
+    val ckDir = Files.createTempDirectory("graft-ldd-ck").toFile
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text"),
+        // synthetic ascending event time so the watermark closes earlier
+        // chunks as later ones arrive
+        to_timestamp(lit("2026-01-01 00:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, 0, doc_id)")).as("ts"))
+    val census = graft.operators.CorpusOps
+      .hotUnits(Tables.documents(spark, sf), col("doc_id"), col("text"),
+        unitTokens = 5, minOcc = 2)
+      .persist()
+    assert(census.count() > 0, "census must be non-trivial (planted boilerplate)")
+    val third = docs.count() / 3
+    docs.where(col("id") <= third).coalesce(1).write.parquet(s"$inDir/chunk=0")
+    docs.where(col("id") > third && col("id") <= 2 * third)
+      .coalesce(1).write.parquet(s"$inDir/chunk=1")
+    docs.where(col("id") > 2 * third).coalesce(1).write.parquet(s"$inDir/chunk=2")
+    // flush chunk: one far-future dummy pushes the watermark past every real
+    // document so append mode emits them all; the dummy itself never emits
+    Seq((-1L, "zzz flush", java.sql.Timestamp.valueOf("2027-01-01 00:00:00")))
+      .toDF("id", "text", "ts").coalesce(1).write.parquet(s"$inDir/chunk=3")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction
+      .streamingLineDedup(stream, census, unitTokens = 5, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("stream_ldd")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_ldd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .filter(_._1 >= 0L).toSet
+    val batch = graft.operators.CorpusOps
+      .lineDedup(Tables.documents(spark, sf), col("doc_id"), col("text"),
+        unitTokens = 5, minOcc = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    census.unpersist()
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}")
+    assert(streamed.exists(r => r._3 < r._2),
+      "some doc must actually lose units (anti-vacuousness)")
+  }
 }
