@@ -223,6 +223,35 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL component maintenance — fold a day's VERIFIED new pairs into
+   * an existing `(id, component)` labeling without re-clustering the
+   * historical corpus: each existing cluster collapses to its star edges
+   * (member → label — connectivity-preserving, and the label IS the
+   * cluster's old minimum), the delta pairs union in, and
+   * [[componentsStar]] re-converges over |previously labeled docs| +
+   * |delta pairs| edges. Days-deep history never re-pairs and never
+   * re-verifies; a delta edge that bridges two old clusters merges them,
+   * and a new id smaller than an old cluster's minimum correctly takes over
+   * its label (the full min-reachable contract, not label reuse).
+   *
+   * EXACTNESS: the output equals the full recompute
+   * `componentsStar(oldPairs ∪ newPairs)` — star edges have the same
+   * transitive closure as the old pair set (q139 gates the whole
+   * incremental pipeline against the quadratic oracle; the planted merge /
+   * takeover cases are pinned in PairGraphIndexSpec). The existing labeling
+   * is exactly what [[writePairGraphIndex]] persists, so the daily cycle is:
+   * read components table → verify the increment's candidates
+   * ([[incrementalCandidatesFromIndex]] + the increment's internal pairs) →
+   * mergeComponents → rewrite both artifacts.
+   */
+  def mergeComponents(components: DataFrame, newPairs: DataFrame): DataFrame = {
+    val starEdges = components
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("a"), col("component").as("b"))
+    componentsStar(starEdges.unionByName(newPairs.select(col("a"), col("b"))))
+  }
+
+  /**
    * PERSISTED near-dup PAIR-GRAPH artifact — the serving layer for every
    * graph-downstream report: the VERIFIED pair set `(a, b)` and its
    * connected components `(id, component)` written ONCE as bucketed tables.

@@ -909,6 +909,39 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q139_incremental_clusters" -> ((s, d) => {
+      // INCREMENTAL cluster maintenance end to end — the daily-crawl cycle:
+      // the "existing" corpus (even ids) already carries a verified
+      // component labeling; the "increment" (odd ids) generates candidates
+      // against the existing band table (new×old, the q97 shape) plus
+      // itself (new×new), verifies at the exact Jaccard threshold, and
+      // Dedup.mergeComponents folds the delta into the labeling WITHOUT
+      // re-pairing or re-verifying the historical corpus — old clusters
+      // enter as |members| star edges, so the merge costs |labeled| +
+      // |delta|, not the history's Σ df². The oracle is the FULL-corpus
+      // quadratic transitive closure: oracle-gated proof that the
+      // incremental path equals the full recompute (label takeover and
+      // cluster bridging included — even/odd interleaving makes new minima
+      // routine, not edge cases).
+      val docs = docShingles(s, d, 2)
+      val old = docs.where(col("id") % 2 === 0)
+      val nw = docs.where(col("id") % 2 === 1)
+      val oldPairs = Dedup.verifyJaccard(
+        Dedup.minhashCandidates(old, 36, 12), docs, 0.8)
+      val delta = Dedup.verifyJaccard(
+        Dedup.incrementalCandidates(nw, old, 36, 12)
+          .unionByName(Dedup.minhashCandidates(nw, 36, 12))
+          .distinct(),
+        docs, 0.8)
+      Dedup.mergeComponents(Dedup.componentsStar(oldPairs),
+          delta.select(col("a"), col("b")))
+        .groupBy(col("component").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string")), ",").as("members"))
+        .orderBy(col("keep_id"))
+    }),
+
     "q137_triangle_count" -> ((s, d) => {
       // triangle listing over the verified near-dup graph — the cluster-
       // density diagnostic (a dedup graph of star fragments vs true cliques
@@ -2754,6 +2787,30 @@ object PipelineQueries {
          SELECT component AS keep_id, count(*) AS n_members,
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
          FROM labeled GROUP BY component ORDER BY keep_id""",
+    // The incremental merge path must equal the FULL-corpus ground truth —
+    // the oracle is deliberately the same quadratic closure as q41/q56
+    // (old×old, new×old, and new×new pairs all present), so any incremental
+    // bookkeeping error (a stale label surviving takeover, a missed bridge
+    // merge, a dropped new×new pair) lands as a hash mismatch.
+    "q139_incremental_clusters" ->
+      s"""WITH RECURSIVE
+         ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.8),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id)
+         SELECT component AS keep_id, count(*) AS n_members,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         FROM labeled GROUP BY component ORDER BY keep_id""",
+
     // Gaps-and-islands twin of session_window: a session breaks exactly when
     // the inter-event gap is >= 30 min (session_window covers
     // [first, last+gap) and merges iff the next event starts strictly before

@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.config.ExtractionConfig
 import graft.functions.{TextFunctions => T}
 import graft.operators.Dedup
+import graft.xml.XmlExtraction
 
 /**
  * The declarative entry surface: every star-schema table and the flagship
@@ -131,5 +133,28 @@ object SqlSurface {
       graft.operators.Graph.triangles(
           pairs.select(col("a").as("u"), col("b").as("v")))
         .createOrReplaceTempView("neardup_triangles")
+  }
+
+  /**
+   * Register the XML parity engine's extraction output — the reference's
+   * FLAGSHIP capability — as temp views over an XML corpus directory and a
+   * declarative extraction config (the reference's own config format,
+   * `ExtractionConfig.fromXml`/`fromProperties`), so a config-driven
+   * extraction is drivable from `spark.sql(...)` text end to end:
+   *  - `<prefix>_rows`  — the structured pivot (docId, seq, c0..cN);
+   *  - `<prefix>_lines` — the reference's delimited text lines
+   *    (trailing-delimiter + empty→space quirks included), column `line`.
+   * Both views are LAZY — registration plans the scan, SQL reading the view
+   * executes it — and recompute freely (no checkpoint blocks), so they
+   * survive unpersist sweeps and executor loss.
+   */
+  def registerXmlExtraction(spark: SparkSession, xmlDir: String,
+                            config: ExtractionConfig,
+                            prefix: String = "xml"): Unit = {
+    val rows = XmlExtraction.extractRows(
+      XmlExtraction.corpusFromXmlFiles(spark, xmlDir), config)
+    rows.createOrReplaceTempView(s"${prefix}_rows")
+    XmlExtraction.formatLines(rows, config)
+      .createOrReplaceTempView(s"${prefix}_lines")
   }
 }

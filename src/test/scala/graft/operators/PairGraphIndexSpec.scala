@@ -88,4 +88,28 @@ class PairGraphIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS pgx_comp")
     }
   }
+
+  test("mergeComponents folds delta pairs into an existing labeling == full recompute") {
+    import spark.implicits._
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // old graph: cluster {10,11,12} (min 10), cluster {20,21}, singleton 30
+    // (absent — singletons never appear in a pair table)
+    val oldPairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val oldComp = Dedup.componentsStar(oldPairs)
+    // delta: 5 takes over cluster {10..12}'s label (new min BELOW the old
+    // one); 12-20 bridges the two old clusters; 30-31 births a new cluster
+    val delta = Seq((5L, 11L), (12L, 20L), (30L, 31L)).toDF("a", "b")
+    val merged = toMap(Dedup.mergeComponents(oldComp, delta))
+    val full = toMap(Dedup.componentsStar(oldPairs.unionByName(delta)))
+    assert(merged == full)
+    // the bridge + takeover collapse everything reachable onto 5
+    assert(Seq(5L, 10L, 11L, 12L, 20L, 21L).forall(merged(_) == 5L))
+    assert(merged(30L) == 30L && merged(31L) == 30L)
+    // idempotence: merging an empty delta is the identity on the labeling
+    val again = toMap(Dedup.mergeComponents(
+      Dedup.mergeComponents(oldComp, delta),
+      Seq.empty[(Long, Long)].toDF("a", "b")))
+    assert(again == full)
+  }
 }

@@ -156,4 +156,34 @@ class SqlSurfaceSpec extends SparkSpec {
 
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
+
+  test("the XML parity engine drives from SQL text: ExtractInventory golden through views") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sqlxml").toFile
+    for (name <- Seq("InventorySoho.xml", "InventoryBanks.xml"))
+      java.nio.file.Files.writeString(
+        new java.io.File(inDir, name).toPath, resourceText(name))
+    val config = graft.config.ExtractionConfig
+      .fromXml(resourceText("ExtractInventory.xml"))
+    SqlSurface.registerXmlExtraction(spark, inDir.getAbsolutePath, config)
+
+    // the reference's flagship run, retrieved by SQL TEXT only
+    val sqlLines = spark.sql("SELECT line FROM xml_lines ORDER BY line")
+      .collect().map(_.getString(0)).toSeq
+    assert(sqlLines.length == 30, s"ExtractInventory golden is 30 rows, got ${sqlLines.length}")
+    assert(sqlLines.contains("SohoBooks;11553377;January;3;bk101;10;"))
+    assert(sqlLines.contains("BanksBooks;22446688;February;1;bk112;7;"))
+    val apiLines = graft.xml.XmlExtraction.run(
+      graft.xml.XmlExtraction.corpusFromXmlFiles(spark, inDir.getAbsolutePath), config)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(sqlLines == apiLines, "SQL view must byte-equal the API pipeline")
+
+    // the structured view composes with ordinary SQL (aggregation over the
+    // extraction output): quantity sum per store from the pivoted columns
+    val perStore = spark.sql(
+      """SELECT c0 AS store, sum(CAST(c5 AS BIGINT)) AS total_qty
+         FROM xml_rows GROUP BY c0 ORDER BY store""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(perStore.map(_._1).toSeq == Seq("BanksBooks", "SohoBooks"))
+    assert(perStore.forall(_._2 > 0))
+  }
 }
