@@ -375,8 +375,12 @@ object Similarity {
     // rounding rule
     val kept = df_.join(broadcast(nd),
       col("df") * lit(maxDfDenom.toLong) <= col("n_docs"))
+    // df rides the checkpointed postings so the hot-term set derives from
+    // the materialized frame — re-deriving it from `kept` would re-run the
+    // tf/df aggregation AND surface the broadcast df-prune join outside the
+    // checkpoint (the PlanShapeSpec equi-join-only pin)
     val post = tf.join(kept.select(col("term"), col("df")), "term")
-      .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"))
+      .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"), col("df"))
       .where(col("wt") > 0)
       // one narrow table read several ways (pair sides + norms + hot
       // correction + star verify): materialize once, the q31 pattern
@@ -387,7 +391,9 @@ object Similarity {
       .agg(sum(col("wt") * col("wt")).as("n2"))
       .select(col("id"),
         floor(sqrt(col("n2").cast("double"))).cast("long").as("nrm"))
-    val hotSet = Dedup.loudWhenCapBinds(kept.where(col("df") > maxDf), maxDf)
+    val hotSet = Dedup.loudWhenCapBinds(
+        post.where(col("df") > maxDf)
+          .groupBy(col("term")).agg(max(col("df")).as("df")), maxDf)
       .select(col("term"))
     val cold = post.join(hotSet, Seq("term"), "left_anti")
     val hot = post.join(hotSet, Seq("term"), "left_semi")

@@ -942,6 +942,61 @@ object PipelineQueries {
         .orderBy(col("keep_id"))
     }),
 
+    "q140_quality_tertiles" -> ((s, d) => {
+      // CCNet-style per-LANGUAGE quality partitioning (Wenzek et al. 2020):
+      // a doc's fixed-point quality score maps to its language-RELATIVE
+      // percentile — a "good" type-token ratio means different things in
+      // different languages — and the corpus splits into head/middle/tail
+      // tertiles, the buckets a filtering or curriculum policy consumes.
+      // Shapes: the q133 census-CDF machinery (never a corpus-wide rank
+      // window: the per-(lang, score) census is bounded by the fixed-point
+      // resolution), one equi-join back, then a |langs|·3-row rollup.
+      // Integer TTR permille + integer cdf_ppm keep every bucket boundary
+      // engine-exact.
+      val w = T.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(w).cast("long").as("n_tokens"),
+          size(array_distinct(w)).cast("long").as("n_distinct"))
+        .selectExpr("doc_id", "lang", "n_tokens",
+          "(1000 * n_distinct) div n_tokens as ttr_pm")
+      CorpusOps.quantileNormalize(scored, "lang", "ttr_pm")
+        .withColumn("bucket",
+          when(col("cdf_ppm") <= 333333, "tail")
+            .when(col("cdf_ppm") <= 666666, "middle")
+            .otherwise("head"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("ttr_pm")).as("min_ttr_pm"),
+          max(col("ttr_pm")).as("max_ttr_pm"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    "q141_dedup_savings" -> ((s, d) => {
+      // dedup savings SWEEP — the policy question before committing to a
+      // threshold ("what does 0.9 vs 0.7 buy?"): ONE exact pair table at
+      // the loosest gate serves every tighter gate as a filter — verify
+      // once, gate many. The base is allPairsJaccard (the df-cap-guarded
+      // postings join, q31's machinery), NOT banded LSH: band collision
+      // probability at loose thresholds is deliberately < 1, so a sweep
+      // built on candidates would under-count exactly where the policy
+      // comparison matters. Output: per threshold, surviving pair count
+      // and distinct docs involved — 3 rows. The pair table materializes
+      // once (localCheckpoint) and six bounded aggregates read it.
+      val docs = docShingles(s, d, 2)
+      val pairs = Dedup.allPairsJaccard(docs, 0.5).localCheckpoint()
+      def row(t: Double) = {
+        val p = pairs.where(col("jac") >= t)
+        p.agg(count(lit(1)).as("n_pairs")).crossJoin(
+          p.select(explode(array(col("a"), col("b"))).as("x"))
+            .agg(countDistinct(col("x")).as("n_docs")))
+          .select(lit(t).as("theta"), col("n_pairs"), col("n_docs"))
+      }
+      row(0.5).unionByName(row(0.7)).unionByName(row(0.9))
+        .orderBy(col("theta"))
+    }),
+
     "q137_triangle_count" -> ((s, d) => {
       // triangle listing over the verified near-dup graph — the cluster-
       // density diagnostic (a dedup graph of star fragments vs true cliques
@@ -2810,6 +2865,60 @@ object PipelineQueries {
          SELECT component AS keep_id, count(*) AS n_members,
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
          FROM labeled GROUP BY component ORDER BY keep_id""",
+
+    // Same census-CDF as q133, then tertile buckets + rollup. NULLIF guards
+    // the zero-token doc identically to Spark's null-on-div-zero + the
+    // quantileNormalize null-exclusion contract.
+    "q140_quality_tertiles" ->
+      """WITH base AS (SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS n_distinct
+             FROM documents),
+         scored AS (SELECT doc_id, lang, n_tokens,
+               (1000 * n_distinct) // NULLIF(n_tokens, 0) AS ttr_pm
+             FROM base),
+         clean AS (SELECT * FROM scored WHERE lang IS NOT NULL AND ttr_pm IS NOT NULL),
+         census AS (SELECT lang, ttr_pm, CAST(count(*) AS BIGINT) AS cnt
+                    FROM clean GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM census GROUP BY 1),
+         cdf AS (SELECT c.lang, c.ttr_pm,
+               (1000000 * CAST(sum(c.cnt) OVER (PARTITION BY c.lang
+                  ORDER BY c.ttr_pm ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT)) // t.n AS cdf_ppm
+             FROM census c JOIN tot t USING (lang)),
+         bucketed AS (
+           SELECT s.lang, s.n_tokens, s.ttr_pm,
+                  CASE WHEN d.cdf_ppm <= 333333 THEN 'tail'
+                       WHEN d.cdf_ppm <= 666666 THEN 'middle'
+                       ELSE 'head' END AS bucket
+           FROM clean s JOIN cdf d ON s.lang = d.lang AND s.ttr_pm = d.ttr_pm)
+         SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                min(ttr_pm) AS min_ttr_pm, max(ttr_pm) AS max_ttr_pm
+         FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    // One quadratic exact pair table at the loosest gate, re-filtered per
+    // threshold — the oracle twin of the verify-once/gate-many sweep.
+    "q141_dedup_savings" -> {
+      def sweepRow(t: String): String =
+        s"""SELECT CAST($t AS DOUBLE) AS theta,
+             (SELECT CAST(count(*) AS BIGINT) FROM p WHERE jac >= $t) AS n_pairs,
+             (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM (
+                SELECT a AS x FROM p WHERE jac >= $t
+                UNION ALL SELECT b FROM p WHERE jac >= $t)) AS n_docs"""
+      s"""WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+         p AS (
+           SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE $duckJac >= 0.5)
+         SELECT * FROM (
+           ${sweepRow("0.5")}
+           UNION ALL ${sweepRow("0.7")}
+           UNION ALL ${sweepRow("0.9")})
+         ORDER BY theta"""
+    },
 
     // Gaps-and-islands twin of session_window: a session breaks exactly when
     // the inter-event gap is >= 30 min (session_window covers
