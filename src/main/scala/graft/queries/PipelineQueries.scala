@@ -608,11 +608,13 @@ object PipelineQueries {
       // costs O(N·256) at ANY corpus size — a calibration gate must stay
       // runnable on the full production corpus, not scale quadratically.
       val corpus = embVecs(s, d)
+      // the 256-row query frame materializes once — four consumers (exact +
+      // three index configs) otherwise re-run the bounded-heap draw each
       val queries = embVecs(s, d).join(
         CorpusOps.sampleStratifiedBounded(Tables.embeddings(s, d),
           col("vec_id"), lit(1), quota = 256, salt = "q120")
           .select(col("id")),
-        "id")
+        "id").localCheckpoint()
       val exact = Similarity.knnBruteForce(corpus, queries, k = 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint()
@@ -983,8 +985,13 @@ object PipelineQueries {
       // built on candidates would under-count exactly where the policy
       // comparison matters. Output: per threshold, surviving pair count
       // and distinct docs involved — 3 rows. The pair table materializes
-      // once (localCheckpoint) and six bounded aggregates read it.
-      val docs = docShingles(s, d, 2)
+      // once (localCheckpoint) and six bounded aggregates read it. The
+      // sweep runs on the deterministic 1/3 sample (the q31 concession on
+      // this uniformly-common vocabulary): a threshold-policy decision
+      // needs the distribution's SHAPE, not the full pair census — at
+      // production scale the exact quadratic-at-θ=0.5 table is a sampled
+      // diagnostic by construction.
+      val docs = docShingles(s, d, 2, col("doc_id") % 3 === 0)
       val pairs = Dedup.allPairsJaccard(docs, 0.5).localCheckpoint()
       def row(t: Double) = {
         val p = pairs.where(col("jac") >= t)
@@ -2907,8 +2914,7 @@ object PipelineQueries {
              (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM (
                 SELECT a AS x FROM p WHERE jac >= $t
                 UNION ALL SELECT b FROM p WHERE jac >= $t)) AS n_docs"""
-      s"""WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-         sh AS (SELECT doc_id, ${duckShingles(2)} AS s FROM ws),
+      s"""${withDocShingles(2, "doc_id % 3 = 0")},
          p AS (
            SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
