@@ -235,4 +235,33 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cdf_ppm")).toMap
     assert(gotN == Map(1L -> 500000L, 3L -> 1000000L), s"got $gotN")
   }
+
+  test("winsorize: exact rank cutoffs, degenerate groups, and untouched interiors") {
+    import spark.implicits._
+    // group g: values 1..100 once each — p05 is the smallest value with
+    // cum >= ceil(5·100/100)=5 → 5; p95 → 95. Exactly 4 low + 5 high clip.
+    val g = (1L to 100L).map(v => ("g", v, v)).toDF("src", "vfp", "id")
+    val got = CorpusOps.winsorize(g, "src", "vfp")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("clipped_fp"),
+        r.getAs[Boolean]("was_clipped")))
+    assert(got.length == 100)
+    assert(got.count(_._3) == 9, "values 1-4 and 96-100 clip")
+    assert(got.filter(_._1 <= 4).forall(_._2 == 5L))
+    assert(got.filter(_._1 >= 96).forall(_._2 == 95L))
+    assert(got.filter(r => r._1 >= 5 && r._1 <= 95)
+      .forall(r => r._2 == r._1 && !r._3), "the interior must pass untouched")
+    // single-row group: both cutoffs equal the value — nothing clips
+    val one = Seq(("s", 42L)).toDF("src", "vfp")
+    val gotOne = CorpusOps.winsorize(one, "src", "vfp").collect()
+    assert(gotOne.length == 1 && gotOne.head.getAs[Long]("clipped_fp") == 42L
+      && !gotOne.head.getAs[Boolean]("was_clipped"))
+    // all-identical group: degenerate CDF, zero clips
+    val same = (1 to 10).map(_ => ("t", 7L)).toDF("src", "vfp")
+    assert(CorpusOps.winsorize(same, "src", "vfp")
+      .where(col("was_clipped")).isEmpty)
+    // invalid bounds fail loudly
+    intercept[IllegalArgumentException] {
+      CorpusOps.winsorize(one, "src", "vfp", loPct = 60, hiPct = 40)
+    }
+  }
 }

@@ -517,4 +517,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q132_phrase_blocklist") <= 1,
       "only the output ORDER BY may exchange")
   }
+
+  test("incremental cluster maintenance is equi-joins + aggregates — no window, no all-pairs") {
+    // band candidates, verify lookups, star-contraction rounds, and the
+    // merge are ALL hash equi-joins; pair enumeration inside buckets is the
+    // bounded collect_set/pairsOf kernel, never a nested loop
+    assertNever("q139_incremental_clusters",
+      "BroadcastNestedLoopJoin", "CartesianProduct", "Window")
+  }
+
+  test("quality tertiles bucket via the census CDF — the only window runs over census rows") {
+    // the lang-partitioned cumulative window may appear, but it must sit
+    // ABOVE the (lang, ttr) census aggregate — i.e. the plan contains a
+    // census HashAggregate and no corpus-wide unpartitioned window
+    assertNever("q140_quality_tertiles", "CartesianProduct",
+      "windowspecdefinition(ttr_pm") // an unpartitioned per-value window
+    val p = planOf("q140_quality_tertiles")
+    assert(p.contains("HashAggregate"),
+      "the (lang, ttr) census must be an aggregate (anti-vacuousness check)")
+    assert(p.contains("windowspecdefinition(lang"),
+      "the cumulative CDF must partition by lang over census rows")
+  }
+
+  test("dedup savings sweep reads ONE materialized pair table six ways") {
+    // the exact pair table enters as the checkpoint; the six per-threshold
+    // aggregates must not re-run the postings join (no shingle Generate in
+    // the outer plan), and no window anywhere. (The plan DOES contain three
+    // BroadcastNestedLoopJoins — each is the deliberate 1-row × 1-row
+    // crossJoin stitching a threshold's two global aggregates into its
+    // report row, constant-size by construction.)
+    assertNever("q141_dedup_savings", "CartesianProduct", "Window")
+    val p = planOf("q141_dedup_savings")
+    assert(p.contains("Scan ExistingRDD"),
+      "the pair table must enter as the materialized checkpoint")
+    assert(!p.contains("word_ngrams"),
+      "re-deriving shingles per threshold would defeat the verify-once contract")
+  }
 }
