@@ -1004,6 +1004,66 @@ object PipelineQueries {
         .orderBy(col("theta"))
     }),
 
+    "q143_corpus_diff" -> ((s, d) => {
+      // corpus VERSION DIFF — the release-ops report between two dataset
+      // snapshots ("what changed since v1?"): docs classified
+      // added/removed/modified/unchanged by content digest, with doc and
+      // token mass per class. v2 is derived deterministically from the
+      // documents table (id % 11 == 0 dropped, id % 13 == 0 text-rewritten,
+      // every 17th id shifted +100000 to appear as an add) so the oracle
+      // rebuilds the identical pair of snapshots. ONE full outer equi-join
+      // on doc id (both sides narrow: id, md5, token count) + a 4-row
+      // conditional-sum rollup — no content ever crosses the shuffle, only
+      // digests; at 100 TB this is two metadata scans and one join on the
+      // id, the same cost class as q30.
+      val v1 = Tables.documents(s, d).select(col("doc_id").as("id"),
+        md5(col("text")).as("h1"),
+        size(T.tokens(col("text"))).cast("long").as("t1"))
+      val v2base = Tables.documents(s, d).where(col("doc_id") % 11 =!= 0)
+      val v2 = v2base.select(
+        when(col("doc_id") % 17 === 0, col("doc_id") + 100000L)
+          .otherwise(col("doc_id")).as("id"),
+        md5(when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h2"),
+        (size(T.tokens(col("text"))) +
+          when(col("doc_id") % 13 === 0, 1).otherwise(0)).cast("long").as("t2"))
+      v1.join(v2, Seq("id"), "full_outer")
+        .select(
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "modified")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("t1"), lit(0L)).as("t1"),
+          coalesce(col("t2"), lit(0L)).as("t2"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t1")).as("tokens_v1"), sum(col("t2")).as("tokens_v2"),
+          sum(col("t2") - col("t1")).as("token_delta"))
+        .orderBy(col("status"))
+    }),
+
+    "q142_streaming_line_dedup" -> ((s, d) => {
+      // the STREAMING line-dedup twin run in batch mode — the q46/q40
+      // discipline: the exact code that serves the continuous ingest
+      // (broadcast census mark + watermarked per-doc reassembly,
+      // StreamingExtraction.streamingLineDedup) must reproduce the batch
+      // rebuild's values, gated here against the same oracle shape as q124.
+      // The census comes from CorpusOps.hotUnits — the persisted-artifact
+      // half of the daily cycle; ts is a synthetic deterministic event time
+      // (the watermark is a no-op in batch).
+      val docs = Tables.documents(s, d).select(
+        col("doc_id").as("id"), col("text"),
+        to_timestamp(lit("2026-01-01 00:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, 0, doc_id)")).as("ts"))
+      val census = CorpusOps.hotUnits(Tables.documents(s, d),
+        col("doc_id"), col("text"), unitTokens = 5, minOcc = 2)
+      graft.streaming.StreamingExtraction
+        .streamingLineDedup(docs, census, unitTokens = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q137_triangle_count" -> ((s, d) => {
       // triangle listing over the verified near-dup graph — the cluster-
       // density diagnostic (a dedup graph of star fragments vs true cliques
@@ -2904,6 +2964,52 @@ object PipelineQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                 min(ttr_pm) AS min_ttr_pm, max(ttr_pm) AS max_ttr_pm
          FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    // Same derived v2 snapshot; DuckDB's md5 and full outer join reproduce
+    // the classification bit-for-bit.
+    "q143_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id AS id, md5(text) AS h1,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS t1
+             FROM documents),
+         v2 AS (SELECT
+               CASE WHEN doc_id % 17 = 0 THEN doc_id + 100000 ELSE doc_id END AS id,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h2,
+               CAST(len(string_split(text, ' ')) +
+                    CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS t2
+             FROM documents WHERE doc_id % 11 != 0),
+         j AS (SELECT CASE WHEN h1 IS NULL THEN 'added'
+                           WHEN h2 IS NULL THEN 'removed'
+                           WHEN h1 != h2 THEN 'modified'
+                           ELSE 'unchanged' END AS status,
+                      coalesce(t1, 0) AS t1, coalesce(t2, 0) AS t2
+               FROM v1 FULL OUTER JOIN v2 USING (id))
+         SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(t1) AS BIGINT) AS tokens_v1,
+                CAST(sum(t2) AS BIGINT) AS tokens_v2,
+                CAST(sum(t2 - t1) AS BIGINT) AS token_delta
+         FROM j GROUP BY status ORDER BY status""",
+
+    // The streaming code path must reproduce q124's values: same unit
+    // split, census gate, and ordered reassembly — docs producing no units
+    // would drop stream-side (none exist in this corpus), everything else
+    // is value-identical, so the oracle keeps the LEFT-join restore shape.
+    "q142_streaming_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         u AS MATERIALIZED (
+           SELECT doc_id, s AS st,
+                  array_to_string(ws[s+1 : least(s + 5, len(ws))], ' ') AS seg
+           FROM t, UNNEST(range(0, len(ws), 5)) AS v(s)),
+         hot AS (SELECT md5(seg) AS dg FROM u GROUP BY 1 HAVING count(*) >= 2),
+         kept AS (SELECT doc_id, st, seg FROM u
+                  WHERE md5(seg) NOT IN (SELECT dg FROM hot)),
+         reb AS (SELECT doc_id,
+                   CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY st) AS clean
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                coalesce(r.n_kept, 0) AS n_kept,
+                md5(coalesce(r.clean, '')) AS clean_md5
+         FROM t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""",
 
     // One quadratic exact pair table at the loosest gate, re-filtered per
     // threshold — the oracle twin of the verify-once/gate-many sweep.
