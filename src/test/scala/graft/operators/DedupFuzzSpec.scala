@@ -86,4 +86,97 @@ class DedupFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  /** Brute-force tf-idf cosine pairs with the operator's exact integer
+   * semantics (relative prune, wt = 1000·tf div df, ⌊√Σwt²⌋ norms,
+   * cos_ppm = 10⁶·dot div (na·nb)): every pair sharing ≥ 1 kept term. */
+  private def referenceTfidf(docs: Seq[(Long, Seq[String])], maxDfDenom: Int)
+      : Map[(Long, Long), (Long, Long)] = {
+    val nDocs = docs.map(_._1).distinct.size
+    val tf = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (t, v) => (t, v.size.toLong) }
+    val byDoc = tf.toSeq.collect {
+      case ((id, t), f) if df(t) * maxDfDenom <= nDocs && 1000 * f / df(t) > 0 =>
+        (id, t, 1000 * f / df(t))
+    }.groupBy(_._1).map { case (id, rows) =>
+      (id, rows.map(r => (r._2, r._3)).toMap)
+    }
+    val norms = byDoc.map { case (id, m) =>
+      (id, math.floor(math.sqrt(m.values.map(w => w * w).sum.toDouble)).toLong)
+    }
+    val ids = byDoc.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      shared = byDoc(a).keySet & byDoc(b).keySet
+      if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq.map(t => byDoc(a)(t) * byDoc(b)(t)).sum
+      ((a, b), (shared.size.toLong, 1000000L * dot / (norms(a) * norms(b))))
+    }).toMap
+  }
+
+  private def componentsOf(edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => (k, find(k))).toMap
+  }
+
+  test("capped tf-idf pairs are value-exact, cold-complete, and component-preserving") {
+    val rnd = new Random(20260814L)
+    import spark.implicits._
+    for (trial <- 1 to 8) {
+      // tiny vocab → big dfs → a small absolute cap binds on real structure;
+      // maxDfDenom = 1 disables the relative prune so the cap is the only guard
+      val vocab = (1 to (3 + rnd.nextInt(4))).map(i => s"t$i")
+      val docs = (1L to (6 + rnd.nextInt(8)).toLong).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val expected = referenceTfidf(docs, maxDfDenom = 1)
+      val toks = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+        .toDF("id", "term")
+      def run(maxDf: Long) = Similarity
+        .tfidfCosinePairs(toks, maxDfDenom = 1, minCosPpm = 0L, maxDf = maxDf)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      // 1. uncapped == reference exactly
+      val uncapped = run(1000000L)
+      assert(uncapped == expected, s"trial $trial uncapped: $uncapped vs $expected")
+      // compute the cold-term set for a binding cap
+      val maxDf = 2L + rnd.nextInt(3)
+      val nDocs = docs.size
+      val df = docs.flatMap { case (id, ts) => ts.distinct.map(t => (t, id)) }
+        .groupBy(_._1).map { case (t, v) => (t, v.size.toLong) }
+      val capped = run(maxDf)
+      // 2. every emitted pair carries the exact uncapped value (correction
+      // join + star verify are exact, never approximate)
+      capped.foreach { case (pair, v) =>
+        assert(expected.get(pair).contains(v),
+          s"trial $trial maxDf=$maxDf: pair $pair got $v expected ${expected.get(pair)}")
+      }
+      // 3. cold-completeness: every reference pair sharing >= 1 cold kept
+      // term must be enumerated
+      val byDoc = docs.toMap
+      expected.keys.foreach { case (a, b) =>
+        val sharedCold = (byDoc(a).toSet & byDoc(b).toSet)
+          .exists(t => df(t) <= maxDf)
+        if (sharedCold)
+          assert(capped.contains((a, b)),
+            s"trial $trial maxDf=$maxDf: cold-shared pair ($a,$b) missing")
+      }
+      // 4. the capped pair graph preserves the reference graph's components
+      // (hot-only clusters survive through the star fallback)
+      assert(componentsOf(capped.keys) == componentsOf(expected.keys),
+        s"trial $trial maxDf=$maxDf: component structure diverged")
+    }
+  }
 }
