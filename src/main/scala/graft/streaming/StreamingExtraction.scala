@@ -290,6 +290,39 @@ object StreamingExtraction {
   }
 
   /**
+   * [[streamingDecontaminate]]'s KEYED scale path — for benchmark sets whose
+   * gram table is too large for the nested-loop probe (the per-doc cost
+   * there is |benchmark grams| membership scans): explode each arriving
+   * document's grams, mark hits with ONE stream-static HASH equi-join on the
+   * gram (O(1) probe per unit against the built benchmark table — broadcast
+   * or shuffled-hash, the planner's call by size), and reassemble the
+   * per-document verdict with a watermarked aggregation whose state is the
+   * in-flight documents only. Exactly the batch semantics: a doc survives
+   * iff its id is not in the benchmark (stateless anti-join up front, before
+   * the explode) and no gram collides. Emits surviving `(id, ts)` in append
+   * mode once the watermark passes — the gate shape: downstream either keys
+   * the payload back in from its landing table or feeds the id list to the
+   * next batch stage. Trade vs the nested-loop variant: payload does not
+   * flow through (the explode would multiply it), and emission waits on the
+   * watermark; in exchange the benchmark can be arbitrarily large.
+   */
+  def streamingDecontaminateKeyed(docs: DataFrame, benchmark: DataFrame,
+                                  watermark: String = "10 minutes"): DataFrame = {
+    val benchIds = benchmark.select(col("id"))
+    val benchGrams = benchmark.select(explode(col("shingles")).as("gram"))
+      .distinct().withColumn("hit", lit(1))
+    docs
+      .join(broadcast(benchIds), Seq("id"), "left_anti")
+      .select(col("id"), col("ts"), explode(col("shingles")).as("gram"))
+      .join(benchGrams, Seq("gram"), "left")
+      .withWatermark("ts", watermark)
+      .groupBy(col("id"), col("ts"))
+      .agg(max(col("hit")).as("hit"))
+      .where(col("hit").isNull)
+      .select(col("id"), col("ts"))
+  }
+
+  /**
    * STREAMING line-level dedup — the continuous-ingest twin of
    * [[graft.operators.CorpusOps.lineDedup]], serving a PRECOMPUTED unit
    * census (the daily-crawl posture: the corpus-common-unit table is built

@@ -378,6 +378,44 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed.size < total, "some docs must be dropped (anti-vacuousness)")
   }
 
+  test("keyed streaming decontamination emits exactly the batch survivor ids") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val inDir = Files.createTempDirectory("graft-deconk-in").toFile
+    val ckDir = Files.createTempDirectory("graft-deconk-ck").toFile
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 5).as("shingles"),
+        to_timestamp(lit("2026-01-01 00:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, 0, doc_id)")).as("ts"))
+    val bench = docs.select(col("id"), col("shingles"))
+      .where(col("id") % 97 === 0).persist()
+    val third = docs.count() / 3
+    docs.where(col("id") <= third).coalesce(1).write.parquet(s"$inDir/chunk=0")
+    docs.where(col("id") > third && col("id") <= 2 * third)
+      .coalesce(1).write.parquet(s"$inDir/chunk=1")
+    docs.where(col("id") > 2 * third).coalesce(1).write.parquet(s"$inDir/chunk=2")
+    Seq((-1L, Seq("zz flush"), java.sql.Timestamp.valueOf("2027-01-01 00:00:00")))
+      .toDF("id", "shingles", "ts").coalesce(1).write.parquet(s"$inDir/chunk=3")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction
+      .streamingDecontaminateKeyed(stream, bench, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("stream_deconk")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_deconk").collect()
+      .map(_.getLong(0)).filter(_ >= 0L).toSet
+    val batch = graft.operators.CorpusOps
+      .decontaminate(docs.select(col("id"), col("shingles")), bench)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    bench.unpersist()
+    assert(streamed == batch, s"streamed ${streamed.size} != batch ${batch.size}")
+    assert(streamed.nonEmpty && streamed.size < docs.count())
+  }
+
   test("streaming line dedup against the batch census equals the batch rebuild") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-ldd-in").toFile
