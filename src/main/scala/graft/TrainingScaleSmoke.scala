@@ -131,8 +131,14 @@ object TrainingScaleSmoke {
       candidates = t._1; candidateIds = t._2
       candidates.count()
     }
+    var verified: org.apache.spark.sql.DataFrame = null
+    var verifiedIds: Seq[Int] = Nil
     val nVerified = timed("jaccard verify") {
-      Dedup.verifyJaccard(candidates, shingled, 0.8).count()
+      val t = checkpointTracked(
+        Dedup.verifyJaccard(candidates, shingled, 0.8)
+          .select(col("a"), col("b")))
+      verified = t._1; verifiedIds = t._2
+      verified.count()
     }
     // free this stage's frames AND the corpus band table
     // incrementalCandidates checkpointed internally (captured in candidateIds
@@ -145,6 +151,40 @@ object TrainingScaleSmoke {
     require(merges.size == 8, s"expected 8 learned merges, got ${merges.size}")
     require(nVerified >= planted * 95 / 100,
       s"verified pairs $nVerified should recover ~all $planted planted dups")
+
+    // 4b. The pair-graph ARTIFACT cycle at the full corpus: persist the
+    //     verified pairs + components once, serve the leakage-safe split of
+    //     ALL nDocs docs from the (tiny) component table with zero
+    //     corpus-side exchange, then fold a synthetic daily delta (every
+    //     planted dup doc gains one brand-new near-dup) into the labeling
+    //     with mergeComponents — history never re-pairs.
+    timed("pair-graph artifact write (pairs + components)") {
+      Dedup.writePairGraphIndex(verified, "smoke_pgx_pairs", "smoke_pgx_comp")
+    }
+    val nTrain = timed(s"artifact-served leakage split ($nDocs docs)") {
+      CorpusOps.leakageSafeSplitFromComponents(docs, col("id"),
+        spark.table("smoke_pgx_comp"), "smoke", trainPct = 80, valPct = 10)
+        .where(col("split") === "train").count()
+    }
+    require(nTrain > nDocs * 70L / 100 && nTrain < nDocs * 90L / 100,
+      s"80% train split should land near 0.8*$nDocs, got $nTrain")
+    val delta = spark.range(planted).select(
+      (col("id") * 100 + 1).as("a"), (col("id") * 100 + 1 + nDocs).as("b"))
+    val nMerged = timed("mergeComponents (synthetic daily delta)") {
+      Dedup.mergeComponents(spark.table("smoke_pgx_comp"), delta).count()
+    }
+    // the merged labeling covers exactly the union of the old labeling's
+    // vertices and the delta's endpoints (≈ 3·planted: each planted cluster
+    // {d-1, d} gains one brand-new member)
+    val nExpected = spark.table("smoke_pgx_comp").select(col("id"))
+      .unionByName(delta.select(col("a").as("id")))
+      .unionByName(delta.select(col("b").as("id")))
+      .distinct().count()
+    require(nMerged == nExpected,
+      s"merged labeling should cover $nExpected vertices, got $nMerged")
+    spark.sql("DROP TABLE IF EXISTS smoke_pgx_pairs")
+    spark.sql("DROP TABLE IF EXISTS smoke_pgx_comp")
+    free(verifiedIds)
 
     // 5. Semantic dedup (q100's operator), capped at 100k vectors: duplicate
     //    pairs are detected INSIDE an IVF cell only — the corpus never joins
