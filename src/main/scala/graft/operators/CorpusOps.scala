@@ -435,6 +435,25 @@ object CorpusOps {
       .where(col("fail_k") || col("fail_l"))
 
   /**
+   * The REMEDIATION pass [[kAnonymityAudit]] gates: suppress every row whose
+   * quasi-identifier class fails k-anonymity or l-diversity, releasing only
+   * rows from passing classes — cell suppression, the conservative
+   * remediation (generalization — coarser QI buckets — is the caller's
+   * re-bucket-and-rerun loop). `qiNames` are the QI column NAMES on `df`
+   * (the audit's grouping columns), so the release is ONE left-anti hash
+   * equi-join of the log against the (small — failing classes only,
+   * broadcast-eligible) audit output: the audit's census aggregate is the
+   * only corpus-size shuffle, and no sensitive value ever rides the audit
+   * table. Returns the releasable subset of `df` with all its columns.
+   */
+  def kAnonymitySuppress(df: DataFrame, qiNames: Seq[String], sensitive: Column,
+                         k: Long, l: Long): DataFrame =
+    df.join(
+      broadcast(kAnonymityAudit(df, qiNames.map(col), sensitive, k, l)
+        .select(qiNames.map(col): _*)),
+      qiNames, "left_anti")
+
+  /**
    * Per-group CDF (quantile) normalization of an integer-valued score
    * column — the cross-source calibration step before mixture sampling: a
    * raw quality score means different things in a clean source and a

@@ -1004,6 +1004,28 @@ object PipelineQueries {
         .orderBy(col("theta"))
     }),
 
+    "q144_k_anonymity_release" -> ((s, d) => {
+      // the REMEDIATION q128's audit gates — the actual release: rows whose
+      // QI class fails k-anonymity or l-diversity are suppressed (cell
+      // suppression), and the report shows what the gate cost per event
+      // type. ONE census aggregate (the only corpus-size shuffle) + one
+      // broadcast anti-join of the log against the failing-class table +
+      // two bounded rollups; fixed-point permille suppression rate.
+      val g = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        hour(col("ts")).as("hh"),
+        floor(col("value") / 10).cast("long").as("vbucket"), col("user_id"))
+      val released = CorpusOps.kAnonymitySuppress(g,
+        Seq("event_type", "hh", "vbucket"), col("user_id"), k = 5, l = 3)
+      g.groupBy(col("event_type")).agg(count(lit(1)).as("n_input"))
+        .join(released.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rel")), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_input"),
+          coalesce(col("n_rel"), lit(0L)).as("n_released"),
+          (col("n_input") - coalesce(col("n_rel"), lit(0L))).as("n_suppressed"))
+        .withColumn("suppressed_pm", expr("1000 * n_suppressed div n_input"))
+        .orderBy(col("event_type"))
+    }),
+
     "q143_corpus_diff" -> ((s, d) => {
       // corpus VERSION DIFF — the release-ops report between two dataset
       // snapshots ("what changed since v1?"): docs classified
@@ -2964,6 +2986,27 @@ object PipelineQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                 min(ttr_pm) AS min_ttr_pm, max(ttr_pm) AS max_ttr_pm
          FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    // Same failing-class rule as q128, applied: DuckDB's ANTI JOIN is the
+    // suppression; positive-operand div keeps the permille engine-exact.
+    "q144_k_anonymity_release" ->
+      """WITH g AS (SELECT event_id, event_type,
+               CAST(extract(hour FROM ts) AS INT) AS hh,
+               CAST(floor(value / 10) AS BIGINT) AS vbucket, user_id
+             FROM events),
+         fail AS (SELECT event_type, hh, vbucket FROM g GROUP BY 1, 2, 3
+                  HAVING count(*) < 5 OR count(DISTINCT user_id) < 3),
+         rel AS (SELECT g.* FROM g ANTI JOIN fail USING (event_type, hh, vbucket)),
+         inp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_input
+                 FROM g GROUP BY 1),
+         r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_released
+               FROM rel GROUP BY 1)
+         SELECT i.event_type, i.n_input,
+                coalesce(r.n_released, 0) AS n_released,
+                i.n_input - coalesce(r.n_released, 0) AS n_suppressed,
+                (1000 * (i.n_input - coalesce(r.n_released, 0))) // i.n_input
+                  AS suppressed_pm
+         FROM inp i LEFT JOIN r USING (event_type) ORDER BY event_type""",
 
     // Same derived v2 snapshot; DuckDB's md5 and full outer join reproduce
     // the classification bit-for-bit.
