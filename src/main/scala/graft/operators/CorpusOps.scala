@@ -445,13 +445,21 @@ object CorpusOps {
    * broadcast-eligible) audit output: the audit's census aggregate is the
    * only corpus-size shuffle, and no sensitive value ever rides the audit
    * table. Returns the releasable subset of `df` with all its columns.
+   *
+   * NULL QI values form their own class (groupBy treats NULL as a key), so
+   * the anti-join MUST match them: each QI column joins null-safely (`<=>`)
+   * — plain equality would let every row of a failing NULL-keyed class slip
+   * through the suppression gate. Still a hash equi-join (EqualNullSafe is
+   * an equi-key), so the broadcast plan shape is unchanged.
    */
   def kAnonymitySuppress(df: DataFrame, qiNames: Seq[String], sensitive: Column,
-                         k: Long, l: Long): DataFrame =
-    df.join(
-      broadcast(kAnonymityAudit(df, qiNames.map(col), sensitive, k, l)
-        .select(qiNames.map(col): _*)),
-      qiNames, "left_anti")
+                         k: Long, l: Long): DataFrame = {
+    val failing = broadcast(
+      kAnonymityAudit(df, qiNames.map(col), sensitive, k, l)
+        .select(qiNames.map(n => col(n).as(s"__fail_$n")): _*))
+    val cond = qiNames.map(n => df(n) <=> failing(s"__fail_$n")).reduce(_ && _)
+    df.join(failing, cond, "left_anti")
+  }
 
   /**
    * Per-group CDF (quantile) normalization of an integer-valued score
@@ -472,6 +480,20 @@ object CorpusOps {
    * no meaning, and engines disagree on null window ordering). Callers with
    * nullable scores filter or impute first.
    */
+  def quantileNormalize(df: DataFrame, group: String, value: String): DataFrame = {
+    val clean = df.where(col(group).isNotNull && col(value).isNotNull)
+    val census = clean.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
+    val totals = census.groupBy(col(group)).agg(sum(col("cnt")).as("n_rows"))
+    val cumW = Window.partitionBy(col(group)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = census
+      .withColumn("cum_le", sum(col("cnt")).over(cumW))
+      .join(broadcast(totals), group)
+      .select(col(group), col(value),
+        expr("(1000000 * cum_le) div n_rows").as("cdf_ppm"))
+    clean.join(cdf, Seq(group, value))
+  }
+
   /**
    * Per-group WINSORIZATION in exact fixed point — the robust-statistics
    * cleaning pass before aggregate features (a fat-finger 10⁶ value must not
@@ -509,20 +531,6 @@ object CorpusOps {
         greatest(col("p_lo_fp"), least(col("p_hi_fp"), col(vfp))))
       .withColumn("was_clipped",
         col(vfp) < col("p_lo_fp") || col(vfp) > col("p_hi_fp"))
-  }
-
-  def quantileNormalize(df: DataFrame, group: String, value: String): DataFrame = {
-    val clean = df.where(col(group).isNotNull && col(value).isNotNull)
-    val census = clean.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
-    val totals = census.groupBy(col(group)).agg(sum(col("cnt")).as("n_rows"))
-    val cumW = Window.partitionBy(col(group)).orderBy(col(value))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = census
-      .withColumn("cum_le", sum(col("cnt")).over(cumW))
-      .join(broadcast(totals), group)
-      .select(col(group), col(value),
-        expr("(1000000 * cum_le) div n_rows").as("cdf_ppm"))
-    clean.join(cdf, Seq(group, value))
   }
 
   /**

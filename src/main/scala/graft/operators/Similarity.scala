@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -364,9 +364,15 @@ object Similarity {
    * unguarded original; a binding cap WARNs through the shared
    * [[Dedup.loudWhenCapBinds]] listener. Bounded candidate behavior on a
    * planted mega-df term is pinned in ScaleOpsSpec.
+   *
+   * The cap is OPT-IN: `maxDf` defaults to `Long.MaxValue` (never binds), so
+   * existing callers keep full enumeration; scale deployments pass an
+   * explicit cap (q126 uses 10 000) and accept the documented hot-only
+   * recall concession in exchange for the bounded Σ df².
    */
   def tfidfCosinePairs(toks: DataFrame, maxDfDenom: Int = 2,
-                       minCosPpm: Long = 0L, maxDf: Long = 10000L): DataFrame = {
+                       minCosPpm: Long = 0L,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = toks.agg(countDistinct(col("id")).as("n_docs"))
@@ -387,10 +393,28 @@ object Similarity {
       .localCheckpoint()
     // norms are over ALL kept postings — the cap changes candidate
     // generation, never the vector the cosine is taken against
-    val norms = post.groupBy(col("id"))
+    val norms = postingsNorms(post)
+    cappedCosineFromPostings(post, norms, minCosPpm, maxDf)
+  }
+
+  /** Integer norms over a `(id, term, wt, df)` postings frame — always over
+   * ALL kept postings (the cap never changes the vector a cosine is taken
+   * against). */
+  private def postingsNorms(post: DataFrame): DataFrame =
+    post.groupBy(col("id"))
       .agg(sum(col("wt") * col("wt")).as("n2"))
       .select(col("id"),
         floor(sqrt(col("n2").cast("double"))).cast("long").as("nrm"))
+
+  /** The df-capped exact-cosine core of [[tfidfCosinePairs]], factored over
+   * an already-materialized postings frame so the in-session path (postings
+   * localCheckpointed above) and the persisted-artifact path
+   * ([[tfidfCosinePairsFromIndex]] — postings ARE a parquet table) run the
+   * byte-identical pair algebra: the two can only diverge in where the
+   * postings come from, which is exactly the equivalence
+   * PersistedIndexSpec pins. */
+  private def cappedCosineFromPostings(post: DataFrame, norms: DataFrame,
+                                       minCosPpm: Long, maxDf: Long): DataFrame = {
     val hotSet = Dedup.loudWhenCapBinds(
         post.where(col("df") > maxDf)
           .groupBy(col("term")).agg(max(col("df")).as("df")), maxDf)
@@ -447,6 +471,165 @@ object Similarity {
       .where(col("cos_ppm") >= minCosPpm)
       .distinct()
   }
+
+  /**
+   * PERSISTED tf-idf postings artifact — the weighted-similarity twin of
+   * [[Dedup.writeBandIndex]]: pay the tokenize + tf/df aggregation + df-prune
+   * ONCE at index time, then serve every later similarity pass (full pair
+   * enumeration, daily new×old probes) from parquet instead of recomputing
+   * tf/df/norms per invocation. Three tables:
+   *  - `<table>`       — `(id, term, wt, df)` postings, BUCKETED+sorted by
+   *    `term` (the pair-generation join key): the postings self-join and the
+   *    per-term df census plan ZERO exchanges above the index scan;
+   *  - `<table>_norms` — `(id, nrm)` bucketed by `id` (the verify-side key);
+   *  - `<table>_meta`  — 1 row `(n_docs)`: the weighting snapshot's corpus
+   *    size, so incremental probes weight new docs against the SAME
+   *    denominator the index was built with.
+   * Unlike the in-session localCheckpoint, the artifact survives the session
+   * and recomputes nothing on executor loss.
+   */
+  def writeTfidfPostingsIndex(toks: DataFrame, table: String,
+                              maxDfDenom: Int = 2,
+                              numBuckets: Int = 32): Unit = {
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = toks.agg(countDistinct(col("id")).as("n_docs"))
+    val kept = df_.join(broadcast(nd),
+      col("df") * lit(maxDfDenom.toLong) <= col("n_docs"))
+    val post = tf.join(kept.select(col("term"), col("df")), "term")
+      .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"), col("df"))
+      .where(col("wt") > 0)
+    CorpusOps.writeBucketed(post, table, "term", numBuckets)
+    val saved = toks.sparkSession.table(table)
+    CorpusOps.writeBucketed(postingsNorms(saved), s"${table}_norms", "id",
+      numBuckets)
+    nd.write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /**
+   * [[tfidfCosinePairs]] served from a persisted [[writeTfidfPostingsIndex]]
+   * artifact: identical pair semantics and values (both paths run
+   * [[cappedCosineFromPostings]]; the only difference is postings
+   * provenance — proven value-identical in PersistedIndexSpec). Plan shape:
+   * the cold×cold postings self-join reads the SAME term-bucketed table on
+   * both sides (no Exchange above either scan); the hot census and the
+   * df-prune are bucket-local; only the (a, b) collapse shuffles, which is
+   * the irreducible output key.
+   */
+  def tfidfCosinePairsFromIndex(spark: SparkSession, table: String,
+                                minCosPpm: Long = 0L,
+                                maxDf: Long = Long.MaxValue): DataFrame =
+    cappedCosineFromPostings(spark.table(table), spark.table(s"${table}_norms"),
+      minCosPpm, maxDf)
+
+  /**
+   * Daily-crawl NEW×OLD weighted-similarity probe against a persisted
+   * [[writeTfidfPostingsIndex]] artifact — the [[Dedup.incrementalCandidatesFromIndex]]
+   * discipline for the tf-idf cosine path: the historical corpus never
+   * re-tokenizes, never re-aggregates, and its side of the term join plans
+   * no exchange (bucket-colocated scan). New docs are weighted AGAINST THE
+   * SNAPSHOT — `wt = 1000·tf div df_index(term)` with the index's df — so a
+   * probe is reproducible regardless of crawl order; new-doc terms outside
+   * the index vocabulary contribute nothing (they cannot match any old doc's
+   * kept terms anyway — affects only the new doc's norm, documented snapshot
+   * semantics; the periodic full index rebuild re-admits them). Same
+   * df-cap discipline as the batch operator: hot terms (index df > `maxDf`)
+   * are excluded from pair generation, their dot-product contribution is
+   * restored EXACTLY by the bounded per-candidate correction join, and a
+   * new doc sharing ONLY hot terms with the corpus re-enters through a
+   * per-term star against the term's min OLD holder, scored exactly.
+   * Requires new ids disjoint from index ids (the incremental contract).
+   * Emits `(a, b, n_shared, cos_ppm)` with `a` = new doc, `b` = corpus doc.
+   */
+  def incrementalTfidfPairsFromIndex(newToks: DataFrame, table: String,
+                                     minCosPpm: Long = 0L,
+                                     maxDf: Long = Long.MaxValue): DataFrame = {
+    val spark = newToks.sparkSession
+    val post = spark.table(table)
+    val oldNorms = spark.table(s"${table}_norms")
+    // per-term df of the snapshot: grouping key == bucket column — no
+    // exchange above the index scan
+    val termDf = post.groupBy(col("term")).agg(max(col("df")).as("df"))
+    val newPost = newToks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(termDf, "term")
+      .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"),
+        col("df"))
+      .where(col("wt") > 0)
+      .localCheckpoint()
+    val newNorms = postingsNorms(newPost)
+    val hotSet = Dedup.loudWhenCapBinds(
+        post.where(col("df") > maxDf)
+          .groupBy(col("term")).agg(max(col("df")).as("df")), maxDf)
+      .select(col("term"))
+    val oldCold = post.join(hotSet, Seq("term"), "left_anti")
+    val oldHot = post.join(hotSet, Seq("term"), "left_semi")
+    val newCold = newPost.join(hotSet, Seq("term"), "left_anti")
+    val newHot = newPost.join(hotSet, Seq("term"), "left_semi")
+    val coldPairs = newCold
+      .select(col("term"), col("id").as("a"), col("wt").as("wa"))
+      .join(oldCold.select(col("term"), col("id").as("b"), col("wt").as("wb")),
+        Seq("term"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wa") * col("wb")).as("dot_cold"), count(lit(1)).as("n_cold"))
+      .join(newNorms.select(col("id").as("a"), col("nrm").as("na")), "a")
+      .join(oldNorms.select(col("id").as("b"), col("nrm").as("nb")), "b")
+    val hotNorm2New = newHot.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
+    val hotNorm2Old = oldHot.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
+    val bounded = coldPairs
+      .join(hotNorm2New.select(col("id").as("a"), col("h2").as("h2a")), Seq("a"), "left")
+      .join(hotNorm2Old.select(col("id").as("b"), col("h2").as("h2b")), Seq("b"), "left")
+      .withColumn("credit",
+        floor(sqrt(coalesce(col("h2a"), lit(0L)).cast("double") *
+          coalesce(col("h2b"), lit(0L)).cast("double"))).cast("long") + lit(1L))
+      .where(expr("1000000 * (dot_cold + credit) div (na * nb)") >= minCosPpm)
+      .select(col("a"), col("b"), col("dot_cold"), col("n_cold"),
+        col("na"), col("nb"))
+    val corrected = bounded
+      .join(newHot.select(col("id").as("a"), col("term"), col("wt").as("wah")),
+        Seq("a"), "left")
+      .join(oldHot.select(col("id").as("b"), col("term"), col("wt").as("wbh")),
+        Seq("b", "term"), "left")
+      .groupBy(col("a"), col("b"), col("dot_cold"), col("n_cold"),
+        col("na"), col("nb"))
+      .agg(sum(col("wah") * col("wbh")).as("dot_hot"),
+        count(col("wbh")).as("n_hot"))
+      .select(col("a"), col("b"),
+        (col("n_cold") + col("n_hot")).as("n_shared"),
+        (col("dot_cold") + coalesce(col("dot_hot"), lit(0L))).as("dot"),
+        col("na"), col("nb"))
+    // hot-only bridges: each NEW holder of a hot term pairs with the term's
+    // min OLD holder — linear per term, scored exactly from both full
+    // postings sides
+    val starCands = newHot.select(col("id").as("a"), col("term"))
+      .join(oldHot.groupBy(col("term")).agg(min(col("id")).as("b")), "term")
+      .select(col("a"), col("b"))
+      .distinct()
+    val starScored = scorePairsExactAb(starCands, newPost, newNorms, post, oldNorms)
+    corrected.unionByName(starScored)
+      .select(col("a"), col("b"), col("n_shared"),
+        expr("1000000 * dot div (na * nb)").as("cos_ppm"))
+      .where(col("cos_ppm") >= minCosPpm)
+      .distinct()
+  }
+
+  /** [[scorePairsExact]] with DISTINCT postings/norms per side — the new×old
+   * star verifier: `a` ids resolve against `(postA, normsA)`, `b` ids
+   * against `(postB, normsB)`. */
+  private def scorePairsExactAb(candidates: DataFrame,
+                                postA: DataFrame, normsA: DataFrame,
+                                postB: DataFrame, normsB: DataFrame): DataFrame =
+    candidates
+      .join(postA.select(col("id").as("a"), col("term"), col("wt").as("wa")), "a")
+      .join(postB.select(col("id").as("b"), col("term"), col("wt").as("wb")),
+        Seq("b", "term"), "left")
+      .groupBy(col("a"), col("b"))
+      .agg(count(col("wb")).as("n_shared"),
+        coalesce(sum(col("wa") * col("wb")), lit(0L)).as("dot"))
+      .join(normsA.select(col("id").as("a"), col("nrm").as("na")), "a")
+      .join(normsB.select(col("id").as("b"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_shared"), col("dot"),
+        col("na"), col("nb"))
 
   /** Exact (dot, n_shared, norms) for candidate pairs from the full weighted
    * postings — the star-pair verifier for [[tfidfCosinePairs]]'s hot path:

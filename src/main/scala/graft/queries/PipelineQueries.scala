@@ -762,7 +762,7 @@ object PipelineQueries {
           Tables.documents(s, d).where(col("doc_id") % 10 === 0)
             .select(col("doc_id").as("id"),
               explode(T.tokens(col("text"))).as("term")),
-          maxDfDenom = 2, minCosPpm = 500000)
+          maxDfDenom = 2, minCosPpm = 500000, maxDf = 10000L)
         .orderBy(col("a"), col("b"))
     }),
 

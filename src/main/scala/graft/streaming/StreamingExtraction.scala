@@ -305,6 +305,11 @@ object StreamingExtraction {
    * next batch stage. Trade vs the nested-loop variant: payload does not
    * flow through (the explode would multiply it), and emission waits on the
    * watermark; in exchange the benchmark can be arbitrarily large.
+   *
+   * A document with an EMPTY (or NULL) `shingles` array is clean by
+   * definition and must still emit — `explode_outer` keeps its row as a
+   * single NULL gram, which can never equi-match `benchGrams` (batch and
+   * nested-loop parity: both keep such docs).
    */
   def streamingDecontaminateKeyed(docs: DataFrame, benchmark: DataFrame,
                                   watermark: String = "10 minutes"): DataFrame = {
@@ -313,7 +318,7 @@ object StreamingExtraction {
       .distinct().withColumn("hit", lit(1))
     docs
       .join(broadcast(benchIds), Seq("id"), "left_anti")
-      .select(col("id"), col("ts"), explode(col("shingles")).as("gram"))
+      .select(col("id"), col("ts"), explode_outer(col("shingles")).as("gram"))
       .join(benchGrams, Seq("gram"), "left")
       .withWatermark("ts", watermark)
       .groupBy(col("id"), col("ts"))

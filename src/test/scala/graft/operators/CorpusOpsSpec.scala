@@ -199,6 +199,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.contains("a"))
   }
 
+  test("kAnonymitySuppress suppresses NULL-keyed failing classes (null-safe join)") {
+    import spark.implicits._
+    // class "a": 5 members / 3 users — passes k=5, l=3 and must release;
+    // class NULL: 2 members / 1 user — fails BOTH and must be suppressed
+    // (groupBy keys NULL as its own class; a plain-equality anti-join would
+    // leak every one of its rows)
+    val rows: Seq[(Option[String], Long)] =
+      Seq.tabulate(5)(i => (Some("a"), (i % 3).toLong)) ++
+        Seq((None, 7L), (None, 7L))
+    val df = rows.toDF("qi", "user")
+    val released = CorpusOps.kAnonymitySuppress(df, Seq("qi"), col("user"),
+        k = 5, l = 3)
+      .collect().map(r => Option(r.getString(0)))
+    assert(released.length == 5 && released.forall(_.contains("a")),
+      s"NULL-keyed failing class leaked: ${released.mkString(",")}")
+    // and a PASSING NULL class releases (the null-safe match is symmetric)
+    val rows2: Seq[(Option[String], Long)] =
+      Seq.tabulate(5)(i => (None, (i % 3).toLong)) ++ Seq((Some("b"), 1L))
+    val released2 = CorpusOps.kAnonymitySuppress(rows2.toDF("qi", "user"),
+        Seq("qi"), col("user"), k = 5, l = 3)
+      .collect().map(r => Option(r.getString(0)))
+    assert(released2.length == 5 && released2.forall(_.isEmpty),
+      s"passing NULL class must release: ${released2.mkString(",")}")
+  }
+
   test("vocabCoverage: ranked cumulative mass, deterministic ties, k beyond vocab") {
     import spark.implicits._
     // counts: a=4, b=3, c=3 (tie breaks b before c), d=1, e=1 — total 12

@@ -393,7 +393,15 @@ class SessionizeSpec extends SparkSpec {
     docs.where(col("id") <= third).coalesce(1).write.parquet(s"$inDir/chunk=0")
     docs.where(col("id") > third && col("id") <= 2 * third)
       .coalesce(1).write.parquet(s"$inDir/chunk=1")
-    docs.where(col("id") > 2 * third).coalesce(1).write.parquet(s"$inDir/chunk=2")
+    // an empty-shingles doc is clean by definition: batch keeps it (the
+    // explode only feeds the contaminated side) and the keyed stream's
+    // explode_outer must keep it too — pinned by the set equality below
+    // plus the explicit membership assert
+    docs.where(col("id") > 2 * third)
+      .unionByName(Seq((1000000007L, Seq.empty[String],
+        java.sql.Timestamp.valueOf("2026-06-01 00:00:00")))
+        .toDF("id", "shingles", "ts"))
+      .coalesce(1).write.parquet(s"$inDir/chunk=2")
     Seq((-1L, Seq("zz flush"), java.sql.Timestamp.valueOf("2027-01-01 00:00:00")))
       .toDF("id", "shingles", "ts").coalesce(1).write.parquet(s"$inDir/chunk=3")
     val stream = spark.readStream.schema(docs.schema)
@@ -409,10 +417,16 @@ class SessionizeSpec extends SparkSpec {
     val streamed = spark.table("stream_deconk").collect()
       .map(_.getLong(0)).filter(_ >= 0L).toSet
     val batch = graft.operators.CorpusOps
-      .decontaminate(docs.select(col("id"), col("shingles")), bench)
+      .decontaminate(
+        docs.select(col("id"), col("shingles"))
+          .unionByName(Seq((1000000007L, Seq.empty[String]))
+            .toDF("id", "shingles")),
+        bench)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     bench.unpersist()
     assert(streamed == batch, s"streamed ${streamed.size} != batch ${batch.size}")
+    assert(streamed.contains(1000000007L),
+      "empty-shingles doc must survive the keyed gate (explode_outer)")
     assert(streamed.nonEmpty && streamed.size < docs.count())
   }
 
