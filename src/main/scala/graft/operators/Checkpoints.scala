@@ -36,8 +36,23 @@ private[operators] object Checkpoints {
       true
     }
 
+  /** TEST-ONLY chaos hook: invoked on the driver thread right after each
+   * round's materialization, so a spec can force block eviction BETWEEN
+   * fixpoint iterations (the executor-loss simulation local mode allows).
+   * ThreadLocal so a chaos test can never leak eviction into suites running
+   * concurrently on the shared session; production never sets it. */
+  private[operators] val afterMaterialize: ThreadLocal[DataFrame => Unit] =
+    new ThreadLocal[DataFrame => Unit] {
+      override def initialValue: DataFrame => Unit = _ => ()
+    }
+
   /** Materialize one iteration round: reliable `checkpoint()` when opted in,
    * `localCheckpoint()` otherwise. Both are eager and truncate lineage. */
-  def iterative(df: DataFrame): DataFrame =
-    if (reliableEnabled(df.sparkSession)) df.checkpoint() else df.localCheckpoint()
+  def iterative(df: DataFrame): DataFrame = {
+    val out =
+      if (reliableEnabled(df.sparkSession)) df.checkpoint()
+      else df.localCheckpoint()
+    afterMaterialize.get()(out)
+    out
+  }
 }

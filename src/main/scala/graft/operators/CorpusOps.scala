@@ -238,6 +238,45 @@ object CorpusOps {
       .toDF("doc_id", "worker", "bin", "n_tokens")
   }
 
+  private val sampleAuditSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val sampleAuditSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /**
+   * A SAMPLED sweep must be loud, not silent — the [[Dedup.loudWhenCapBinds]]
+   * discipline for deterministic subsampling concessions (q141's 1/3 pair
+   * sweep): the kept-row count and the declared denominator ride the query as
+   * a named observed metric (zero extra jobs), and a once-per-session
+   * listener WARNs the sample rate on every execution, so a production run
+   * of a sampled diagnostic always STATES it is a distribution-shape
+   * estimate, never passes as a full census. Wrap the already-filtered
+   * frame; `denom` is the declared 1/denom rate.
+   */
+  def loudSampled(df: DataFrame, denom: Int): DataFrame = {
+    require(denom >= 1, "denom must be >= 1")
+    val spark = df.sparkSession
+    sampleAuditSessions.synchronized {
+      if (sampleAuditSessions.add(spark))
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.corpus.sample"))
+                org.slf4j.LoggerFactory.getLogger("graft.operators.CorpusOps").warn(
+                  s"sampled sweep: deterministic 1/${row.getLong(1)} sample, " +
+                    s"${row.getLong(0)} rows kept - results are a " +
+                    "distribution-shape diagnostic, not a full census")
+            }
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+    }
+    df.observe(s"graft.corpus.sample.${sampleAuditSeq.incrementAndGet()}",
+      count(lit(1)).as("n_sampled"), lit(denom.toLong).as("denom"))
+  }
+
   /**
    * Persist a table BUCKETED (and per-bucket sorted) by `key` — the 100 TB
    * co-location technique: every later equi-join or aggregation on `key`

@@ -715,8 +715,11 @@ object Dedup {
    * checkpoint dir (survives executor loss; nothing to free — no blocks are
    * pinned, file reclamation is the context cleaner's job). */
   private def trackedCheckpoint(df: DataFrame): (DataFrame, Seq[Int]) = {
-    if (Checkpoints.reliableEnabled(df.sparkSession))
-      return (df.checkpoint(), Seq.empty)
+    if (Checkpoints.reliableEnabled(df.sparkSession)) {
+      val out = df.checkpoint()
+      Checkpoints.afterMaterialize.get()(out)
+      return (out, Seq.empty)
+    }
     val out = df.localCheckpoint()
     // the persisted id comes from the checkpoint's OWN LogicalRDD — a
     // before/after diff of getPersistentRDDs would race a concurrent query
@@ -725,6 +728,7 @@ object Dedup {
     val ids = out.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
+    Checkpoints.afterMaterialize.get()(out)
     (out, ids)
   }
 

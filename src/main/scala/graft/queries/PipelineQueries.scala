@@ -990,8 +990,10 @@ object PipelineQueries {
       // this uniformly-common vocabulary): a threshold-policy decision
       // needs the distribution's SHAPE, not the full pair census — at
       // production scale the exact quadratic-at-θ=0.5 table is a sampled
-      // diagnostic by construction.
-      val docs = docShingles(s, d, 2, col("doc_id") % 3 === 0)
+      // diagnostic by construction. The sample is LOUD: CorpusOps.loudSampled
+      // rides the rate as an observed metric and WARNs it per execution.
+      val docs = CorpusOps.loudSampled(
+        docShingles(s, d, 2, col("doc_id") % 3 === 0), denom = 3)
       val pairs = Dedup.allPairsJaccard(docs, 0.5).localCheckpoint()
       def row(t: Double) = {
         val p = pairs.where(col("jac") >= t)
@@ -1024,6 +1026,26 @@ object PipelineQueries {
           (col("n_input") - coalesce(col("n_rel"), lit(0L))).as("n_suppressed"))
         .withColumn("suppressed_pm", expr("1000 * n_suppressed div n_input"))
         .orderBy(col("event_type"))
+    }),
+
+    "q145_postings_probe" -> ((s, d) => {
+      // the persisted-postings daily cycle end to end, oracle-gated: the OLD
+      // half of the (1/10-sampled, q126 convention) corpus builds the
+      // bucketed tf-idf index ONCE (tokenize + tf/df + prune paid at write
+      // time), then the NEW half probes it — snapshot-weighted new×old
+      // cosine pairs, the corpus side exchange-free on the term join. The
+      // oracle recomputes the same snapshot algebra relationally: df and the
+      // prune denominator come from the OLD corpus only, new docs weight
+      // against the INDEX df (terms outside the snapshot vocabulary drop).
+      val toks = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"), explode(T.tokens(col("text"))).as("term"))
+        .localCheckpoint()
+      val half = (toks.agg(max(col("id"))).head.getLong(0) + 1) / 2
+      Similarity.writeTfidfPostingsIndex(toks.where(col("id") < half),
+        "q145_idx", maxDfDenom = 2)
+      Similarity.incrementalTfidfPairsFromIndex(toks.where(col("id") >= half),
+          "q145_idx", minCosPpm = 300000)
+        .orderBy(col("a"), col("b"))
     }),
 
     "q143_corpus_diff" -> ((s, d) => {
@@ -2996,7 +3018,12 @@ object PipelineQueries {
              FROM events),
          fail AS (SELECT event_type, hh, vbucket FROM g GROUP BY 1, 2, 3
                   HAVING count(*) < 5 OR count(DISTINCT user_id) < 3),
-         rel AS (SELECT g.* FROM g ANTI JOIN fail USING (event_type, hh, vbucket)),
+         -- null-safe per QI column, matching kAnonymitySuppress's <=> join
+         -- (a NULL-keyed failing class must suppress, not leak)
+         rel AS (SELECT g.* FROM g ANTI JOIN fail f
+                 ON g.event_type IS NOT DISTINCT FROM f.event_type
+                 AND g.hh IS NOT DISTINCT FROM f.hh
+                 AND g.vbucket IS NOT DISTINCT FROM f.vbucket),
          inp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_input
                  FROM g GROUP BY 1),
          r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_released
@@ -3007,6 +3034,43 @@ object PipelineQueries {
                 (1000 * (i.n_input - coalesce(r.n_released, 0))) // i.n_input
                   AS suppressed_pm
          FROM inp i LEFT JOIN r USING (event_type) ORDER BY event_type""",
+
+    // Snapshot-weighted new×old probe: df, the prune denominator, and every
+    // weight come from the OLD half only — the persisted-index contract
+    // rebuilt relationally.
+    "q145_postings_probe" ->
+      """WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+                    FROM documents WHERE doc_id % 10 = 0),
+         m AS (SELECT (max(id) + 1) // 2 AS half FROM t),
+         old_t AS (SELECT * FROM t WHERE id < (SELECT half FROM m)),
+         new_t AS (SELECT * FROM t WHERE id >= (SELECT half FROM m)),
+         otf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM old_t GROUP BY 1, 2),
+         odf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM otf GROUP BY 1),
+         ond AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs FROM old_t),
+         opost AS (SELECT id, term, (1000 * tf) // df AS wt, df
+                   FROM otf JOIN odf USING (term), ond
+                   WHERE df * 2 <= ond.n_docs AND (1000 * tf) // df > 0),
+         ntf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM new_t GROUP BY 1, 2),
+         npost AS (SELECT ntf.id, ntf.term, (1000 * tf) // d.df AS wt
+                   FROM ntf JOIN (SELECT DISTINCT term, df FROM opost) d USING (term)
+                   WHERE (1000 * tf) // d.df > 0),
+         onorm AS (SELECT id,
+                     CAST(floor(sqrt(CAST(sum(wt * wt) AS BIGINT)::DOUBLE)) AS BIGINT) AS nrm
+                   FROM opost GROUP BY 1),
+         nnorm AS (SELECT id,
+                     CAST(floor(sqrt(CAST(sum(wt * wt) AS BIGINT)::DOUBLE)) AS BIGINT) AS nrm
+                   FROM npost GROUP BY 1),
+         pairs AS (SELECT n.id AS a, o.id AS b,
+                     CAST(sum(n.wt * o.wt) AS BIGINT) AS dot,
+                     CAST(count(*) AS BIGINT) AS n_shared
+                   FROM npost n JOIN opost o ON n.term = o.term GROUP BY 1, 2)
+         SELECT p.a, p.b, n_shared,
+                (1000000 * dot) // (na.nrm * nb.nrm) AS cos_ppm
+         FROM pairs p JOIN nnorm na ON p.a = na.id JOIN onorm nb ON p.b = nb.id
+         WHERE (1000000 * dot) // (na.nrm * nb.nrm) >= 300000
+         ORDER BY a, b""",
 
     // Same derived v2 snapshot; DuckDB's md5 and full outer join reproduce
     // the classification bit-for-bit.

@@ -224,6 +224,34 @@ class CorpusOpsSpec extends SparkSpec {
       s"passing NULL class must release: ${released2.mkString(",")}")
   }
 
+  test("loudSampled rides the sample rate as an observed metric on the query") {
+    import spark.implicits._
+    @volatile var seen: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.corpus.sample"))
+            seen = Some((row.getLong(0), row.getLong(1)))
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val sampled = CorpusOps.loudSampled(
+        (0L until 30L).toDF("id").where(col("id") % 3 === 0), denom = 3)
+      assert(sampled.count() == 10) // values unchanged — audit only
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.contains((10L, 3L)),
+        s"sample audit metric must fire with (kept=10, denom=3), got $seen")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("vocabCoverage: ranked cumulative mass, deterministic ties, k beyond vocab") {
     import spark.implicits._
     // counts: a=4, b=3, c=3 (tie breaks b before c), d=1, e=1 — total 12

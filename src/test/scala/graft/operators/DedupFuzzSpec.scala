@@ -179,4 +179,96 @@ class DedupFuzzSpec extends SparkSpec {
         s"trial $trial maxDf=$maxDf: component structure diverged")
     }
   }
+
+  test("hot-only recall concession is near zero at operating thresholds on Zipfian corpora") {
+    // Both df-capped postings joins document the same concession: a non-star
+    // pair whose members share ONLY hot terms is not enumerated. This case
+    // MEASURES it on Zipfian corpora with planted near-dups. Two rates ride
+    // the report:
+    //  - the ANY-OVERLAP rate (threshold 0): large on toy proportions by
+    //    construction — with df capped at the corpus size, every hot term
+    //    still carries weight (wt = 1000·tf div df > 0 needs df <= 1000·tf,
+    //    true for ANY df a 150-doc corpus can produce), so noise pairs
+    //    sharing one boilerplate term count as "missed". At production
+    //    proportions the wt floor zeroes exactly those terms (df > 10⁴ with
+    //    tf ~ 1 → wt = 0, dropped from the REFERENCE postings too), which is
+    //    why the default absolute cap loses ≈nothing at the scale it guards.
+    //  - the OPERATING-THRESHOLD rate (cos_ppm >= 500 000 / jac >= 0.5, the
+    //    shipped q126/q31 gates): the pairs a dedup pipeline acts on. A
+    //    high-similarity pair shares most of its weight, necessarily
+    //    including sub-cap terms — this rate is pinned ≈0.
+    val rnd = new Random(20260814L)
+    import spark.implicits._
+    val anyRates = scala.collection.mutable.ListBuffer[Double]()
+    val opRates = scala.collection.mutable.ListBuffer[(String, Double)]()
+    for (trial <- 1 to 3) {
+      val vocabSize = 300
+      // Zipf(s=1.1) sampler over z1..z300
+      val weights = (1 to vocabSize).map(i => 1.0 / math.pow(i.toDouble, 1.1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val tot = cum.last
+      def draw(): String = {
+        val x = rnd.nextDouble() * tot
+        s"z${cum.indexWhere(_ >= x) + 1}"
+      }
+      // 100 base docs + 50 near-copies (~10% token mutation) so the
+      // thresholded reference is well populated
+      val base = (1L to 100L).map(id =>
+        id -> Seq.fill(25 + rnd.nextInt(26))(draw()))
+      val copies = (101L to 150L).map { id =>
+        val src = base(rnd.nextInt(base.size))._2
+        id -> src.map(t => if (rnd.nextDouble() < 0.1) draw() else t)
+      }
+      val docs = base ++ copies
+      val nDocs = docs.size
+      val df = docs.flatMap { case (id, ts) => ts.distinct.map(t => (t, id)) }
+        .groupBy(_._1).map { case (t, v) => (t, v.size.toLong) }
+      val maxDf = (nDocs / 5).toLong // hot = the Zipf head (df > 20% of corpus)
+      assert(df.values.max > maxDf, s"trial $trial: cap must bind")
+
+      // tf-idf side, full reference with values (maxDfDenom=1: the absolute
+      // cap is the only guard under measurement)
+      val reference = referenceTfidf(docs, maxDfDenom = 1)
+      val toks = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+        .toDF("id", "term")
+      val cappedAll = Similarity
+        .tfidfCosinePairs(toks, maxDfDenom = 1, minCosPpm = 0L, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      anyRates += (reference.keySet -- cappedAll).size.toDouble / reference.size
+      val expectedOp = reference.collect {
+        case (pair, (_, cos)) if cos >= 500000L => pair }.toSet
+      assert(expectedOp.size >= 20,
+        s"trial $trial: planted near-dups must populate the thresholded reference")
+      val cappedOp = Similarity
+        .tfidfCosinePairs(toks, maxDfDenom = 1, minCosPpm = 500000L,
+          maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      opRates += (("tfidf", (expectedOp -- cappedOp).size.toDouble / expectedOp.size))
+
+      // jaccard side at the q31 operating threshold (distinct-set semantics)
+      val sets = docs.map { case (id, ts) => (id, ts.toSet) }.toMap
+      val ids = sets.keys.toSeq.sorted
+      val jExpected = (for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+        a = ids(i); b = ids(j)
+        inter = (sets(a) & sets(b)).size
+        if inter > 0 && inter.toDouble / (sets(a) | sets(b)).size >= 0.5
+      } yield (a, b)).toSet
+      assert(jExpected.size >= 20, s"trial $trial: jaccard reference too thin")
+      val shingled = docs.map { case (id, ts) => (id, ts.distinct) }
+        .toDF("id", "shingles")
+      val jCapped = Dedup.allPairsJaccard(shingled, 0.5, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      opRates += (("jaccard", (jExpected -- jCapped).size.toDouble / jExpected.size))
+    }
+    info(f"any-overlap missed rate (threshold 0, toy proportions — see comment): " +
+      anyRates.map(r => f"$r%.3f").mkString(", "))
+    info("operating-threshold missed rates: " +
+      opRates.map { case (k, r) => f"$k=$r%.5f" }.mkString(", "))
+    opRates.foreach { case (kind, r) =>
+      assert(r <= 0.01,
+        f"$kind missed-pair rate $r%.5f at the operating threshold exceeds " +
+          "the 1% bound — the hot-only concession is not negligible")
+    }
+  }
 }

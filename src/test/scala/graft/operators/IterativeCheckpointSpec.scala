@@ -59,4 +59,37 @@ class IterativeCheckpointSpec extends SparkSpec {
     assert(reliableComp.values.toSet == Set(200L), "one component, min label")
     assert(reliablePr == localPr)
   }
+
+  test("fixpoints survive forced block eviction BETWEEN rounds in reliable mode; local mode aborts") {
+    import spark.implicits._
+    // executor-loss chaos, demonstrated rather than argued: after EVERY
+    // round's materialization, every persistent RDD is evicted (blocking, so
+    // the blocks are really gone before the next round reads them). In
+    // reliable mode each round is on disk and the fixpoint must still
+    // converge to the exact answer; in local mode the just-materialized
+    // round's ONLY copy is destroyed and the loop must abort loudly (the
+    // documented localCheckpoint trade), never return a wrong labeling.
+    val ids = new scala.util.Random(7).shuffle((500L to 563L).toVector)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val edges = chain.select(col("a").as("src"), col("b").as("dst"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expectedComp = toMap(Dedup.componentsStar(chain))
+    val expectedPr = toMap(Graph.pageRankInt(edges, iterations = 5))
+    Checkpoints.afterMaterialize.set(_ =>
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true)))
+    try {
+      val (gotComp, gotPr) = withReliable {
+        (toMap(Dedup.componentsStar(chain)),
+          toMap(Graph.pageRankInt(edges, iterations = 5)))
+      }
+      assert(gotComp == expectedComp,
+        "reliable fixpoint under per-round eviction must equal the undisturbed run")
+      assert(gotComp.values.toSet == Set(500L), "one component, min label")
+      assert(gotPr == expectedPr)
+      // local mode under the same chaos: loud abort, not silent wrongness
+      intercept[Exception] { toMap(Dedup.componentsStar(chain)) }
+    } finally Checkpoints.afterMaterialize.remove()
+  }
 }

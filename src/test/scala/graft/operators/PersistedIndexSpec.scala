@@ -110,4 +110,132 @@ class PersistedIndexSpec extends SparkSpec {
     assert(files.forall(f => probed.exists(c => f.contains(s"/cell=$c/"))),
       s"scan read unprobed partitions: ${files.mkString(", ")}")
   }
+
+  private def allToks = Tables.documents(spark, sf)
+    .select(col("doc_id").as("id"), explode(T.tokens(col("text"))).as("term"))
+
+  test("persisted postings index serves tfidf pairs identically, bucket-local corpus side") {
+    val toks = allToks
+    Similarity.writeTfidfPostingsIndex(toks, "pidx_post", maxDfDenom = 2,
+      numBuckets = 8)
+    try {
+      // value identity, uncapped AND with a binding cap (sf0.001 dfs are
+      // small — cap at 8 so the hot/star path actually runs)
+      for (maxDf <- Seq(Long.MaxValue, 8L)) {
+        val served = Similarity
+          .tfidfCosinePairsFromIndex(spark, "pidx_post", minCosPpm = 0L, maxDf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        val inSession = Similarity
+          .tfidfCosinePairs(toks, maxDfDenom = 2, minCosPpm = 0L, maxDf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(served.nonEmpty, s"no pairs at maxDf=$maxDf")
+        assert(served == inSession, s"artifact != in-session at maxDf=$maxDf")
+      }
+
+      // the per-term df census over the artifact is bucket-local — the same
+      // no-exchange property the band index pins
+      val censusPlan = spark.table("pidx_post")
+        .groupBy(col("term")).agg(max(col("df")).as("df"))
+        .queryExecution.executedPlan.toString
+      assert(!censusPlan.contains("Exchange"),
+        s"postings census must not shuffle:\n$censusPlan")
+
+      // full serving plan: the cold×cold self-join reads the SAME bucketed
+      // table on both sides, so pair GENERATION adds no exchange; the only
+      // hash exchanges are output-keyed — the (a,b) collapse, the norms /
+      // hot-credit joins on a and b, and the final distinct. An unbucketed
+      // postings frame would add two more on term (one per self-join side).
+      withoutAutoBroadcast {
+        val plan = Similarity
+          .tfidfCosinePairsFromIndex(spark, "pidx_post", minCosPpm = 0L,
+            maxDf = 8L)
+          .queryExecution.executedPlan.toString
+        val onTerm = "Exchange hashpartitioning\\(term".r.findAllIn(plan).length
+        assert(onTerm == 0,
+          s"term-keyed candidate exchanges must be bucket-local ($onTerm found):\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pidx_post")
+      spark.sql("DROP TABLE IF EXISTS pidx_post_norms")
+      spark.sql("DROP TABLE IF EXISTS pidx_post_meta")
+    }
+  }
+
+  test("incremental postings probe equals the snapshot-weighted brute force") {
+    val toks = allToks
+    val half = (toks.agg(max(col("id"))).head.getLong(0) + 1) / 2
+    val oldToks = toks.where(col("id") < half)
+    val newToks = toks.where(col("id") >= half)
+    Similarity.writeTfidfPostingsIndex(oldToks, "pidx_inc", maxDfDenom = 2,
+      numBuckets = 8)
+    try {
+      // snapshot-weighted reference, computed independently on the driver:
+      // old postings = the index contract (relative df-prune over the OLD
+      // corpus, wt = 1000·tf div df); new postings = new tf weighted by the
+      // INDEX df (terms outside the snapshot vocabulary drop)
+      val oldP = spark.table("pidx_inc").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.map(t => t._2 -> t._3).toMap }
+      val idxDf = spark.table("pidx_inc").collect()
+        .map(r => r.getString(1) -> r.getLong(3)).toMap
+      val newTf = newToks.groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("tf")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val newP = newTf
+        .flatMap { case (id, t, tf) =>
+          idxDf.get(t).map(df => (id, t, 1000L * tf / df)) }
+        .filter(_._3 > 0L)
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.map(x => x._2 -> x._3).toMap }
+      def nrm(v: Map[String, Long]): Long =
+        math.floor(math.sqrt(v.values.map(w => w * w).sum.toDouble)).toLong
+      val expect = (for {
+        (a, va) <- newP.toSeq
+        (b, vb) <- oldP.toSeq
+        shared = va.keySet intersect vb.keySet
+        if shared.nonEmpty
+      } yield {
+        val dot = shared.toSeq.map(t => va(t) * vb(t)).sum
+        (a, b, shared.size.toLong, 1000000L * dot / (nrm(va) * nrm(vb)))
+      }).toSet
+
+      val gotUncapped = Similarity
+        .incrementalTfidfPairsFromIndex(newToks, "pidx_inc", minCosPpm = 0L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotUncapped.nonEmpty)
+      assert(gotUncapped == expect,
+        s"uncapped probe != brute force: extra=${(gotUncapped -- expect).take(3)} " +
+          s"missing=${(expect -- gotUncapped).take(3)}")
+
+      // binding cap: every emitted pair is value-exact, nothing outside the
+      // reference appears, and cold-sharing pairs are all present (the only
+      // concession is a hot-only pair whose b is not the term's min holder)
+      val maxDf = 8L
+      val hot = idxDf.filter(_._2 > maxDf).keySet
+      val gotCapped = Similarity
+        .incrementalTfidfPairsFromIndex(newToks, "pidx_inc", minCosPpm = 0L,
+          maxDf = maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(hot.nonEmpty, "cap must bind for this case to mean anything")
+      assert(gotCapped.subsetOf(expect),
+        s"capped probe emitted wrong values: ${(gotCapped -- expect).take(3)}")
+      val coldComplete = expect.filter { case (a, b, _, _) =>
+        (newP(a).keySet intersect oldP(b).keySet).exists(!hot.contains(_)) }
+      assert(coldComplete.subsetOf(gotCapped),
+        s"cold-sharing pairs missing: ${(coldComplete -- gotCapped).take(3)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pidx_inc")
+      spark.sql("DROP TABLE IF EXISTS pidx_inc_norms")
+      spark.sql("DROP TABLE IF EXISTS pidx_inc_meta")
+    }
+  }
 }

@@ -478,4 +478,59 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed.exists(r => r._3 < r._2),
       "some doc must actually lose units (anti-vacuousness)")
   }
+
+  test("streaming daily cycle maintains component labels equal to the batch recompute") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    import graft.operators.Dedup
+    // the q139 contract under STREAMING arrival: candidates from the stateful
+    // LSH stream, exact-Jaccard verify against the landing table, and
+    // mergeComponents folding each micro-batch's verified delta into the
+    // running labeling — after >= 3 micro-batches the maintained labels must
+    // equal componentsStar over the batch-verified pair set. Chunking by
+    // id % 3 interleaves ids across batches, so cluster BRIDGING (a later
+    // pair joining two already-labeled clusters) and label TAKEOVER (a
+    // smaller id arriving after its cluster is labeled) are routine.
+    val inDir = Files.createTempDirectory("graft-cycle-in").toFile
+    val ckDir = Files.createTempDirectory("graft-cycle-ck").toFile
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), T.shingles(col("text"), 2).as("shingles"))
+      .localCheckpoint() // the landing table: verify joins read it per batch
+    for (c <- 0 until 3)
+      docs.where(col("id") % 3 === c).coalesce(1).write.parquet(s"$inDir/chunk=$c")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    var labels = Seq.empty[(Long, Long)].toDF("id", "component")
+    var batches = 0
+    val q = StreamingExtraction.streamingNearDupCandidates(stream, k = 36, bands = 12)
+      .writeStream
+      .foreachBatch { (cands: org.apache.spark.sql.DataFrame, _: Long) =>
+        val verified = Dedup.verifyJaccard(
+          cands.select(col("a"), col("b")).distinct(), docs, 0.8)
+        // localCheckpoint per fold: the labeling is read by the NEXT batch's
+        // merge — unbroken lineage would re-run every prior fold each day
+        labels = Dedup.mergeComponents(labels,
+          verified.select(col("a"), col("b"))).localCheckpoint()
+        batches += 1
+      }
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(batches >= 3, s"need >= 3 micro-batches, got $batches")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.componentsStar(
+        Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+          .select(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "planted near-dups must cluster (anti-vacuousness)")
+    assert(got == batch,
+      s"stream-maintained labels != batch recompute: extra=${(got -- batch).take(5)} " +
+        s"missing=${(batch -- got).take(5)}")
+    // bridging really happened: some component's members arrived in
+    // different micro-batches (different id residues mod 3)
+    assert(got.groupBy(_._2).exists { case (_, m) => m.map(_._1 % 3).size >= 2 },
+      "no component spans micro-batches — the merge path was vacuous")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }
