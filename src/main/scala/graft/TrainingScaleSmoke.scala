@@ -186,6 +186,37 @@ object TrainingScaleSmoke {
     spark.sql("DROP TABLE IF EXISTS smoke_pgx_comp")
     free(verifiedIds)
 
+    // 4c. The tf-idf POSTINGS artifact cycle at the full corpus — the
+    //     weighted twin of 4b: index the standing corpus ONCE (tokenize +
+    //     tf/df + prune paid at write time, term-bucketed layout), then
+    //     serve today's crawl as a snapshot-weighted new×old probe under
+    //     the default absolute cap. Terms are word BIGRAMS: the synthetic
+    //     unigram vocabulary is 500 words, so every unigram lands in ~10%
+    //     of docs and `1000·tf div df` floors to 0 — by construction not a
+    //     similarity signal, while the ~250k bigram space gives df ≈ 20.
+    //     A planted pair shares 48 of its 49 bigrams → must surface ≥ 0.9.
+    def bigramToks(pred: org.apache.spark.sql.Column) = docs.where(pred)
+      .select(col("id"),
+        explode(call_function("word_ngrams", col("text"), lit(2))).as("term"))
+    timed(s"postings index write (${nDocs - nDocs / 10} docs)") {
+      Similarity.writeTfidfPostingsIndex(bigramToks(col("id") % 10 =!= 1),
+        "smoke_postings")
+    }
+    val (probe, probeIds) = checkpointTracked(
+      Similarity.incrementalTfidfPairsFromIndex(
+        bigramToks(col("id") % 10 === 1), "smoke_postings",
+        minCosPpm = 900000L, maxDf = 10000L))
+    val nProbe = timed("postings probe (new crawl vs index)") { probe.count() }
+    val nPlantedHits = probe.where(col("a") === col("b") + 1).count()
+    println(s"[training-smoke] postings probe pairs=$nProbe " +
+      s"plantedHits=$nPlantedHits planted=$planted")
+    require(nPlantedHits >= planted * 95 / 100,
+      s"probe should recover ~all $planted planted near-dups, got $nPlantedHits")
+    free(probeIds)
+    spark.sql("DROP TABLE IF EXISTS smoke_postings")
+    spark.sql("DROP TABLE IF EXISTS smoke_postings_norms")
+    spark.sql("DROP TABLE IF EXISTS smoke_postings_meta")
+
     // 5. Semantic dedup (q100's operator), capped at 100k vectors: duplicate
     //    pairs are detected INSIDE an IVF cell only — the corpus never joins
     //    itself globally, so cost is Σ n_cell², not N². Synthetic 32-dim

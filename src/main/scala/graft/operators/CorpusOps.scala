@@ -292,17 +292,35 @@ object CorpusOps {
                     numBuckets: Int): Unit =
     writeBucketed(df, table, Seq(key), numBuckets)
 
+  /** Drop `table` AND its managed location if a stale directory survives
+   * from a previous session — with the in-memory catalog a new JVM forgets
+   * the table but the warehouse dir remains, and `saveAsTable` then fails
+   * with LOCATION_ALREADY_EXISTS even in overwrite mode. Every artifact
+   * writer below goes through this so a daily re-index never trips over
+   * yesterday's JVM. */
+  private[operators] def dropWithLocation(spark: org.apache.spark.sql.SparkSession,
+                                          table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Multi-key variant: bucket (and sort) by ALL of `keys` — required when
    * later joins use a compound key, because co-partitioned joins only skip
    * the shuffle when the bucket columns cover EVERY join key
    * (`spark.sql.requireAllClusterKeysForCoPartition`, default true; a
    * subset-bucketed table would shuffle anyway). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    dropWithLocation(df.sparkSession, table)
     df.write.format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite").saveAsTable(table)
+  }
 
   /**
    * NEAR-dup-leakage-safe split assignment: the unit of train/val/test

@@ -503,6 +503,7 @@ object Similarity {
     val saved = toks.sparkSession.table(table)
     CorpusOps.writeBucketed(postingsNorms(saved), s"${table}_norms", "id",
       numBuckets)
+    CorpusOps.dropWithLocation(toks.sparkSession, s"${table}_meta")
     nd.write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
   }
 
