@@ -299,13 +299,26 @@ object Multimodal {
 
   /**
    * Integer average-hash (aHash) over REAL-decoded PPM pixels: per-pixel
-   * gray = r+g+b, an 8×4 grid of block sums, each cell's bit set when its
+   * gray = r+g+b, an 8×8 grid of block sums, each cell's bit set when its
    * mean exceeds the image mean — compared as the EXACT integer inequality
    * `cell_sum · n_pixels > total_sum · cell_pixels` (no divisions, so the
-   * 32-bit hash is engine-independent). The cross-products reach 765·n² —
-   * past Long for images near the decoder's 3wh ≤ Int.MaxValue bound — so
-   * the compare runs in 128 bits via multiplyHigh. The grid is 8 wide × 4 tall because
-   * the synthesized corpus guarantees w ≥ 8, h ≥ 6 — every cell is non-empty.
+   * 64-bit hash is engine-independent; the cross-products run in 128 bits
+   * via multiplyHigh). Block SUMS, not point samples: every pixel
+   * contributes, so a small edit moves each cell mean slightly instead of
+   * rescrambling sampled positions — the robustness a near-dup hash needs.
+   *
+   * 64 bits, not 32, is the SCALE decision: candidate generation (q90)
+   * bands the hash 8×8 bits, giving 256 keys per band versus the 16 keys an
+   * 8×4-bit split of a 32-bit hash allows — measured 50× super-linear pair
+   * growth at the sf1.0 datapoint with 16-key bands (buckets grow linearly
+   * with the corpus, in-bucket pairs quadratically; 256 keys push the knee
+   * out 16×, and the bucketedPairs star guard still backstops degenerate
+   * bands). Bit layout is COLUMN-major (bit = gx·8 + gy) so each contiguous
+   * 8-bit band is one block COLUMN: the corpus guarantees w ≥ 8 (all 8
+   * column cells populated for every image) while h may be < 8 — a row-major
+   * layout would give every short image an all-zero band and a systematic
+   * hot bucket. Pigeonhole recall: ≤ 6 differing bits over 8 bands forces
+   * ≥ 2 identical bands.
    * Output: (doc_id, phash). Narrow: decode + hash per partition, no shuffle.
    */
   /** Exact `a·b > c·d` for non-negative longs, in 128 bits. */
@@ -322,20 +335,20 @@ object Multimodal {
       it.flatMap { r =>
         Codecs.ppmDecode(r.bytes).map { img =>
           val w = img.width; val h = img.height; val n = w * h
-          val cs = new Array[Long](32)
-          val cn = new Array[Long](32)
+          val cs = new Array[Long](64)
+          val cn = new Array[Long](64)
           var ts = 0L
           var p = 0
           while (p < n) {
             val g = (img.rgb(3 * p) & 0xff) + (img.rgb(3 * p + 1) & 0xff) +
               (img.rgb(3 * p + 2) & 0xff)
-            val cell = (p / w * 4 / h) * 8 + (p % w * 8 / w)
+            val cell = (p % w * 8 / w) * 8 + (p / w * 8 / h)
             cs(cell) += g; cn(cell) += 1; ts += g
             p += 1
           }
           var hash = 0L
           var c = 0
-          while (c < 32) {
+          while (c < 64) {
             if (cn(c) > 0 && mulGt(cs(c), n.toLong, ts, cn(c))) hash |= 1L << c
             c += 1
           }

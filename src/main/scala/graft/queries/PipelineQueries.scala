@@ -2122,20 +2122,34 @@ object PipelineQueries {
     // ---------------------------------------------------------------- multimodal dedup
     "q90_image_phash_neardup" -> ((s, d) => {
       // image near-duplicate detection by perceptual hash: REAL PPM payloads
-      // (Codecs round-trip) decode to pixels, an integer aHash (8×4 block
-      // means vs image mean — Multimodal.imagePhash) gives 32 bits per image,
-      // candidates come from an 8×4-bit banded equi-join via the GUARDED
-      // Dedup.bucketedPairs (degenerate all-dark bands — every image sharing
-      // one bucket — degrade to star pairs instead of going quadratic), then
-      // verify with bit_count(xor) ≤ 6. With ≤ 6 differing bits and 8 bands,
-      // pigeonhole GUARANTEES one identical band — recall vs the quadratic
+      // (Codecs round-trip) decode to pixels, a 64-bit block-sum aHash
+      // (Multimodal.imagePhash); candidates come from an 8×8-bit banded
+      // equi-join — 256 keys per band, the sf1.0-measured fix for the
+      // 16-key 32-bit variant's 50× super-linear pair growth — via the
+      // GUARDED Dedup.bucketedPairs (degenerate bands degrade to star pairs
+      // instead of going quadratic), then verify with bit_count(xor) ≤ 6
+      // of 64 — REAL near-dup strictness (9%), not the 19% the old 32-bit
+      // gate needed. At that strictness the base corpus has no accidental
+      // matches, so the detection is non-vacuous by PLANTED twins (the q143
+      // derived-snapshot discipline): every %5 image doc gains a copy with
+      // its first character edited (id + 999999 — ≡ 0 mod 3, so the twin
+      // synthesizes as an image too); each twin pair lands at ham 0-4 and
+      // must be recalled exactly. With ≤ 6 differing bits and 8 bands,
+      // pigeonhole GUARANTEES ≥ 2 identical bands — recall vs the quadratic
       // oracle is a theorem, not a corpus property. The hash table is
       // checkpointed once (it feeds both the bands and the verification).
+      val base = Tables.documents(s, d)
+      val corpus = base.select(col("doc_id"), col("text"))
+        .unionByName(base
+          .where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0 &&
+            length(col("text")) > 0)
+          .select((col("doc_id") + 999999L).as("doc_id"),
+            concat(lit("Z"), expr("substring(text, 2)")).as("text")))
       val ph = graft.multimodal.Multimodal.imagePhash(
-        graft.multimodal.Multimodal.synthesizeReal(Tables.documents(s, d)))
+        graft.multimodal.Multimodal.synthesizeReal(corpus))
         .localCheckpoint()
       val bands = ph.select(col("doc_id").as("id"), explode(expr(
-        "transform(sequence(0, 7), b -> struct(b AS band, shiftright(phash, b * 4) & 15 AS band_key))")).as("bb"))
+        "transform(sequence(0, 7), b -> struct(b AS band, shiftright(phash, b * 8) & 255 AS band_key))")).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
       Dedup.bucketedPairs(bands)
         .join(ph.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
@@ -4494,29 +4508,40 @@ object PipelineQueries {
          ORDER BY rrf_fp DESC, doc_id LIMIT 20"""
     },
 
-    // The oracle rebuilds the SAME 32-bit aHash from the source text bytes
-    // (pixels are the text tiled, the q47 discipline; corpus is ASCII so
-    // ascii(substr) == byte) and takes the FULL quadratic pair scan — the
-    // banded Spark path must recall every pair (pigeonhole theorem).
+    // The oracle rebuilds the SAME corpus (base images + planted %15 twins,
+    // first char edited, id + 999999) and the SAME 64-bit block-sum aHash
+    // from the source text bytes (pixels are the text tiled, the q47
+    // discipline; corpus is ASCII so ascii(substr) == byte), column-major
+    // bit layout — then the FULL quadratic pair scan; the banded Spark path
+    // must recall every pair (pigeonhole theorem).
     "q90_image_phash_neardup" ->
-      """WITH im AS (SELECT doc_id, text, strlen(text) AS L,
-                       strlen(text) % 16 + 8 AS w, strlen(text) % 12 + 6 AS h
-                     FROM documents WHERE doc_id % 3 = 0 AND strlen(text) > 0),
+      """WITH src AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 999999 AS doc_id, 'Z' || substr(text, 2) AS text
+           FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 5 = 0 AND strlen(text) > 0),
+         im AS (SELECT doc_id, text, strlen(text) AS L,
+                  strlen(text) % 16 + 8 AS w, strlen(text) % 12 + 6 AS h
+                FROM src WHERE doc_id % 3 = 0 AND strlen(text) > 0),
          px AS (SELECT doc_id, w, h,
                   ascii(substr(text, ((3*i) % L) + 1, 1)) +
                   ascii(substr(text, ((3*i + 1) % L) + 1, 1)) +
                   ascii(substr(text, ((3*i + 2) % L) + 1, 1)) AS g,
                   (i % w) AS x, (i // w) AS y
                 FROM im CROSS JOIN unnest(range(w * h)) AS t(i)),
-         cells AS (SELECT doc_id, (y * 4) // h AS gy, (x * 8) // w AS gx,
+         cells AS (SELECT doc_id, (y * 8) // h AS gy, (x * 8) // w AS gx,
                      CAST(sum(g) AS BIGINT) AS cs, count(*) AS cn
-                   FROM px GROUP BY doc_id, (y * 4) // h, (x * 8) // w),
+                   FROM px GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
          tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS ts, count(*) AS tn
                  FROM px GROUP BY doc_id),
+         -- bit 63 is Long's sign bit: DuckDB range-checks 1 << 63, so it is
+         -- encoded as the two's-complement constant; the HUGEINT sum of one
+         -- -2^63 term plus sub-2^63 positives lands back in BIGINT exactly
          ph AS (SELECT c.doc_id,
-                  CAST(sum(CASE WHEN c.cs * t.tn > t.ts * c.cn
-                                THEN 1::BIGINT << (c.gy * 8 + c.gx)
-                                ELSE 0 END) AS BIGINT) AS phash
+                  CAST(sum(CASE WHEN c.cs * t.tn <= t.ts * c.cn THEN 0
+                                WHEN c.gx * 8 + c.gy = 63 THEN -9223372036854775808
+                                ELSE 1::BIGINT << (c.gx * 8 + c.gy) END) AS BIGINT) AS phash
                 FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham

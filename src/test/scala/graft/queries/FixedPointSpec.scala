@@ -79,8 +79,9 @@ class FixedPointSpec extends SparkSpec {
   test("imagePhash bits follow brightness: half-dark/half-light image") {
     import spark.implicits._
     import graft.multimodal.{Codecs, MediaMeta, MediaRecord, Multimodal}
-    // 16×8 image, left half black, right half white → the 8×4 grid's right
-    // four columns (gx ≥ 4) exceed the global mean in every row
+    // 16×8 image, left half black, right half white → the 8×8 grid's right
+    // four COLUMNS (gx ≥ 4) exceed the global mean in every row; with the
+    // column-major bit layout (bit = gx·8 + gy) that is bits 32..63
     val w = 16; val h = 8
     val rgb = Array.tabulate(3 * w * h) { j =>
       val x = (j / 3) % w
@@ -91,8 +92,8 @@ class FixedPointSpec extends SparkSpec {
     val out = Multimodal.imagePhash(Seq(rec).toDS()).collect()
     assert(out.length == 1)
     assert(out.head.getLong(0) == 7L)
-    assert(out.head.getLong(1) == 0xF0F0F0F0L,
-      f"expected 0xF0F0F0F0, got 0x${out.head.getLong(1)}%08X")
+    assert(out.head.getLong(1) == 0xFFFFFFFF00000000L,
+      f"expected 0xFFFFFFFF00000000, got 0x${out.head.getLong(1)}%016X")
   }
 
   test("DSIR integer arithmetic never overflows in its documented domain") {
