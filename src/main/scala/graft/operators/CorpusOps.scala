@@ -113,6 +113,39 @@ object CorpusOps {
   }
 
   /**
+   * GRADED contamination report — the policy sibling of [[decontaminate]]'s
+   * binary gate: per corpus document (benchmark members excluded), the
+   * fraction of its DISTINCT shingles that appear anywhere in the benchmark
+   * gram set, in ‰ fixed point. A curation team thresholding "drop above
+   * 80% overlap, flag above 20%" needs the distribution, not the verdict;
+   * this is the table that sets the threshold. Only contaminated docs
+   * (n_hit > 0) emit — at production scale the clean corpus dominates and
+   * must not ride a report.
+   *
+   * Plan: same shape as the gate — benchmark grams broadcast (the Bloom /
+   * keyed-join variants are the drop-ins when the benchmark outgrows a
+   * broadcast), per-doc gram explode with a map-side-combinable census, one
+   * bounded output row per contaminated doc. Emits
+   * `(id, n_grams, n_hit, overlap_pm)`.
+   */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchIds = benchmark.select(col("id"))
+    val benchGrams = benchmark
+      .select(explode(col("shingles")).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    corpus
+      .join(broadcast(benchIds), Seq("id"), "left_anti")
+      .select(col("id"), explode(array_distinct(col("shingles"))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .where(col("n_hit") > 0)
+      .select(col("id"), col("n_grams"), col("n_hit"),
+        expr("1000 * n_hit div n_grams").as("overlap_pm"))
+  }
+
+  /**
    * SPAN-LEVEL decontamination (the surgical variant of [[decontaminate]]'s
    * whole-document drop — the PaLM/Llama approach): locate every word
    * `n`-gram of the corpus that also occurs in the benchmark, widen each hit
@@ -312,14 +345,27 @@ object CorpusOps {
    * later joins use a compound key, because co-partitioned joins only skip
    * the shuffle when the bucket columns cover EVERY join key
    * (`spark.sql.requireAllClusterKeysForCoPartition`, default true; a
-   * subset-bucketed table would shuffle anyway). */
+   * subset-bucketed table would shuffle anyway).
+   *
+   * STAGED SWAP: a daily artifact rebuild races its consumers, and a killed
+   * rebuild must not leave a half-written table where yesterday's good one
+   * stood. The data lands under a `__staging` name first (the long,
+   * killable part — the prior artifact stays intact and readable
+   * throughout), then swaps in via two catalog operations; the vulnerable
+   * window shrinks from the whole write to the metadata swap, and a crash
+   * mid-write leaves only a staging table the next rebuild's
+   * [[dropWithLocation]] reclaims. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     numBuckets: Int): Unit = {
-    dropWithLocation(df.sparkSession, table)
+    val spark = df.sparkSession
+    val staging = s"${table}__staging"
+    dropWithLocation(spark, staging)
     df.write.format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .mode("overwrite").saveAsTable(table)
+      .mode("overwrite").saveAsTable(staging)
+    dropWithLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
   /**

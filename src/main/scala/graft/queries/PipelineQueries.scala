@@ -410,6 +410,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q146_contamination_report" -> ((s, d) => {
+      // the GRADED sibling of q44's binary gate: per non-benchmark doc, the
+      // permille of its distinct 5-grams found anywhere in the benchmark
+      // gram set — the distribution a contamination-threshold policy reads
+      // before choosing its cut (every 7th doc plays the benchmark: wide
+      // enough that the report shows the full overlap spread, 18‰-987‰ at
+      // the oracle scale). Broadcast gram probe + map-side census; only
+      // contaminated docs emit.
+      CorpusOps.contaminationReport(
+          docShingles(s, d, 5),
+          docShingles(s, d, 5, col("doc_id") % 7 === 0))
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hit"),
+          col("overlap_pm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
       // gram set: the held-out grams compress to a <=4096-bit filter (the
@@ -3196,6 +3212,20 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
          ORDER BY doc_id""",
+
+    // Same distinct-gram census and broadcast probe, re-derived with a left
+    // join + conditional count; permille via integer //.
+    "q146_contamination_report" ->
+      s"""${withDocShingles(5, "TRUE")},
+         bgrams AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 7 = 0),
+         posts AS (SELECT DISTINCT doc_id, unnest(s) AS gram FROM sh
+                   WHERE doc_id % 7 != 0),
+         agg AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hit
+                 FROM posts p LEFT JOIN bgrams b USING (gram) GROUP BY 1)
+         SELECT doc_id, n_grams, n_hit, (1000 * n_hit) // n_grams AS overlap_pm
+         FROM agg WHERE n_hit > 0 ORDER BY doc_id""",
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the
     // census+join formulation (hence MATERIALIZED wins) where Spark counts

@@ -73,4 +73,37 @@ class BucketingSpec extends SparkSpec {
       assert(!plan.contains("BroadcastExchange"))
     } finally spark.sql("DROP TABLE IF EXISTS bspec_one_side")
   }
+
+  test("staged swap: a crashed rebuild leaves the prior artifact intact and recoverable") {
+    import spark.implicits._
+    def vals = spark.table("bspec_swap").collect().map(_.getLong(1)).toSet
+    CorpusOps.writeBucketed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      "bspec_swap", "k", 4)
+    try {
+      assert(vals == Set(10L, 20L))
+      // simulate a rebuild killed mid-write: a stale staging table (and its
+      // directory) survive — the SERVED artifact must be untouched
+      Seq((1L, -1L)).toDF("k", "v").write.format("parquet")
+        .bucketBy(4, "k").sortBy("k").mode("overwrite")
+        .saveAsTable("bspec_swap__staging")
+      assert(vals == Set(10L, 20L), "crashed staging must not affect the table")
+      // the next rebuild reclaims the stale staging and swaps in v2 whole
+      CorpusOps.writeBucketed(Seq((1L, 11L), (2L, 21L)).toDF("k", "v"),
+        "bspec_swap", "k", 4)
+      assert(vals == Set(11L, 21L))
+      assert(!spark.catalog.tableExists("bspec_swap__staging"),
+        "staging must not survive a successful swap")
+      // bucketing metadata survives the RENAME: the key-join still plans no
+      // exchange on the artifact side
+      withoutAutoBroadcast {
+        val probe = Seq((1L, 0L)).toDF("k", "p")
+        val plan = spark.table("bspec_swap").join(probe, "k")
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_swap")
+      spark.sql("DROP TABLE IF EXISTS bspec_swap__staging")
+    }
+  }
 }

@@ -533,4 +533,63 @@ class SessionizeSpec extends SparkSpec {
       "no component spans micro-batches — the merge path was vacuous")
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
+
+  test("micro-batch postings probes against the index equal the one-shot batch probe") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    import graft.operators.Similarity
+    // the q145 daily cycle under STREAMING arrival: the postings artifact is
+    // the static side; each micro-batch of the crawl probes it independently
+    // (pairs are new×corpus only — per-doc independent, no cross-batch
+    // state), so the accumulated pair set must equal the one-shot probe over
+    // the full crawl. This is the operational pattern: land a crawl chunk,
+    // probe the standing index, feed the verified pairs to mergeComponents.
+    val inDir = Files.createTempDirectory("graft-probe-in").toFile
+    val ckDir = Files.createTempDirectory("graft-probe-ck").toFile
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text"))
+    val half = (docs.agg(max(col("id"))).head.getLong(0) + 1) / 2
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), explode(T.tokens(col("text"))).as("term"))
+    Similarity.writeTfidfPostingsIndex(toks(docs.where(col("id") < half)),
+      "cycle_pidx", maxDfDenom = 2, numBuckets = 4)
+    try {
+      val nw = docs.where(col("id") >= half)
+      for (c <- 0 until 3)
+        nw.where(col("id") % 3 === c).coalesce(1).write.parquet(s"$inDir/chunk=$c")
+      val collected = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+      var batches = 0
+      val stream = spark.readStream.schema(nw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          collected ++= Similarity
+            .incrementalTfidfPairsFromIndex(toks(batch), "cycle_pidx",
+              minCosPpm = 100000L)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          batches += 1
+        }
+        .option("checkpointLocation", ckDir.getAbsolutePath)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      assert(batches >= 3, s"need >= 3 micro-batches, got $batches")
+      val oneShot = Similarity
+        .incrementalTfidfPairsFromIndex(toks(nw), "cycle_pidx",
+          minCosPpm = 100000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(oneShot.nonEmpty, "probe must produce pairs (anti-vacuousness)")
+      assert(collected.toSet == oneShot,
+        s"micro-batch union ${collected.size} != one-shot ${oneShot.size}")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cycle_pidx")
+      spark.sql("DROP TABLE IF EXISTS cycle_pidx_norms")
+      spark.sql("DROP TABLE IF EXISTS cycle_pidx_meta")
+    }
+  }
 }
