@@ -180,6 +180,34 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport equals the brute-force overlap census on random corpora") {
+    val rnd = new Random(20260814L)
+    import spark.implicits._
+    for (trial <- 1 to 6) {
+      val vocab = (1 to (3 + rnd.nextInt(5))).map(i => s"g$i")
+      // docs with possibly-duplicated shingles (array_distinct path) and
+      // some empty-shingle docs (must not emit — n_hit 0)
+      val docs = (1L to (6 + rnd.nextInt(10)).toLong).map { id =>
+        id -> Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val benchIds = docs.map(_._1).filter(_ % 3 == 0).toSet
+      val benchGrams = docs.filter(d => benchIds(d._1)).flatMap(_._2).toSet
+      val expected = docs.collect {
+        case (id, sh) if !benchIds(id) && sh.nonEmpty =>
+          val ds = sh.distinct
+          val hit = ds.count(benchGrams)
+          (id, ds.size.toLong, hit.toLong, 1000L * hit / ds.size)
+      }.filter(_._3 > 0).toSet
+      val df = docs.toDF("id", "shingles")
+      val got = CorpusOps.contaminationReport(df,
+          df.where(col("id") % 3 === 0))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"trial $trial: got $got expected $expected docs=$docs")
+    }
+  }
+
   test("hot-only recall concession is near zero at operating thresholds on Zipfian corpora") {
     // Both df-capped postings joins document the same concession: a non-star
     // pair whose members share ONLY hot terms is not enumerated. This case

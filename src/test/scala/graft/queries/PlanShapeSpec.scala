@@ -85,6 +85,14 @@ class PlanShapeSpec extends SparkSpec {
       .foreach(assertNever(_, "BroadcastNestedLoopJoin", "CartesianProduct"))
   }
 
+  test("contamination report probes the gram set — never a corpus self-join") {
+    // the corpus side touches only broadcast joins (bench ids anti, bench
+    // grams left) + its own census; a SortMergeJoin would mean the gram
+    // probe shuffled the corpus against itself
+    assertNever("q146_contamination_report",
+      "SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+  }
+
   test("BPE apply is one narrow codegen'd projection — nothing shuffles") {
     // the learned merges are driver-held literals; tokenizing the corpus
     // must plan as scan → project, full stop (the 100 TB tokenize claim)
