@@ -8,8 +8,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-corr="${1:-$(ls -t CORRECTNESS_r*.json 2>/dev/null | head -1)}"
-bench="${2:-$(ls -t bench_local_r*.json 2>/dev/null | head -1)}"
+# `|| true` inside the substitutions: with pipefail an unmatched glob makes
+# ls fail through the pipe and set -e would kill the whole script silently —
+# a missing artifact must degrade to an empty default, not suppress the report
+corr="${1:-$(ls -t CORRECTNESS_r*.json 2>/dev/null | head -1 || true)}"
+bench="${2:-$(ls -t bench_local_r*.json 2>/dev/null | head -1 || true)}"
 testlog="${3:-}"
 
 echo "== declared queries (SparkEntry.queries via PipelineQueries/RelationalQueries/XmlQueries) =="

@@ -39,8 +39,13 @@ private[operators] object Checkpoints {
   /** TEST-ONLY chaos hook: invoked on the driver thread right after each
    * round's materialization, so a spec can force block eviction BETWEEN
    * fixpoint iterations (the executor-loss simulation local mode allows).
-   * ThreadLocal so a chaos test can never leak eviction into suites running
-   * concurrently on the shared session; production never sets it. */
+   * ThreadLocal scopes WHEN the hook fires to the thread that set it — a
+   * fixpoint running on another thread never triggers it. The hook BODY a
+   * chaos test installs (a blanket block-manager sweep) still acts on the
+   * shared session, which is safe because sbt runs the forked suite JVM's
+   * test classes sequentially (`Test/testForkedParallel` is false — the
+   * standing assumption of every blanket-unpersist spec in this repo).
+   * Production never sets the hook. */
   private[operators] val afterMaterialize: ThreadLocal[DataFrame => Unit] =
     new ThreadLocal[DataFrame => Unit] {
       override def initialValue: DataFrame => Unit = _ => ()

@@ -373,6 +373,22 @@ object Similarity {
   def tfidfCosinePairs(toks: DataFrame, maxDfDenom: Int = 2,
                        minCosPpm: Long = 0L,
                        maxDf: Long = Long.MaxValue): DataFrame = {
+    val post = buildPostings(toks, maxDfDenom)
+      // one narrow table read several ways (pair sides + norms + hot
+      // correction + star verify): materialize once, the q31 pattern
+      .localCheckpoint()
+    // norms are over ALL kept postings — the cap changes candidate
+    // generation, never the vector the cosine is taken against
+    val norms = postingsNorms(post)
+    cappedCosineFromPostings(post, norms, minCosPpm, maxDf)
+  }
+
+  /** The `(id, term, wt, df)` postings construction shared by the in-session
+   * pair path and the artifact writer — ONE definition of the weighting
+   * contract (tf census, df census, relative prune, `1000·tf div df`,
+   * wt > 0 floor), so the artifact ≡ in-session identity PersistedIndexSpec
+   * pins cannot be broken by the two sites drifting apart. */
+  private def buildPostings(toks: DataFrame, maxDfDenom: Int): DataFrame = {
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = toks.agg(countDistinct(col("id")).as("n_docs"))
@@ -381,20 +397,13 @@ object Similarity {
     // rounding rule
     val kept = df_.join(broadcast(nd),
       col("df") * lit(maxDfDenom.toLong) <= col("n_docs"))
-    // df rides the checkpointed postings so the hot-term set derives from
-    // the materialized frame — re-deriving it from `kept` would re-run the
+    // df rides the postings so the hot-term set derives from the
+    // materialized frame — re-deriving it from `kept` would re-run the
     // tf/df aggregation AND surface the broadcast df-prune join outside the
     // checkpoint (the PlanShapeSpec equi-join-only pin)
-    val post = tf.join(kept.select(col("term"), col("df")), "term")
+    tf.join(kept.select(col("term"), col("df")), "term")
       .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"), col("df"))
       .where(col("wt") > 0)
-      // one narrow table read several ways (pair sides + norms + hot
-      // correction + star verify): materialize once, the q31 pattern
-      .localCheckpoint()
-    // norms are over ALL kept postings — the cap changes candidate
-    // generation, never the vector the cosine is taken against
-    val norms = postingsNorms(post)
-    cappedCosineFromPostings(post, norms, minCosPpm, maxDf)
   }
 
   /** Integer norms over a `(id, term, wt, df)` postings frame — always over
@@ -482,29 +491,29 @@ object Similarity {
    *    `term` (the pair-generation join key): the postings self-join and the
    *    per-term df census plan ZERO exchanges above the index scan;
    *  - `<table>_norms` — `(id, nrm)` bucketed by `id` (the verify-side key);
-   *  - `<table>_meta`  — 1 row `(n_docs)`: the weighting snapshot's corpus
-   *    size, so incremental probes weight new docs against the SAME
-   *    denominator the index was built with.
+   *  - `<table>_meta`  — 1 row `(n_docs, max_df_denom)`: the snapshot's
+   *    PROVENANCE record (what corpus size and prune the weights were built
+   *    against — the audit a weighting question about a served probe needs).
+   *    Probes themselves read only the postings' `df` column, never _meta.
    * Unlike the in-session localCheckpoint, the artifact survives the session
    * and recomputes nothing on executor loss.
    */
   def writeTfidfPostingsIndex(toks: DataFrame, table: String,
                               maxDfDenom: Int = 2,
                               numBuckets: Int = 32): Unit = {
-    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nd = toks.agg(countDistinct(col("id")).as("n_docs"))
-    val kept = df_.join(broadcast(nd),
-      col("df") * lit(maxDfDenom.toLong) <= col("n_docs"))
-    val post = tf.join(kept.select(col("term"), col("df")), "term")
-      .select(col("id"), col("term"), expr("1000 * tf div df").as("wt"), col("df"))
-      .where(col("wt") > 0)
-    CorpusOps.writeBucketed(post, table, "term", numBuckets)
-    val saved = toks.sparkSession.table(table)
+    val spark = toks.sparkSession
+    CorpusOps.writeBucketed(buildPostings(toks, maxDfDenom), table, "term",
+      numBuckets)
+    val saved = spark.table(table)
     CorpusOps.writeBucketed(postingsNorms(saved), s"${table}_norms", "id",
       numBuckets)
-    CorpusOps.dropWithLocation(toks.sparkSession, s"${table}_meta")
-    nd.write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
+    // provenance row derives from the SAVED postings (one bucket-local
+    // aggregate over the artifact), never a second corpus scan; n_docs here
+    // counts docs with >= 1 kept posting — the population the index serves
+    CorpusOps.dropWithLocation(spark, s"${table}_meta")
+    saved.agg(countDistinct(col("id")).as("n_docs"))
+      .withColumn("max_df_denom", lit(maxDfDenom))
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
   }
 
   /**

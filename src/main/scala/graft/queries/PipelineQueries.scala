@@ -2155,6 +2155,12 @@ object PipelineQueries {
       // oracle is a theorem, not a corpus property. The hash table is
       // checkpointed once (it feeds both the bands and the verification).
       val base = Tables.documents(s, d)
+      // the twin offset must clear every real id — a collision would fan
+      // out the a/b hash joins on a duplicate doc_id and silently diverge
+      // from the oracle, so refuse loudly at the scale where it would start
+      require(base.agg(max(col("doc_id"))).head.getLong(0) < 999999L,
+        "q90 twin offset 999999 collides with real doc_ids at this corpus " +
+          "size - raise the offset (and its oracle twin) together")
       val corpus = base.select(col("doc_id"), col("text"))
         .unionByName(base
           .where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0 &&

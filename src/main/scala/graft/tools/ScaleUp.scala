@@ -54,6 +54,13 @@ object ScaleUp {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "localdata/sf1.0"
     val k = if (args.length > 2) args(2).toInt else 10
+    // k > 26 would wrap rot() back to the identity cipher and (past the
+    // embedding dim) repeat rotations: replicas r and r+26 become EXACT
+    // text twins — precisely the degenerate duplication this tool exists to
+    // avoid. Refuse loudly rather than corrupt a benchmark silently.
+    require(k >= 1 && k <= 26,
+      s"replication factor must be in [1, 26] (got $k): replica $k would " +
+        "reuse replica 0's substitution cipher and plant exact duplicates")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -95,8 +102,10 @@ object ScaleUp {
         col("lang"), col("source"), col("n_chars"))
     }
 
+    // constant across replicas — computed once, not one scan per replica
+    val embDim = src("embeddings").select(size(col("embedding"))).head().getInt(0)
     replicate("embeddings") { (r, d) =>
-      val dim = d.select(size(col("embedding"))).head().getInt(0)
+      val dim = embDim
       val rr = r % dim
       val emb =
         if (rr == 0) col("embedding")
