@@ -271,43 +271,26 @@ object CorpusOps {
       .toDF("doc_id", "worker", "bin", "n_tokens")
   }
 
-  private val sampleAuditSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val sampleAuditSessions = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
-
   /**
    * A SAMPLED sweep must be loud, not silent — the [[Dedup.loudWhenCapBinds]]
    * discipline for deterministic subsampling concessions (q141's 1/3 pair
    * sweep): the kept-row count and the declared denominator ride the query as
    * a named observed metric (zero extra jobs), and a once-per-session
-   * listener WARNs the sample rate on every execution, so a production run
-   * of a sampled diagnostic always STATES it is a distribution-shape
-   * estimate, never passes as a full census. Wrap the already-filtered
-   * frame; `denom` is the declared 1/denom rate.
+   * listener ([[Audits]]) WARNs the sample rate on every execution, so a
+   * production run of a sampled diagnostic always STATES it is a
+   * distribution-shape estimate, never passes as a full census. Wrap the
+   * already-filtered frame; `denom` is the declared 1/denom rate.
    */
   def loudSampled(df: DataFrame, denom: Int): DataFrame = {
     require(denom >= 1, "denom must be >= 1")
-    val spark = df.sparkSession
-    sampleAuditSessions.synchronized {
-      if (sampleAuditSessions.add(spark))
-        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(funcName: String,
-                                 qe: org.apache.spark.sql.execution.QueryExecution,
-                                 durationNs: Long): Unit =
-            qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft.corpus.sample"))
-                org.slf4j.LoggerFactory.getLogger("graft.operators.CorpusOps").warn(
-                  s"sampled sweep: deterministic 1/${row.getLong(1)} sample, " +
-                    s"${row.getLong(0)} rows kept - results are a " +
-                    "distribution-shape diagnostic, not a full census")
-            }
-          override def onFailure(funcName: String,
-                                 qe: org.apache.spark.sql.execution.QueryExecution,
-                                 exception: Exception): Unit = ()
-        })
-    }
-    df.observe(s"graft.corpus.sample.${sampleAuditSeq.incrementAndGet()}",
-      count(lit(1)).as("n_sampled"), lit(denom.toLong).as("denom"))
+    Audits.observeLoudly(df, "graft.corpus.sample",
+      Seq(count(lit(1)).as("n_sampled"), lit(denom.toLong).as("denom")),
+      "graft.operators.CorpusOps",
+      shouldWarn = _ => true,
+      render = row =>
+        s"sampled sweep: deterministic 1/${row.getLong(1)} sample, " +
+          s"${row.getLong(0)} rows kept - results are a " +
+          "distribution-shape diagnostic, not a full census")
   }
 
   /**
@@ -333,6 +316,13 @@ object CorpusOps {
    * yesterday's JVM. */
   private[operators] def dropWithLocation(spark: org.apache.spark.sql.SparkSession,
                                           table: String): Unit = {
+    // single-part names only: the backticked DROP/RENAME below and the
+    // single-part TableIdentifier would silently mistreat "db.tbl" as one
+    // odd identifier in the CURRENT database (dropping nothing, deleting an
+    // unrelated default-DB path) — refuse loudly instead
+    require(!table.contains("."),
+      s"artifact tables use single-part names in the session's current " +
+        s"database (got '$table'); run USE <db> first")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val path = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
@@ -357,15 +347,34 @@ object CorpusOps {
    * [[dropWithLocation]] reclaims. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     numBuckets: Int): Unit = {
-    val spark = df.sparkSession
-    val staging = s"${table}__staging"
-    dropWithLocation(spark, staging)
+    writeBucketedStaged(df, table, keys, numBuckets)
+    swapStaged(df.sparkSession, table)
+  }
+
+  /** Stage HALF of the swap: land the bucketed data under `<table>__staging`
+   * and return WITHOUT swapping. For MULTI-table artifacts (postings +
+   * norms, pairs + components) whose tables must change together: stage
+   * every member first — the long, killable writes — then [[swapStaged]]
+   * each in quick succession, shrinking the mixed-versions window from the
+   * longest member write to a few catalog operations. (A reader landing
+   * exactly between two swaps can still see one new + one stale member —
+   * the residual race a catalog without multi-table transactions cannot
+   * close; schedule rebuilds off-peak or version the table NAME if that
+   * window matters.) */
+  def writeBucketedStaged(df: DataFrame, table: String, keys: Seq[String],
+                          numBuckets: Int): Unit = {
+    dropWithLocation(df.sparkSession, s"${table}__staging")
     df.write.format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .mode("overwrite").saveAsTable(staging)
+      .mode("overwrite").saveAsTable(s"${table}__staging")
+  }
+
+  /** Swap a staged table into place: drop the served version (and any stale
+   * location) and rename `<table>__staging` over it. */
+  def swapStaged(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     dropWithLocation(spark, table)
-    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    spark.sql(s"ALTER TABLE `${table}__staging` RENAME TO `$table`")
   }
 
   /**

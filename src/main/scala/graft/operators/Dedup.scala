@@ -276,10 +276,15 @@ object Dedup {
   def writePairGraphIndex(pairs: DataFrame, pairsTable: String,
                           componentsTable: String, numBuckets: Int = 32): Unit = {
     // materialize once: the pair write and the components derivation both
-    // consume the (expensive: LSH + exact-verify) upstream pair pipeline
+    // consume the (expensive: LSH + exact-verify) upstream pair pipeline.
+    // Both tables are ONE artifact (new pairs + stale labels would serve an
+    // inconsistent graph): stage both — the long writes — then swap together.
     val (p, pIds) = trackedCheckpoint(pairs.select(col("a"), col("b")))
-    CorpusOps.writeBucketed(p, pairsTable, Seq("a"), numBuckets)
-    CorpusOps.writeBucketed(componentsStar(p), componentsTable, Seq("id"), numBuckets)
+    CorpusOps.writeBucketedStaged(p, pairsTable, Seq("a"), numBuckets)
+    CorpusOps.writeBucketedStaged(componentsStar(p), componentsTable,
+      Seq("id"), numBuckets)
+    CorpusOps.swapStaged(p.sparkSession, pairsTable)
+    CorpusOps.swapStaged(p.sparkSession, componentsTable)
     freeBlocks(p, pIds)
   }
 
@@ -327,44 +332,26 @@ object Dedup {
     (cold, hot)
   }
 
-  private val hotAuditSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val hotAuditSessions = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
-
   /** A BINDING df-cap must be loud, not silent: the hot-shingle set is
    * observed as a named metric riding the query (zero extra jobs — the
    * aggregate runs on the rows already flowing into the split joins), and a
-   * once-per-session listener WARNs with the collapsed-shingle count and
-   * the max df seen whenever a capped run actually dropped pair
+   * once-per-session listener ([[Audits]]) WARNs with the collapsed-shingle
+   * count and the max df seen whenever a capped run actually dropped pair
    * enumeration. [[hotShingles]] remains the detailed audit view. Shared
    * with every postings-join guard in the package (the tf-idf term cap in
    * [[Similarity.tfidfCosinePairs]] rides the same listener); `hotDf` must
    * carry a `df` column. */
-  private[operators] def loudWhenCapBinds(hotDf: DataFrame, maxDf: Long): DataFrame = {
-    val spark = hotDf.sparkSession
-    hotAuditSessions.synchronized {
-      if (hotAuditSessions.add(spark))
-        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(funcName: String,
-                                 qe: org.apache.spark.sql.execution.QueryExecution,
-                                 durationNs: Long): Unit =
-            qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft.dedup.hot_shingles") && row.getLong(0) > 0)
-                org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
-                  s"df-cap bound: ${row.getLong(0)} shingle(s) above maxDf=" +
-                    s"${row.getLong(2)} (max df seen ${row.getLong(1)}) were " +
-                    "excluded from pair generation and star-collapsed - run " +
-                    "Dedup.hotShingles for the full audit")
-            }
-          override def onFailure(funcName: String,
-                                 qe: org.apache.spark.sql.execution.QueryExecution,
-                                 exception: Exception): Unit = ()
-        })
-    }
-    hotDf.observe(s"graft.dedup.hot_shingles.${hotAuditSeq.incrementAndGet()}",
-      count(lit(1)).as("n_hot"), max(col("df")).as("max_df_seen"),
-      lit(maxDf).as("max_df_cap"))
-  }
+  private[operators] def loudWhenCapBinds(hotDf: DataFrame, maxDf: Long): DataFrame =
+    Audits.observeLoudly(hotDf, "graft.dedup.hot_shingles",
+      Seq(count(lit(1)).as("n_hot"), max(col("df")).as("max_df_seen"),
+        lit(maxDf).as("max_df_cap")),
+      "graft.operators.Dedup",
+      shouldWarn = _.getLong(0) > 0,
+      render = row =>
+        s"df-cap bound: ${row.getLong(0)} shingle(s) above maxDf=" +
+          s"${row.getLong(2)} (max df seen ${row.getLong(1)}) were " +
+          "excluded from pair generation and star-collapsed - run " +
+          "Dedup.hotShingles for the full audit")
 
   /** Audit view of the shingles a df-cap would collapse: (sh, df) for every
    * shingle with df > maxDf. Run this when a capped pass on a new corpus

@@ -423,31 +423,56 @@ object Similarity {
    * postings come from, which is exactly the equivalence
    * PersistedIndexSpec pins. */
   private def cappedCosineFromPostings(post: DataFrame, norms: DataFrame,
-                                       minCosPpm: Long, maxDf: Long): DataFrame = {
+                                       minCosPpm: Long, maxDf: Long): DataFrame =
+    cappedCosineCore(post, norms, post, norms, minCosPpm, maxDf,
+      // within-corpus: canonical ascending pairs; hot-only clusters stay one
+      // component via the rep-chained per-term star
+      pairFilter = col("a") < col("b"),
+      starCands = (_, hotB) =>
+        Dedup.hotStarPairs(hotB.select(col("id"), col("term").as("sh"))))
+
+  /** The df-capped exact-cosine algebra, TWO-SIDED — the one definition of
+   * cold-pairs + Cauchy-Schwarz hot-credit prune + exact correction join +
+   * star fallback, shared by the within-corpus path (`A = B`, ascending
+   * pairs, rep-chained star) and the new×old incremental probe (disjoint
+   * sides, per-term min-OLD-holder star): the capped-exactness contract
+   * lives in exactly one place, so batch and incremental semantics cannot
+   * drift. `hotSet` derives from the B (corpus/index) side — identical to A
+   * in the symmetric case. `starCands(hotA, hotB)` returns the (a, b)
+   * hot-only candidate pairs, scored exactly from both full postings. */
+  private def cappedCosineCore(postA: DataFrame, normsA: DataFrame,
+                               postB: DataFrame, normsB: DataFrame,
+                               minCosPpm: Long, maxDf: Long,
+                               pairFilter: Column,
+                               starCands: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     val hotSet = Dedup.loudWhenCapBinds(
-        post.where(col("df") > maxDf)
+        postB.where(col("df") > maxDf)
           .groupBy(col("term")).agg(max(col("df")).as("df")), maxDf)
       .select(col("term"))
-    val cold = post.join(hotSet, Seq("term"), "left_anti")
-    val hot = post.join(hotSet, Seq("term"), "left_semi")
-    val coldPairs = cold.select(col("term"), col("id").as("a"), col("wt").as("wa"))
-      .join(cold.select(col("term"), col("id").as("b"), col("wt").as("wb")),
+    val coldA = postA.join(hotSet, Seq("term"), "left_anti")
+    val coldB = postB.join(hotSet, Seq("term"), "left_anti")
+    val hotA = postA.join(hotSet, Seq("term"), "left_semi")
+    val hotB = postB.join(hotSet, Seq("term"), "left_semi")
+    val coldPairs = coldA.select(col("term"), col("id").as("a"), col("wt").as("wa"))
+      .join(coldB.select(col("term"), col("id").as("b"), col("wt").as("wb")),
         Seq("term"))
-      .where(col("a") < col("b"))
+      .where(pairFilter)
       .groupBy(col("a"), col("b"))
       .agg(sum(col("wa") * col("wb")).as("dot_cold"),
         count(lit(1)).as("n_cold"))
-      .join(norms.select(col("id").as("a"), col("nrm").as("na")), "a")
-      .join(norms.select(col("id").as("b"), col("nrm").as("nb")), "b")
+      .join(normsA.select(col("id").as("a"), col("nrm").as("na")), "a")
+      .join(normsB.select(col("id").as("b"), col("nrm").as("nb")), "b")
     // upper-bound prune before the correction join: the hot contribution to
     // the dot product is at most √(Σwtₐ²·Σwt_b²) over hot terms
     // (Cauchy-Schwarz); +1 absorbs double rounding so the bound can only
     // over-admit, never drop a qualifying pair. With minCosPpm = 0 the
     // filter is vacuous and every cold candidate proceeds (still linear).
-    val hotNorm2 = hot.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
+    val hotNorm2A = hotA.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
+    val hotNorm2B = hotB.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
     val bounded = coldPairs
-      .join(hotNorm2.select(col("id").as("a"), col("h2").as("h2a")), Seq("a"), "left")
-      .join(hotNorm2.select(col("id").as("b"), col("h2").as("h2b")), Seq("b"), "left")
+      .join(hotNorm2A.select(col("id").as("a"), col("h2").as("h2a")), Seq("a"), "left")
+      .join(hotNorm2B.select(col("id").as("b"), col("h2").as("h2b")), Seq("b"), "left")
       .withColumn("credit",
         floor(sqrt(coalesce(col("h2a"), lit(0L)).cast("double") *
           coalesce(col("h2b"), lit(0L)).cast("double"))).cast("long") + lit(1L))
@@ -457,9 +482,9 @@ object Similarity {
     // exact correction riding the candidate row — expand by a's hot terms,
     // match those b also holds, re-collapse: |candidates| × hot-terms-per-doc
     val corrected = bounded
-      .join(hot.select(col("id").as("a"), col("term"), col("wt").as("wah")),
+      .join(hotA.select(col("id").as("a"), col("term"), col("wt").as("wah")),
         Seq("a"), "left")
-      .join(hot.select(col("id").as("b"), col("term"), col("wt").as("wbh")),
+      .join(hotB.select(col("id").as("b"), col("term"), col("wt").as("wbh")),
         Seq("b", "term"), "left")
       .groupBy(col("a"), col("b"), col("dot_cold"), col("n_cold"),
         col("na"), col("nb"))
@@ -469,11 +494,10 @@ object Similarity {
         (col("n_cold") + col("n_hot")).as("n_shared"),
         (col("dot_cold") + coalesce(col("dot_hot"), lit(0L))).as("dot"),
         col("na"), col("nb"))
-    // hot-only clusters: one linear star per hot term, scored exactly from
+    // hot-only pairs: linear per-term star candidates, scored exactly from
     // the full postings (both cold and hot terms of each member)
-    val starScored = scorePairsExact(
-      Dedup.hotStarPairs(hot.select(col("id"), col("term").as("sh"))),
-      post, norms)
+    val starScored = scorePairsExactAb(starCands(hotA, hotB),
+      postA, normsA, postB, normsB)
     corrected.unionByName(starScored)
       .select(col("a"), col("b"), col("n_shared"),
         expr("1000000 * dot div (na * nb)").as("cos_ppm"))
@@ -502,18 +526,26 @@ object Similarity {
                               maxDfDenom: Int = 2,
                               numBuckets: Int = 32): Unit = {
     val spark = toks.sparkSession
-    CorpusOps.writeBucketed(buildPostings(toks, maxDfDenom), table, "term",
-      numBuckets)
-    val saved = spark.table(table)
-    CorpusOps.writeBucketed(postingsNorms(saved), s"${table}_norms", "id",
-      numBuckets)
-    // provenance row derives from the SAVED postings (one bucket-local
+    // the three tables are ONE artifact — new postings joined against stale
+    // norms would emit silently wrong cosines, so every member stages first
+    // (the long, killable writes; the prior version stays served throughout)
+    // and the swaps run together at the end
+    CorpusOps.writeBucketedStaged(buildPostings(toks, maxDfDenom), table,
+      Seq("term"), numBuckets)
+    val staged = spark.table(s"${table}__staging")
+    CorpusOps.writeBucketedStaged(postingsNorms(staged), s"${table}_norms",
+      Seq("id"), numBuckets)
+    // provenance row derives from the STAGED postings (one bucket-local
     // aggregate over the artifact), never a second corpus scan; n_docs here
     // counts docs with >= 1 kept posting — the population the index serves
-    CorpusOps.dropWithLocation(spark, s"${table}_meta")
-    saved.agg(countDistinct(col("id")).as("n_docs"))
+    CorpusOps.dropWithLocation(spark, s"${table}_meta__staging")
+    staged.agg(countDistinct(col("id")).as("n_docs"))
       .withColumn("max_df_denom", lit(maxDfDenom))
-      .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta__staging")
+    CorpusOps.swapStaged(spark, table)
+    CorpusOps.swapStaged(spark, s"${table}_norms")
+    CorpusOps.swapStaged(spark, s"${table}_meta")
   }
 
   /**
@@ -568,59 +600,25 @@ object Similarity {
       .where(col("wt") > 0)
       .localCheckpoint()
     val newNorms = postingsNorms(newPost)
-    val hotSet = Dedup.loudWhenCapBinds(
-        post.where(col("df") > maxDf)
-          .groupBy(col("term")).agg(max(col("df")).as("df")), maxDf)
-      .select(col("term"))
-    val oldCold = post.join(hotSet, Seq("term"), "left_anti")
-    val oldHot = post.join(hotSet, Seq("term"), "left_semi")
-    val newCold = newPost.join(hotSet, Seq("term"), "left_anti")
-    val newHot = newPost.join(hotSet, Seq("term"), "left_semi")
-    val coldPairs = newCold
-      .select(col("term"), col("id").as("a"), col("wt").as("wa"))
-      .join(oldCold.select(col("term"), col("id").as("b"), col("wt").as("wb")),
-        Seq("term"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(col("wa") * col("wb")).as("dot_cold"), count(lit(1)).as("n_cold"))
-      .join(newNorms.select(col("id").as("a"), col("nrm").as("na")), "a")
-      .join(oldNorms.select(col("id").as("b"), col("nrm").as("nb")), "b")
-    val hotNorm2New = newHot.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
-    val hotNorm2Old = oldHot.groupBy(col("id")).agg(sum(col("wt") * col("wt")).as("h2"))
-    val bounded = coldPairs
-      .join(hotNorm2New.select(col("id").as("a"), col("h2").as("h2a")), Seq("a"), "left")
-      .join(hotNorm2Old.select(col("id").as("b"), col("h2").as("h2b")), Seq("b"), "left")
-      .withColumn("credit",
-        floor(sqrt(coalesce(col("h2a"), lit(0L)).cast("double") *
-          coalesce(col("h2b"), lit(0L)).cast("double"))).cast("long") + lit(1L))
-      .where(expr("1000000 * (dot_cold + credit) div (na * nb)") >= minCosPpm)
-      .select(col("a"), col("b"), col("dot_cold"), col("n_cold"),
-        col("na"), col("nb"))
-    val corrected = bounded
-      .join(newHot.select(col("id").as("a"), col("term"), col("wt").as("wah")),
-        Seq("a"), "left")
-      .join(oldHot.select(col("id").as("b"), col("term"), col("wt").as("wbh")),
-        Seq("b", "term"), "left")
-      .groupBy(col("a"), col("b"), col("dot_cold"), col("n_cold"),
-        col("na"), col("nb"))
-      .agg(sum(col("wah") * col("wbh")).as("dot_hot"),
-        count(col("wbh")).as("n_hot"))
-      .select(col("a"), col("b"),
-        (col("n_cold") + col("n_hot")).as("n_shared"),
-        (col("dot_cold") + coalesce(col("dot_hot"), lit(0L))).as("dot"),
-        col("na"), col("nb"))
-    // hot-only bridges: each NEW holder of a hot term pairs with the term's
-    // min OLD holder — linear per term, scored exactly from both full
-    // postings sides
-    val starCands = newHot.select(col("id").as("a"), col("term"))
-      .join(oldHot.groupBy(col("term")).agg(min(col("id")).as("b")), "term")
-      .select(col("a"), col("b"))
-      .distinct()
-    val starScored = scorePairsExactAb(starCands, newPost, newNorms, post, oldNorms)
-    corrected.unionByName(starScored)
-      .select(col("a"), col("b"), col("n_shared"),
-        expr("1000000 * dot div (na * nb)").as("cos_ppm"))
-      .where(col("cos_ppm") >= minCosPpm)
-      .distinct()
+    // the disjoint-ids contract is ENFORCED, not just documented: an id
+    // present on both sides would emit a bogus ~cos-1.0 self-pair (or pair
+    // two different docs sharing a recycled id) with no error — refuse
+    // loudly instead. One bounded semi-join probe (take-1 semantics) per
+    // probe invocation, the q90/ScaleUp guard discipline.
+    require(newNorms.join(oldNorms, Seq("id"), "left_semi").isEmpty,
+      s"incrementalTfidfPairsFromIndex: new ids overlap index '$table' ids " +
+        "- the probe requires disjoint id spaces (re-key the crawl or " +
+        "rebuild the index)")
+    cappedCosineCore(newPost, newNorms, post, oldNorms, minCosPpm, maxDf,
+      // new×old: every cross pair is canonical already (sides disjoint);
+      // hot-only bridges pair each NEW holder with the term's min OLD
+      // holder — linear per term
+      pairFilter = lit(true),
+      starCands = (hotA, hotB) =>
+        hotA.select(col("id").as("a"), col("term"))
+          .join(hotB.groupBy(col("term")).agg(min(col("id")).as("b")), "term")
+          .select(col("a"), col("b"))
+          .distinct())
   }
 
   /** [[scorePairsExact]] with DISTINCT postings/norms per side — the new×old

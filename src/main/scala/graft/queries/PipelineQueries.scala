@@ -1053,6 +1053,10 @@ object PipelineQueries {
       // oracle recomputes the same snapshot algebra relationally: df and the
       // prune denominator come from the OLD corpus only, new docs weight
       // against the INDEX df (terms outside the snapshot vocabulary drop).
+      // The artifact persists in the session warehouse by design (build-once
+      // serve-many is the point being measured — the bench time INCLUDES the
+      // index build); reruns reclaim it through the staged swap, which also
+      // means a plan-only consumer of this entry pays the build.
       val toks = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id"), explode(T.tokens(col("text"))).as("term"))
         .localCheckpoint()
