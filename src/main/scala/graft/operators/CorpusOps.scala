@@ -679,4 +679,83 @@ object CorpusOps {
         expr("(1000000 * top_k_tokens) div total_tokens").as("coverage_ppm"),
         col("vocab_size"))
   }
+
+  /**
+   * Character-level diversity / repetition statistics — the boilerplate
+   * detectors below the word level (encoding glitches, ASCII-art, run-on
+   * separators, base64 blobs), complementing the word-level signals of
+   * q62/[[hotUnits]]. Per document:
+   *
+   *   - `n_chars`, `n_distinct_chars`
+   *   - `collision_ppm` — Σ cnt(c)² / len² in ×1e6 fixed point: the
+   *     probability two random positions hold the same character (Simpson
+   *     concentration). High = repetitive/low-diversity text.
+   *   - `eff_alpha_fp` — len²/Σ cnt(c)² in ×1e3 fixed point: the inverse
+   *     Simpson index = 2^H₂, the EFFECTIVE ALPHABET SIZE under Rényi-2
+   *     entropy. An entropy quality gate with no libm in sight: every step
+   *     is 64-bit integer arithmetic, so the score is engine-independent
+   *     bits (the q71/BM25 scaled-integer idiom — `log`/`log2` are NOT
+   *     correctly-rounded across libms and never appear in this codebase).
+   *   - `max_run` — longest run of one repeated character (the classic
+   *     '-----'/whitespace-padding detector).
+   *   - `ws_ppm` — whitespace density, ×1e6 fixed point.
+   *
+   * Every stat is a SCALAR per row — array folds inside the scan, zero
+   * shuffles, zero joins; at 100 TB this runs at scan speed like q26-q29.
+   * Σ cnt² folds over the SORTED char array (one O(len) run-length pass
+   * after the O(len log len) in-row sort), not the O(distinct·len)
+   * count-per-distinct-char formulation.
+   *
+   * Overflow domain (exact): len ≤ 1e6 chars — 1e6·len² ≤ 1e18 < 2^63.
+   * Pre-chunk pathological documents above that (the same contract as
+   * [[graft.queries.PipelineQueries]]'s BM25 dl bound). Empty/NULL text
+   * emits len 0 with NULL ratio fields (integer `div` by zero).
+   */
+  def charDiversity(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val runFold = (sorted: Column) => aggregate(
+      sorted,
+      struct(lit(0L).as("acc"), lit(0L).as("cur"), lit("").as("prev")),
+      (st, ch) => {
+        val extend = ch === st("prev")
+        struct(
+          (st("acc") + when(extend, 0L).otherwise(st("cur") * st("cur"))).as("acc"),
+          when(extend, st("cur") + 1L).otherwise(lit(1L)).as("cur"),
+          ch.as("prev"))
+      },
+      st => st("acc") + st("cur") * st("cur"))
+    val maxRunFold = (cs: Column) => aggregate(
+      cs,
+      struct(lit(0L).as("best"), lit(0L).as("cur"), lit("").as("prev")),
+      (st, ch) => {
+        val run = when(ch === st("prev"), st("cur") + 1L).otherwise(lit(1L))
+        struct(greatest(st("best"), run).as("best"), run.as("cur"), ch.as("prev"))
+      },
+      st => st("best"))
+    docs
+      .select(idCol.as("id"), coalesce(textCol, lit("")).as("t"))
+      .select(
+        col("id"),
+        length(col("t")).cast("long").as("len"),
+        (length(col("t")) - length(translate(col("t"), " ", ""))).cast("long").as("nsp"),
+        when(length(col("t")) > 0, split(col("t"), ""))
+          .otherwise(array().cast("array<string>")).as("cs"))
+      .select(
+        col("id"), col("len"), col("nsp"),
+        size(array_distinct(col("cs"))).as("nd"),
+        runFold(array_sort(col("cs"))).as("s2"),
+        maxRunFold(col("cs")).as("max_run"))
+      .select(
+        col("id"),
+        col("len").as("n_chars"),
+        col("nd").as("n_distinct_chars"),
+        // the len > 0 guard keeps ANSI mode from throwing on empty docs
+        // (the CaseWhen only evaluates the div on the guarded branch)
+        when(col("len") > 0,
+          expr("(1000000 * s2) div (len * len)")).as("collision_ppm"),
+        when(col("len") > 0,
+          expr("(1000 * len * len) div s2")).as("eff_alpha_fp"),
+        col("max_run"),
+        when(col("len") > 0,
+          expr("(1000000 * nsp) div len")).as("ws_ppm"))
+  }
 }

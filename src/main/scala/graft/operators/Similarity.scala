@@ -688,4 +688,53 @@ object Similarity {
         round(cosineNative(col("va"), col("vb")), 4).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /**
+   * Truncated-dimension retrieval audit (the Matryoshka / dimension-
+   * reduction validation step): before an index switches from full-dim to
+   * prefix-truncated embeddings, measure what the truncation does to the
+   * neighbors actually retrieved. Per query, exact cosine top-k under the
+   * FULL vectors and under the first-`dim` PREFIX, then:
+   *
+   *   - `full_top1`   — the true (full-dim) nearest neighbor,
+   *   - `trunc_rank`  — its rank in the truncated top-k (NULL = lost: the
+   *                     doc a truncated index would fail to surface first),
+   *   - `overlap_k`   — |full top-k ∩ truncated top-k| (recall@k·k).
+   *
+   * The aggregate recall curve is one `avg` away; the per-query table is
+   * the artifact a retrieval team actually debugs from.
+   *
+   * Scale posture: both top-k passes are [[knnBruteForce]] — queries
+   * broadcast, corpus scanned with no shuffle, native bounded-heap top-k —
+   * and every join past them touches only the Q×k result, localCheckpointed
+   * so the corpus is scanned exactly twice (once per representation), not
+   * once per downstream consumer. Rank ties break (cos desc, id asc) in
+   * both passes, so the comparison is deterministic. Swap either
+   * `knnBruteForce` for [[annLsh]]/[[graft.operators.Ivf]] probes when the
+   * corpus outgrows brute force — the audit join is representation-agnostic.
+   */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame, dim: Int,
+                       k: Int): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    def trunc(df: DataFrame): DataFrame =
+      df.select(col("id"), slice(col("vec"), 1, dim).as("vec"))
+    val kFull = knnBruteForce(corpus, queries, k).localCheckpoint()
+    val kTrunc = knnBruteForce(trunc(corpus), trunc(queries), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("trunc_rank"))
+      .localCheckpoint()
+    val overlap = kFull
+      .join(broadcast(kTrunc), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("overlap_k"))
+    val top1 = kFull.where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("full_top1"))
+    val tr = kTrunc.select(col("query_id").as("tq"),
+      col("neighbor_id").as("tn"), col("trunc_rank"))
+    top1
+      .join(broadcast(tr), top1("query_id") === tr("tq") &&
+        top1("full_top1") === tr("tn"), "left")
+      .select(col("query_id"), col("full_top1"), col("trunc_rank"))
+      .join(broadcast(overlap), Seq("query_id"), "left")
+      .select(col("query_id"), col("full_top1"), col("trunc_rank"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"))
+  }
 }

@@ -426,6 +426,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q147_char_diversity" -> ((s, d) =>
+      // char-level repetition/diversity gates — the sub-word boilerplate
+      // detectors (encoding glitches, separator runs, base64 blobs) that
+      // q62's word-level signals can't see. The entropy gate is Rényi-2
+      // (inverse Simpson = effective alphabet size) in EXACT ×1e3 fixed
+      // point — an entropy filter with zero libm calls, so the score is
+      // engine-independent bits. Pure scalar per row: array folds inside
+      // the scan, zero shuffles before the ORDER BY — scan-speed at 100 TB.
+      CorpusOps.charDiversity(Tables.documents(s, d), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_distinct_chars"),
+          col("collision_ppm"), col("eff_alpha_fp"), col("max_run"), col("ws_ppm"))
+        .orderBy(col("doc_id"))),
+
+    "q148_truncation_recall" -> ((s, d) =>
+      // Matryoshka-style truncation audit: before an ANN index switches to
+      // prefix-truncated embeddings (4× memory cut at dim 64→16), measure
+      // per query what the truncation does to retrieval — the true top-1's
+      // rank under the truncated metric (NULL = lost) and the top-10
+      // overlap. Both passes are the q35 machinery (queries broadcast,
+      // corpus scanned shuffle-free, bounded-heap top-k); the audit joins
+      // touch only the Q×k checkpointed results.
+      Similarity.truncationRecall(
+        corpus = embVecs(s, d),
+        queries = embVecs(s, d, col("vec_id") % 100 === 0),
+        dim = 16, k = 10)
+        .orderBy(col("query_id"))),
+
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
       // gram set: the held-out grams compress to a <=4096-bit filter (the
@@ -3236,6 +3263,69 @@ object PipelineQueries {
                  FROM posts p LEFT JOIN bgrams b USING (gram) GROUP BY 1)
          SELECT doc_id, n_grams, n_hit, (1000 * n_hit) // n_grams AS overlap_pm
          FROM agg WHERE n_hit > 0 ORDER BY doc_id""",
+
+    // Char census by (doc, char) group-by where Spark folds a sorted array —
+    // Σ cnt² and the run-length islands are exact integers either way, and
+    // the fixed-point ratios are single integer divisions (the same ×1e6/×1e3
+    // idiom) — no float, no libm, engine-exact by construction.
+    "q147_char_diversity" ->
+      """WITH pos AS (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text))) AS i
+                      FROM documents),
+         cc AS (SELECT doc_id, i, substr(text, i, 1) AS c FROM pos),
+         cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+                 FROM cc GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS len,
+                   CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n * n) AS BIGINT) AS s2,
+                   CAST(coalesce(sum(CASE WHEN c = ' ' THEN n END), 0)
+                     AS BIGINT) AS nsp
+                 FROM cnt GROUP BY 1),
+         runs AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM (
+                    SELECT doc_id, c, grp, CAST(count(*) AS BIGINT) AS rl
+                    FROM (SELECT doc_id, c, i,
+                            i - row_number() OVER (PARTITION BY doc_id, c
+                                                   ORDER BY i) AS grp
+                          FROM cc)
+                    GROUP BY doc_id, c, grp)
+                  GROUP BY doc_id)
+         SELECT a.doc_id, a.len AS n_chars, a.nd AS n_distinct_chars,
+                (1000000 * a.s2) // (a.len * a.len) AS collision_ppm,
+                (1000 * a.len * a.len) // a.s2 AS eff_alpha_fp,
+                r.max_run, (1000000 * a.nsp) // a.len AS ws_ppm
+         FROM agg a JOIN runs r USING (doc_id) ORDER BY doc_id""",
+
+    // The q35 scored/ranked CTEs twice — full lists and the [1:16] prefix
+    // slice — then pure integer joins: the true top-1's truncated rank and
+    // the top-10 intersection size. Same fold-order cosine, same
+    // (cos DESC, id ASC) tie-break as every kNN oracle.
+    "q148_truncation_recall" -> {
+      def ranked(cosExpr: String) =
+        s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY $cosExpr DESC, c.vec_id ASC) AS rank
+            FROM c JOIN q ON c.vec_id != q.vec_id"""
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id % 100 = 0),
+              rf AS (${ranked(duckCos("c.v", "q.v"))}),
+              rt AS (${ranked(duckCos("c.v[1:16]", "q.v[1:16]"))}),
+              f10 AS (SELECT * FROM rf WHERE rank <= 10),
+              t10 AS (SELECT * FROM rt WHERE rank <= 10),
+              ov AS (SELECT query_id, CAST(count(*) AS BIGINT) AS overlap_k
+                     FROM f10 JOIN t10 USING (query_id, neighbor_id)
+                     GROUP BY 1),
+              top1 AS (SELECT query_id, neighbor_id AS full_top1
+                       FROM rf WHERE rank = 1)
+         SELECT top1.query_id, top1.full_top1, t10.rank AS trunc_rank,
+                coalesce(ov.overlap_k, 0) AS overlap_k
+         FROM top1
+         LEFT JOIN t10 ON top1.query_id = t10.query_id
+                      AND top1.full_top1 = t10.neighbor_id
+         LEFT JOIN ov ON top1.query_id = ov.query_id
+         ORDER BY top1.query_id"""
+    },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the
     // census+join formulation (hence MATERIALIZED wins) where Spark counts

@@ -269,6 +269,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.contains(10))
   }
 
+  test("charDiversity: exact fixed-point char stats, runs, empty/NULL text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("aaab")),  // cnt a=3,b=1: s2=10; run aaa=3
+      (2L, Some("ab ab")), // cnt a=2,b=2,' '=1: s2=9; 1 space
+      (3L, Some("zzzz")),  // single-char doc: collision = 1.0 exactly
+      (4L, Some("")),      // empty: len 0, ratio fields NULL (div 0)
+      (5L, None)           // NULL text ≡ empty
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.charDiversity(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> ((
+        r.getAs[Long]("n_chars"), r.getAs[Int]("n_distinct_chars"),
+        Option(r.getAs[Any]("collision_ppm")),
+        Option(r.getAs[Any]("eff_alpha_fp")),
+        r.getAs[Long]("max_run"),
+        Option(r.getAs[Any]("ws_ppm"))))).toMap
+    assert(got(1L) == ((4L, 2, Some(625000L), Some(1600L), 3L, Some(0L))), s"got ${got(1L)}")
+    assert(got(2L) == ((5L, 3, Some(360000L), Some(2777L), 1L, Some(200000L))), s"got ${got(2L)}")
+    // maximal concentration: collision exactly 1e6 ppm, effective alphabet 1.000
+    assert(got(3L) == ((4L, 1, Some(1000000L), Some(1000L), 4L, Some(0L))), s"got ${got(3L)}")
+    assert(got(4L) == ((0L, 0, None, None, 0L, None)), s"got ${got(4L)}")
+    assert(got(5L) == got(4L), "NULL text must behave as empty")
+  }
+
   test("quantileNormalize: within-group CDF ppm with ties sharing one percentile") {
     import spark.implicits._
     // group g1: values 10, 20, 20, 40 → cdf(10)=25%, cdf(20)=75%, cdf(40)=100%

@@ -149,6 +149,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("truncationRecall: lost top-1 is NULL-ranked, demoted top-1 keeps its rank") {
+    import spark.implicits._
+    // q10=(1,0,10,0): X's similarity lives in dims 3-4 (full cos .990), Y's
+    // in the prefix (full cos .0995) — truncation to dim 2 INVERTS the order
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0, 10.0, 0.0)), // X
+      (2L, Seq(1.0, 0.0, 0.0, 0.0))   // Y
+    ).toDF("id", "vec")
+    val queries = Seq(
+      (10L, Seq(1.0, 0.0, 10.0, 0.0)),
+      (11L, Seq(1.0, 0.0, 0.0, 0.0))
+    ).toDF("id", "vec")
+    // k=1: q10's true top-1 X vanishes from the truncated top-1 (rank NULL,
+    // overlap 0); q11's top-1 Y survives at rank 1
+    val k1 = Similarity.truncationRecall(corpus, queries, dim = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.getAs[Any]("trunc_rank")), r.getLong(3)))).toMap
+    assert(k1(10L) == ((1L, None, 0L)), s"got ${k1(10L)}")
+    assert(k1(11L) == ((2L, Some(1), 1L)), s"got ${k1(11L)}")
+    // k=2: both sets cover the 2-doc corpus (overlap 2) and X is merely
+    // DEMOTED to truncated rank 2, not lost
+    val k2 = Similarity.truncationRecall(corpus, queries, dim = 2, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.getAs[Any]("trunc_rank")), r.getLong(3)))).toMap
+    assert(k2(10L) == ((1L, Some(2), 2L)), s"got ${k2(10L)}")
+    assert(k2(11L) == ((2L, Some(1), 2L)), s"got ${k2(11L)}")
+  }
+
   test("ann-lsh results are correct-cosine rows and hit the exact top-1 mostly") {
     val corpus = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))

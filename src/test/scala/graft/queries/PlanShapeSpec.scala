@@ -47,10 +47,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("scalar pipelines stay shuffle-free up to their final sort") {
-    // q62/q64 are scan-speed claims: nothing but scan, project, and the
+    // q62/q64/q147 are scan-speed claims: nothing but scan, project, and the
     // ORDER BY exchange may appear — in particular no aggregate, no join
-    Seq("q62_repetition", "q64_quantize_embed").foreach(
+    Seq("q62_repetition", "q64_quantize_embed", "q147_char_diversity").foreach(
       assertNever(_, "Join", "HashAggregate", "Window"))
+  }
+
+  test("truncation audit joins touch only the Q×k checkpointed top-k — no window, no NL join") {
+    // both top-k passes are the bounded-heap aggregate; every join past them
+    // reads the localCheckpointed Q×k results (broadcast-sized by contract)
+    assertNever("q148_truncation_recall",
+      "Window", "CartesianProduct", "SortMergeJoin")
   }
 
   private def exchanges(name: String): Int =
