@@ -700,11 +700,13 @@ object CorpusOps {
    *     '-----'/whitespace-padding detector).
    *   - `ws_ppm` — whitespace density, ×1e6 fixed point.
    *
-   * Every stat is a SCALAR per row — array folds inside the scan, zero
-   * shuffles, zero joins; at 100 TB this runs at scan speed like q26-q29.
-   * Σ cnt² folds over the SORTED char array (one O(len) run-length pass
-   * after the O(len log len) in-row sort), not the O(distinct·len)
-   * count-per-distinct-char formulation.
+   * Every stat is a SCALAR per row — zero shuffles, zero joins; at 100 TB
+   * this runs at scan speed like q26-q29. When the `char_stats` extension
+   * is registered (the q29/q121 native-kernel promotion pattern) all five
+   * raw statistics come from ONE compiled pass over the string's code
+   * points ([[graft.plans.CharStatsExpr]] — 128-slot ASCII count table,
+   * primitives only); otherwise the interpreted HOF twin
+   * ([[hofCharStats]]) computes the identical values.
    *
    * Overflow domain (exact): len ≤ 1e6 chars — 1e6·len² ≤ 1e18 < 2^63.
    * Pre-chunk pathological documents above that (the same contract as
@@ -712,38 +714,15 @@ object CorpusOps {
    * emits len 0 with NULL ratio fields (integer `div` by zero).
    */
   def charDiversity(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val runFold = (sorted: Column) => aggregate(
-      sorted,
-      struct(lit(0L).as("acc"), lit(0L).as("cur"), lit("").as("prev")),
-      (st, ch) => {
-        val extend = ch === st("prev")
-        struct(
-          (st("acc") + when(extend, 0L).otherwise(st("cur") * st("cur"))).as("acc"),
-          when(extend, st("cur") + 1L).otherwise(lit(1L)).as("cur"),
-          ch.as("prev"))
-      },
-      st => st("acc") + st("cur") * st("cur"))
-    val maxRunFold = (cs: Column) => aggregate(
-      cs,
-      struct(lit(0L).as("best"), lit(0L).as("cur"), lit("").as("prev")),
-      (st, ch) => {
-        val run = when(ch === st("prev"), st("cur") + 1L).otherwise(lit(1L))
-        struct(greatest(st("best"), run).as("best"), run.as("cur"), ch.as("prev"))
-      },
-      st => st("best"))
-    docs
-      .select(idCol.as("id"), coalesce(textCol, lit("")).as("t"))
-      .select(
-        col("id"),
-        length(col("t")).cast("long").as("len"),
-        (length(col("t")) - length(translate(col("t"), " ", ""))).cast("long").as("nsp"),
-        when(length(col("t")) > 0, split(col("t"), ""))
-          .otherwise(array().cast("array<string>")).as("cs"))
-      .select(
-        col("id"), col("len"), col("nsp"),
-        size(array_distinct(col("cs"))).as("nd"),
-        runFold(array_sort(col("cs"))).as("s2"),
-        maxRunFold(col("cs")).as("max_run"))
+    val base = docs.select(idCol.as("id"), coalesce(textCol, lit("")).as("t"))
+    // native one-pass kernel when registered (the q29/q121 promotion
+    // pattern); value-identical HOF fallback otherwise — parity pinned in
+    // CorpusOpsSpec, and q147 is oracle-gated through whichever path runs
+    val stats =
+      if (docs.sparkSession.catalog.functionExists("char_stats"))
+        nativeCharStats(base)
+      else hofCharStats(base)
+    stats
       .select(
         col("id"),
         col("len").as("n_chars"),
@@ -757,5 +736,53 @@ object CorpusOps {
         col("max_run"),
         when(col("len") > 0,
           expr("(1000000 * nsp) div len")).as("ws_ppm"))
+  }
+
+  /** `(id, t)` → `(id, len, nd, s2, max_run, nsp)` via the codegen'd
+   * one-pass [[graft.plans.CharStatsExpr]] kernel. */
+  private[operators] def nativeCharStats(base: DataFrame): DataFrame =
+    base
+      .select(col("id"), call_function("char_stats", col("t")).as("st"))
+      .select(col("id"),
+        col("st.len").as("len"), col("st.nd").as("nd"), col("st.s2").as("s2"),
+        col("st.max_run").as("max_run"), col("st.nsp").as("nsp"))
+
+  /** The HOF twin of [[nativeCharStats]] — interpreted, extension-free.
+   * Both Σ cnt² and the runs come from ONE primitive: the equal-run
+   * BOUNDARY positions of an array (over the in-row-sorted chars, runs ARE
+   * the per-char counts; over the raw chars, runs are the repeats);
+   * consecutive-boundary diffs give run lengths, and `nd` falls out free
+   * as #runs(sorted). */
+  private[operators] def hofCharStats(base: DataFrame): DataFrame = {
+    // 1-based positions i where a maximal equal-run of `a` ends at element i
+    val boundaries = (a: Column) =>
+      when(size(a) >= 2,
+        filter(sequence(lit(1), size(a) - 1),
+          i => !(element_at(a, i + 1) === element_at(a, i))))
+        .otherwise(array().cast("array<int>"))
+    // [0] ++ bnds ++ [n] → adjacent diffs = maximal-run lengths (n=0 → [0])
+    val runLens = (a: Column, bnds: Column) => {
+      val full = concat(array(lit(0)), bnds, array(size(a)))
+      zip_with(slice(full, lit(2), size(full) - 1),
+        slice(full, lit(1), size(full) - 1), (x, y) => x - y)
+    }
+    base
+      .select(
+        col("id"),
+        length(col("t")).cast("long").as("len"),
+        (length(col("t")) - length(translate(col("t"), " ", ""))).cast("long").as("nsp"),
+        when(length(col("t")) > 0, split(col("t"), ""))
+          .otherwise(array().cast("array<string>")).as("cs"))
+      .select(col("id"), col("len"), col("nsp"), col("cs"),
+        array_sort(col("cs")).as("sc"))
+      .select(col("id"), col("len"), col("nsp"), col("cs"), col("sc"),
+        boundaries(col("sc")).as("bs"), boundaries(col("cs")).as("bu"))
+      .select(
+        col("id"), col("len"), col("nsp"),
+        when(col("len") > 0, size(col("bs")) + 1).otherwise(0).as("nd"),
+        aggregate(runLens(col("sc"), col("bs")), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")).as("s2"),
+        when(col("len") > 0, array_max(runLens(col("cs"), col("bu"))))
+          .otherwise(0).cast("long").as("max_run"))
   }
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(WordNgramsExpr.descriptor)
     extensions.injectFunction(CdcBoundsExpr.descriptor)
     extensions.injectFunction(WinnowSelectExpr.descriptor)
+    extensions.injectFunction(CharStatsExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

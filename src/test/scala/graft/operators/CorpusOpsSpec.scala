@@ -293,6 +293,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L) == got(4L), "NULL text must behave as empty")
   }
 
+  test("charDiversity: native char_stats kernel ≡ HOF twin, incl. non-ASCII") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("char_stats"),
+      "test session must register GraftExtensions")
+    // edge corpus: ASCII, runs, unicode beyond the 128-slot fast path,
+    // a supplementary-plane code point (𝄞 — counted ONCE, not as UTF-16
+    // halves), empty, and the real sf0.001 documents
+    val edge = Seq(
+      (1L, "aaab"), (2L, "ab ab"), (3L, ""),
+      (4L, "héllo wörld héé"), (5L, "𝄞𝄞a𝄞"), (6L, "  --  --  ")
+    ).toDF("id", "t")
+    val real = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id").as("id"), col("text").as("t"))
+    for (base <- Seq(edge, real)) {
+      val n = CorpusOps.nativeCharStats(base)
+        .orderBy(col("id")).collect().map(_.toSeq).toSeq
+      val h = CorpusOps.hofCharStats(base)
+        .select("id", "len", "nd", "s2", "max_run", "nsp")
+        .orderBy(col("id")).collect().map(_.toSeq).toSeq
+      assert(n == h, s"native vs HOF diverged:\n${n.zip(h).filter(p => p._1 != p._2)}")
+    }
+    // the supplementary-plane row, hand-checked: 4 code points, 2 distinct,
+    // counts {𝄞:3, a:1} → s2 = 10, max run 2 (a splits the 𝄞s)
+    val g = CorpusOps.nativeCharStats(edge.where(col("id") === 5)).collect()(0)
+    assert((g.getLong(1), g.getInt(2), g.getLong(3), g.getLong(4), g.getLong(5)) ==
+      ((4L, 2, 10L, 2L, 0L)), s"got $g")
+  }
+
   test("quantileNormalize: within-group CDF ppm with ties sharing one percentile") {
     import spark.implicits._
     // group g1: values 10, 20, 20, 40 → cdf(10)=25%, cdf(20)=75%, cdf(40)=100%
