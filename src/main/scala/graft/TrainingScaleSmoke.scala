@@ -487,6 +487,39 @@ object TrainingScaleSmoke {
     }
     require(nClip > (nDocs * 8L) / 100 && nClip < (nDocs * 11L) / 100,
       s"p05/p95 winsorization should clip ~10% of uniform values, clipped $nClip of $nDocs")
+    // char-level diversity gates (q147's operator, native kernel) at the
+    // full corpus: one compiled pass per doc, zero shuffles — the aggregate
+    // references every ratio column so Catalyst cannot prune the kernel
+    // away (a bare count() would time an empty scan). Claims under test:
+    // scan-speed at 1M docs, and EXACT values — a fixed invariant of the
+    // corpus shape plus a bounded ~100-doc sample re-derived in-driver
+    // from code points.
+    val cd = CorpusOps.charDiversity(docs, col("id"), col("text"))
+    val cdAgg = timed(s"char diversity ($nDocs docs, native kernel)") {
+      cd.agg(count(lit(1)).as("n"),
+        min(col("ws_ppm")).as("lo"), max(col("ws_ppm")).as("hi")).first()
+    }
+    require(cdAgg.getLong(0) == nDocs.toLong,
+      s"every doc must emit one stats row: ${cdAgg.getLong(0)} of $nDocs")
+    // every doc is 50 3-letter words + 49 single spaces = 199 chars, so
+    // ws_ppm is EXACTLY (1e6 · 49) div 199 for every row, dups included
+    val wsExpected = 1000000L * 49 / 199
+    require(cdAgg.getLong(1) == wsExpected && cdAgg.getLong(2) == wsExpected,
+      s"ws_ppm must be $wsExpected corpus-wide, got [${cdAgg.getLong(1)}, ${cdAgg.getLong(2)}]")
+    val cdStep = math.max(nDocs / 100, 1)
+    val cdTexts = docs.where(col("id") % cdStep === 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cd.where(col("id") % cdStep === 3).collect().foreach { r =>
+      val t = cdTexts(r.getLong(0))
+      val counts = t.codePoints().toArray.groupBy(identity)
+        .map { case (_, v) => v.length.toLong }
+      val len = t.length.toLong
+      val s2 = counts.map(c => c * c).sum
+      require(r.getLong(1) == len && r.getInt(2) == counts.size &&
+        r.getLong(3) == 1000000L * s2 / (len * len) &&
+        r.getLong(4) == 1000L * len * len / s2,
+        s"sampled doc ${r.getLong(0)} diverges from the in-driver brute force")
+    }
     val nVecC = math.min(nDocs, 50000).toLong
     val cVecs = mkVecs(nVecC)
     val contam = timed(s"semantic decontamination ($nVecC vecs, " +

@@ -321,6 +321,51 @@ class CorpusOpsSpec extends SparkSpec {
       ((4L, 2, 10L, 2L, 0L)), s"got $g")
   }
 
+  test("charDiversity fuzz: both paths match an independent brute force on random strings") {
+    import spark.implicits._
+    // seeded corpus biased toward the failure modes: long runs, spaces,
+    // non-ASCII beyond the kernel's 128-slot fast path, supplementary-plane
+    // pairs, and empty strings
+    val rnd = new scala.util.Random(1147)
+    val alphabet: Array[String] =
+      Array("a", "b", "z", " ", " ", "-", "é", "ß", "世", "𝄞")
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(120)
+      val sb = new StringBuilder
+      var k = 0
+      while (k < n) {
+        val ch = alphabet(rnd.nextInt(alphabet.length))
+        val rep = if (rnd.nextInt(5) == 0) 1 + rnd.nextInt(9) else 1
+        (0 until rep).foreach(_ => sb.append(ch)); k += rep
+      }
+      (i.toLong, sb.toString)
+    }
+    // brute force over code points, structured nothing like either pipeline
+    def brute(s: String): (Long, Int, Long, Long, Long) = {
+      val cps = s.codePoints().toArray
+      val counts = cps.groupBy(identity).map { case (_, v) => v.length.toLong }
+      var maxRun = 0L; var cur = 0L; var prev = Int.MinValue
+      cps.foreach { cp =>
+        cur = if (cp == prev) cur + 1 else 1L
+        if (cur > maxRun) maxRun = cur
+        prev = cp
+      }
+      (cps.length.toLong, counts.size, counts.map(c => c * c).sum, maxRun,
+        cps.count(_ == ' ').toLong)
+    }
+    val expect = docs.map { case (id, t) => id -> brute(t) }.toMap
+    val base = docs.toDF("id", "t")
+    for (path <- Seq(CorpusOps.nativeCharStats(base),
+      CorpusOps.hofCharStats(base).select("id", "len", "nd", "s2", "max_run", "nsp"))) {
+      val got = path.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      docs.foreach { case (id, t) =>
+        assert(got(id) == expect(id),
+          s"id=$id text=${t.take(40)}… got ${got(id)} expected ${expect(id)}")
+      }
+    }
+  }
+
   test("quantileNormalize: within-group CDF ppm with ties sharing one percentile") {
     import spark.implicits._
     // group g1: values 10, 20, 20, 40 → cdf(10)=25%, cdf(20)=75%, cdf(40)=100%
