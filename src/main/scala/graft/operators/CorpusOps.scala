@@ -698,7 +698,9 @@ object CorpusOps {
    *     correctly-rounded across libms and never appear in this codebase).
    *   - `max_run` — longest run of one repeated character (the classic
    *     '-----'/whitespace-padding detector).
-   *   - `ws_ppm` — whitespace density, ×1e6 fixed point.
+   *   - `ws_ppm` — whitespace density, ×1e6 fixed point (ASCII
+   *     space/tab/LF/CR — the padding characters a boilerplate gate
+   *     targets; unicode spaces count as regular chars by contract).
    *
    * Every stat is a SCALAR per row — zero shuffles, zero joins; at 100 TB
    * this runs at scan speed like q26-q29. When the `char_stats` extension
@@ -770,7 +772,7 @@ object CorpusOps {
       .select(
         col("id"),
         length(col("t")).cast("long").as("len"),
-        (length(col("t")) - length(translate(col("t"), " ", ""))).cast("long").as("nsp"),
+        (length(col("t")) - length(translate(col("t"), " \t\n\r", ""))).cast("long").as("nsp"),
         when(length(col("t")) > 0, split(col("t"), ""))
           .otherwise(array().cast("array<string>")).as("cs"))
       .select(col("id"), col("len"), col("nsp"), col("cs"),

@@ -704,14 +704,18 @@ object Similarity {
    * The aggregate recall curve is one `avg` away; the per-query table is
    * the artifact a retrieval team actually debugs from.
    *
-   * Scale posture: both top-k passes are [[knnBruteForce]] — queries
-   * broadcast, corpus scanned with no shuffle, native bounded-heap top-k —
-   * and every join past them touches only the Q×k result, localCheckpointed
-   * so the corpus is scanned exactly twice (once per representation), not
-   * once per downstream consumer. Rank ties break (cos desc, id asc) in
-   * both passes, so the comparison is deterministic. Swap either
-   * `knnBruteForce` for [[annLsh]]/[[graft.operators.Ivf]] probes when the
-   * corpus outgrows brute force — the audit join is representation-agnostic.
+   * Scale posture: both top-k passes are the [[knnBruteForce]] shape —
+   * queries broadcast, corpus scanned with no shuffle, native bounded-heap
+   * top-k — and every join past them touches only the Q×k result,
+   * localCheckpointed so the corpus is scanned exactly twice (once per
+   * representation), not once per downstream consumer. Rank ties break
+   * (cos desc, id asc) in both passes, so the comparison is deterministic.
+   * A vector whose first-`dim` prefix is all-zero has no cosine under
+   * truncation (0/0); it scores −1 — defined to LOSE against every real
+   * neighbor — rather than NaN (which the top-k heap would rank first).
+   * Swap either pass for [[annLsh]]/[[graft.operators.Ivf]] probes when
+   * the corpus outgrows brute force — the audit join is
+   * representation-agnostic.
    */
   def truncationRecall(corpus: DataFrame, queries: DataFrame, dim: Int,
                        k: Int): DataFrame = {
@@ -719,7 +723,12 @@ object Similarity {
     def trunc(df: DataFrame): DataFrame =
       df.select(col("id"), slice(col("vec"), 1, dim).as("vec"))
     val kFull = knnBruteForce(corpus, queries, k).localCheckpoint()
-    val kTrunc = knnBruteForce(trunc(corpus), trunc(queries), k)
+    val tq = trunc(queries).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val scoredT = trunc(corpus).select(col("id").as("neighbor_id"), col("vec"))
+      .join(broadcast(tq), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        nanvl(cosineNative(col("vec"), col("qvec")), lit(-1.0)).as("cos"))
+    val kTrunc = topK(scoredT, k)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("trunc_rank"))
       .localCheckpoint()
     val overlap = kFull

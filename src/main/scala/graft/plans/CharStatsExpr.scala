@@ -24,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *   - `nd`      — distinct code points,
  *   - `s2`      — Σ count(c)² (the Simpson / Rényi-2 collision numerator),
  *   - `max_run` — longest run of one repeated code point,
- *   - `nsp`     — space count.
+ *   - `nsp`     — ASCII whitespace count (space/tab/LF/CR — the explicit
+ *                 4-char set keeps all three implementations and the SQL
+ *                 oracle trivially in agreement; unicode spaces count as
+ *                 regular characters by contract).
  *
  * Value-identical to the HOF twin by construction on any input, including
  * empty strings (all-zero struct) and supplementary-plane code points
@@ -87,7 +90,7 @@ object CharStatsKernel {
       val cp = s.codePointAt(i)
       i += Character.charCount(cp)
       len += 1
-      if (cp == ' ') nsp += 1
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') nsp += 1
       run = if (cp == prev) run + 1 else 1L
       if (run > maxRun) maxRun = run
       prev = cp

@@ -3267,11 +3267,15 @@ object PipelineQueries {
     // Char census by (doc, char) group-by where Spark folds a sorted array —
     // Σ cnt² and the run-length islands are exact integers either way, and
     // the fixed-point ratios are single integer divisions (the same ×1e6/×1e3
-    // idiom) — no float, no libm, engine-exact by construction.
+    // idiom) — no float, no libm, engine-exact by construction. The final
+    // LEFT JOINs keep empty/NULL-text docs in the output (len 0, NULL
+    // ratios) — the operator's documented contract — where an inner join
+    // would silently drop them with the position CTE.
     "q147_char_diversity" ->
-      """WITH pos AS (SELECT doc_id, text,
-                        unnest(generate_series(1, length(text))) AS i
-                      FROM documents),
+      """WITH docs0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         pos AS (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+                 FROM docs0),
          cc AS (SELECT doc_id, i, substr(text, i, 1) AS c FROM pos),
          cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
                  FROM cc GROUP BY 1, 2),
@@ -3279,8 +3283,8 @@ object PipelineQueries {
                    CAST(sum(n) AS BIGINT) AS len,
                    CAST(count(*) AS BIGINT) AS nd,
                    CAST(sum(n * n) AS BIGINT) AS s2,
-                   CAST(coalesce(sum(CASE WHEN c = ' ' THEN n END), 0)
-                     AS BIGINT) AS nsp
+                   CAST(coalesce(sum(CASE WHEN c IN (' ', chr(9), chr(10),
+                     chr(13)) THEN n END), 0) AS BIGINT) AS nsp
                  FROM cnt GROUP BY 1),
          runs AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM (
                     SELECT doc_id, c, grp, CAST(count(*) AS BIGINT) AS rl
@@ -3290,27 +3294,41 @@ object PipelineQueries {
                           FROM cc)
                     GROUP BY doc_id, c, grp)
                   GROUP BY doc_id)
-         SELECT a.doc_id, a.len AS n_chars, a.nd AS n_distinct_chars,
-                (1000000 * a.s2) // (a.len * a.len) AS collision_ppm,
-                (1000 * a.len * a.len) // a.s2 AS eff_alpha_fp,
-                r.max_run, (1000000 * a.nsp) // a.len AS ws_ppm
-         FROM agg a JOIN runs r USING (doc_id) ORDER BY doc_id""",
+         SELECT d.doc_id,
+                coalesce(a.len, 0) AS n_chars,
+                coalesce(a.nd, 0) AS n_distinct_chars,
+                CASE WHEN a.len > 0
+                  THEN (1000000 * a.s2) // (a.len * a.len) END AS collision_ppm,
+                CASE WHEN a.len > 0
+                  THEN (1000 * a.len * a.len) // a.s2 END AS eff_alpha_fp,
+                coalesce(r.max_run, 0) AS max_run,
+                CASE WHEN a.len > 0
+                  THEN (1000000 * a.nsp) // a.len END AS ws_ppm
+         FROM docs0 d
+         LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN runs r USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // The q35 scored/ranked CTEs twice — full lists and the [1:16] prefix
     // slice — then pure integer joins: the true top-1's truncated rank and
     // the top-10 intersection size. Same fold-order cosine, same
-    // (cos DESC, id ASC) tie-break as every kNN oracle.
+    // (cos DESC, id ASC) tie-break as every kNN oracle. The truncated side
+    // carries the operator's zero-norm-prefix contract: an undefined cosine
+    // (NaN, or DuckDB's NULL on 0/0) scores −1 — nullif exploits DuckDB's
+    // total float ordering, under which NaN equals NaN.
     "q148_truncation_recall" -> {
       def ranked(cosExpr: String) =
         s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY q.vec_id
                                  ORDER BY $cosExpr DESC, c.vec_id ASC) AS rank
             FROM c JOIN q ON c.vec_id != q.vec_id"""
+      val truncCos =
+        s"coalesce(nullif(${duckCos("c.v[1:16]", "q.v[1:16]")}, 'NaN'::DOUBLE), -1.0)"
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                     WHERE vec_id % 100 = 0),
               rf AS (${ranked(duckCos("c.v", "q.v"))}),
-              rt AS (${ranked(duckCos("c.v[1:16]", "q.v[1:16]"))}),
+              rt AS (${ranked(truncCos)}),
               f10 AS (SELECT * FROM rf WHERE rank <= 10),
               t10 AS (SELECT * FROM rt WHERE rank <= 10),
               ov AS (SELECT query_id, CAST(count(*) AS BIGINT) AS overlap_k

@@ -328,7 +328,7 @@ class CorpusOpsSpec extends SparkSpec {
     // pairs, and empty strings
     val rnd = new scala.util.Random(1147)
     val alphabet: Array[String] =
-      Array("a", "b", "z", " ", " ", "-", "é", "ß", "世", "𝄞")
+      Array("a", "b", "z", " ", " ", "\t", "\n", "-", "é", "ß", "世", "𝄞")
     val docs = (0 until 300).map { i =>
       val n = rnd.nextInt(120)
       val sb = new StringBuilder
@@ -351,7 +351,7 @@ class CorpusOpsSpec extends SparkSpec {
         prev = cp
       }
       (cps.length.toLong, counts.size, counts.map(c => c * c).sum, maxRun,
-        cps.count(_ == ' ').toLong)
+        cps.count(c => c == ' ' || c == '\t' || c == '\n' || c == '\r').toLong)
     }
     val expect = docs.map { case (id, t) => id -> brute(t) }.toMap
     val base = docs.toDF("id", "t")

@@ -153,9 +153,14 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     // q10=(1,0,10,0): X's similarity lives in dims 3-4 (full cos .990), Y's
     // in the prefix (full cos .0995) — truncation to dim 2 INVERTS the order
+    // Z's first-2 prefix is all-zero: its truncated cosine is 0/0. The
+    // operator's contract scores it -1 (loses to every real neighbor); an
+    // unguarded NaN would rank FIRST in the heap's descending Double order
+    // and corrupt every assertion below by displacing the real top-k.
     val corpus = Seq(
-      (1L, Seq(0.0, 1.0, 10.0, 0.0)), // X
-      (2L, Seq(1.0, 0.0, 0.0, 0.0))   // Y
+      (1L, Seq(0.0, 1.0, 10.0, 0.0)),  // X
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),   // Y
+      (3L, Seq(0.0, 0.0, -1.0, 0.0))   // Z — zero-norm prefix
     ).toDF("id", "vec")
     val queries = Seq(
       (10L, Seq(1.0, 0.0, 10.0, 0.0)),
@@ -168,7 +173,8 @@ class PipelineSpec extends SparkSpec {
         Option(r.getAs[Any]("trunc_rank")), r.getLong(3)))).toMap
     assert(k1(10L) == ((1L, None, 0L)), s"got ${k1(10L)}")
     assert(k1(11L) == ((2L, Some(1), 1L)), s"got ${k1(11L)}")
-    // k=2: both sets cover the 2-doc corpus (overlap 2) and X is merely
+    // k=2: both top-2 sets are {X, Y} (Z's -1 keeps it out; on the full
+    // side X beats Z on the id tie-break at cos 0 for q11) and X is merely
     // DEMOTED to truncated rank 2, not lost
     val k2 = Similarity.truncationRecall(corpus, queries, dim = 2, k = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1),

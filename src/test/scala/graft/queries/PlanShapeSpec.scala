@@ -53,9 +53,13 @@ class PlanShapeSpec extends SparkSpec {
       assertNever(_, "Join", "HashAggregate", "Window"))
   }
 
-  test("truncation audit joins touch only the Q×k checkpointed top-k — no window, no NL join") {
+  test("truncation audit: no window, no cartesian, no sort-merge past the checkpointed top-k") {
     // both top-k passes are the bounded-heap aggregate; every join past them
-    // reads the localCheckpointed Q×k results (broadcast-sized by contract)
+    // reads the localCheckpointed Q×k results (broadcast-sized by contract).
+    // NOTE the scoring scans themselves ARE BroadcastNestedLoopJoins by
+    // design (knnBruteForce's inequality-only broadcast predicate), so BNLJ
+    // is deliberately NOT in the banned set here — the pin is about the
+    // audit joins, which must stay hash/broadcast.
     assertNever("q148_truncation_recall",
       "Window", "CartesianProduct", "SortMergeJoin")
   }
