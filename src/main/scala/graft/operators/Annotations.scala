@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Label-quality operators for annotated training data — the QA layer a
+ * preference/classification labeling pipeline runs before its labels are
+ * trusted (inter-annotator agreement, vote consolidation). Input
+ * convention: one row per (item, annotator, label) with integer labels.
+ *
+ * Scale posture: agreement stats flow through ONE equi-join on `item`
+ * (per-item fanout is bounded by annotators², never corpus-sized) into a
+ * map-side-combinable aggregate whose output is one row per annotator
+ * PAIR — driver-sized for any corpus. Consolidation is two chained
+ * aggregates on the same `item` key (the second reuses the first's
+ * partitioning — one shuffle total), with the argmax as `max(struct)`,
+ * never a window. All arithmetic is 64-bit integer fixed point (the
+ * q71/BM25 idiom), so every statistic is engine-independent bits.
+ */
+object Annotations {
+
+  /**
+   * Pairwise Cohen's kappa over every annotator pair (a1 < a2), computed
+   * on the items BOTH members labeled. Emits one row per pair:
+   *
+   *   - `n_items`, `agree` — shared items and exact-match count
+   *   - `po_ppm`  — observed agreement, ×1e6 fixed point
+   *   - `pe_ppm`  — chance agreement Σ_c m1(c)·m2(c) from PER-MILLE
+   *     marginals: m(c) = (1000·cnt_c) div n. The ‰ quantization is part
+   *     of the operator contract (it bounds every intermediate at 1e6·n,
+   *     so the arithmetic stays exact 64-bit to n ≈ 9e12 shared items —
+   *     the unquantized Σ cnt1·cnt2 numerator would overflow at n > 3e6)
+   *   - `kappa_pm` — (po − pe)/(1 − pe) ×1e3, FLOOR division via the
+   *     pmod identity (Spark's `div` truncates toward zero, DuckDB's `//`
+   *     floors — they disagree on negative kappa without it); NULL when
+   *     pe = 1 (both marginals degenerate — kappa undefined).
+   *
+   * Duplicate (item, annotator) rows are the caller's contract to prevent
+   * (they would double-count agreement); label values outside
+   * [0, nClasses) contribute to po but not to the marginals, understating
+   * pe — pass the true class count.
+   */
+  def annotatorAgreement(ann: DataFrame, nClasses: Int): DataFrame = {
+    require(nClasses >= 2, "nClasses must be >= 2")
+    val x = ann.select(col("item"), col("annotator").as("a1"), col("label").as("l1"))
+    val y = ann.select(col("item"), col("annotator").as("a2"), col("label").as("l2"))
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).as("n_items"),
+        sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("agree")) ++
+        (0 until nClasses).flatMap(c => Seq(
+          sum(when(col("l1") === c, 1L).otherwise(0L)).as(s"c1_$c"),
+          sum(when(col("l2") === c, 1L).otherwise(0L)).as(s"c2_$c")))
+    val grouped = x.join(y, Seq("item"))
+      .where(col("a1") < col("a2"))
+      .groupBy(col("a1"), col("a2"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val peNum = (0 until nClasses)
+      .map(c => expr(s"((1000 * c1_$c) div n_items) * ((1000 * c2_$c) div n_items)"))
+      .reduce(_ + _)
+    grouped
+      .select(col("a1"), col("a2"), col("n_items"), col("agree"),
+        expr("(1000000 * agree) div n_items").as("po_ppm"),
+        peNum.as("pe_ppm"))
+      .select(col("a1"), col("a2"), col("n_items"), col("agree"),
+        col("po_ppm"), col("pe_ppm"),
+        (lit(1000L) * (col("po_ppm") - col("pe_ppm"))).as("knum"),
+        (lit(1000000L) - col("pe_ppm")).as("kden"))
+      .select(col("a1"), col("a2"), col("n_items"), col("agree"),
+        col("po_ppm"), col("pe_ppm"),
+        when(col("kden") =!= 0,
+          expr("(knum - pmod(knum, kden)) div kden")).as("kappa_pm"))
+  }
+
+  /**
+   * Majority-vote label consolidation — one row per item: total votes, the
+   * winning label (most votes, ties to the SMALLEST label id — a fixed,
+   * engine-shared rule), its vote count, and a unanimity flag. The argmax
+   * is `max(struct(votes, -label))`, the map-side-combinable CDC idiom —
+   * no window, no per-item sort.
+   */
+  def consolidateLabels(ann: DataFrame): DataFrame =
+    ann
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("item"))
+      .agg(sum(col("votes")).as("n_votes"),
+        max(struct(col("votes"), (-col("label")).as("neg"))).as("top"))
+      .select(col("item"), col("n_votes"),
+        (-col("top.neg")).as("top_label"),
+        col("top.votes").as("top_votes"),
+        (col("top.votes") === col("n_votes")).as("unanimous"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Bpe, CorpusOps, Dedup, Ivf, Similarity, Skew}
+import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Similarity, Skew}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -45,6 +45,23 @@ object PipelineQueries {
     ("shingles_n2", docShingles(s, d, 2)),
     ("shingles_n2_mod3", docShingles(s, d, 2, col("doc_id") % 3 === 0)),
     ("shingles_n5", docShingles(s, d, 5)))
+
+  /** Deterministic 5-annotator labeling of the documents table (the q59
+   * in-query derivation pattern, so the DuckDB oracle rebuilds the SAME
+   * labels): the true class is a 3-way n_chars bucket; annotator a flips
+   * to an md5-derived class on an md5 roll < a/10 — flip rates 0%..40%,
+   * so agreement degrades with annotator id and every kappa regime
+   * (near-perfect through heavily-noised) appears in one table. */
+  private def annotatedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("item"), col("n_chars"),
+        explode(sequence(lit(0), lit(4))).as("annotator"))
+      .select(col("item"), col("annotator"), expr(
+        """CASE WHEN cast(conv(substring(md5(concat('ann', annotator, ':', item)), 1, 4), 16, 10) as int) % 10 < annotator
+                THEN cast(conv(substring(md5(concat('ann', annotator, ':', item)), 5, 4), 16, 10) as int) % 3
+                ELSE CASE WHEN n_chars < 250 THEN 0
+                          WHEN n_chars < 350 THEN 1 ELSE 2 END
+           END""").as("label"))
 
   /** embeddings → (id, vec) in double precision. */
   private def embVecs(s: SparkSession, d: String, pred: Column = lit(true)): DataFrame =
@@ -160,6 +177,19 @@ object PipelineQueries {
   private def duckD2(a: String, b: String): String =
     s"list_reduce(list_concat([0.0::DOUBLE], list_transform(list_zip($a, $b), " +
       s"p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+
+  /** DuckDB twin of [[annotatedDocs]] — identical md5 input strings, the
+   * hex-cast idiom for Spark's `conv(_, 16, 10)`, same n_chars buckets. */
+  private val duckAnnCte =
+    """WITH ann AS (
+         SELECT d.doc_id AS item, a.annotator,
+           CASE WHEN CAST(concat('0x', substr(md5('ann' || CAST(a.annotator AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 < a.annotator
+                THEN CAST(concat('0x', substr(md5('ann' || CAST(a.annotator AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 5, 4)) AS INT) % 3
+                ELSE CASE WHEN d.n_chars < 250 THEN 0
+                          WHEN d.n_chars < 350 THEN 1 ELSE 2 END
+           END AS label
+         FROM documents d,
+              (SELECT unnest(generate_series(0, 4)) AS annotator) a)"""
 
   private def duckCos(a: String, b: String): String = {
     def fsum(l: String) = s"list_reduce(list_concat([0.0::DOUBLE], $l), (x, y) -> x + y)"
@@ -452,6 +482,25 @@ object PipelineQueries {
         queries = embVecs(s, d, col("vec_id") % 100 === 0),
         dim = 16, k = 10)
         .orderBy(col("query_id"))),
+
+    "q149_annotator_agreement" -> ((s, d) =>
+      // label-QA: pairwise Cohen's kappa over the 5 derived annotators —
+      // the report a labeling pipeline reads before trusting its labels
+      // (drop annotators whose kappa vs everyone collapses). Exact fixed
+      // point end-to-end, floor-division kappa so negative agreement is
+      // engine-identical; one equi-join on item + a 10-row aggregate.
+      Annotations.annotatorAgreement(annotatedDocs(s, d), nClasses = 3)
+        .orderBy(col("a1"), col("a2"))),
+
+    "q150_label_consolidation" -> ((s, d) =>
+      // majority-vote consolidation of the same annotations: winning label
+      // (ties to the smallest id), vote margin, unanimity — the consensus
+      // table training actually consumes. Two chained aggregates on one
+      // item partitioning, argmax via max(struct), no window.
+      Annotations.consolidateLabels(annotatedDocs(s, d))
+        .select(col("item").as("doc_id"), col("n_votes"), col("top_label"),
+          col("top_votes"), col("unanimous"))
+        .orderBy(col("doc_id"))),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
@@ -3344,6 +3393,50 @@ object PipelineQueries {
          LEFT JOIN ov ON top1.query_id = ov.query_id
          ORDER BY top1.query_id"""
     },
+
+    // The same md5-derived 5-annotator labeling (hex-cast idiom ≡ Spark's
+    // conv), then: pair join + the identical ‰-quantized-marginal pe and
+    // floor-division kappa (DuckDB's // floors natively; Spark matches via
+    // the pmod identity).
+    "q149_annotator_agreement" -> {
+      def sums(side: Int) = (0 until 3).map(c =>
+        s"CAST(sum(CASE WHEN l$side = $c THEN 1 ELSE 0 END) AS BIGINT) AS c${side}_$c")
+        .mkString(", ")
+      val pe = (0 until 3).map(c =>
+        s"(((1000 * c1_$c) // n_items) * ((1000 * c2_$c) // n_items))")
+        .mkString(" + ")
+      s"""$duckAnnCte,
+         x AS (SELECT item, annotator AS a1, label AS l1 FROM ann),
+         y AS (SELECT item, annotator AS a2, label AS l2 FROM ann),
+         g AS (SELECT a1, a2, CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+                 ${sums(1)}, ${sums(2)}
+               FROM x JOIN y USING (item) WHERE a1 < a2 GROUP BY 1, 2),
+         r AS (SELECT a1, a2, n_items, agree,
+                 (1000000 * agree) // n_items AS po_ppm,
+                 $pe AS pe_ppm
+               FROM g)
+         SELECT a1, a2, n_items, agree, po_ppm, pe_ppm,
+                CASE WHEN 1000000 - pe_ppm != 0
+                  THEN (1000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm)
+                END AS kappa_pm
+         FROM r ORDER BY a1, a2"""
+    },
+
+    // Same labels → per-(item, label) vote census → the window-ranked
+    // argmax with the shared (votes desc, label asc) tie-break.
+    "q150_label_consolidation" ->
+      s"""$duckAnnCte,
+         votes AS (SELECT item, label, CAST(count(*) AS BIGINT) AS v
+                   FROM ann GROUP BY 1, 2),
+         ranked AS (SELECT item, label, v,
+                      row_number() OVER (PARTITION BY item
+                                         ORDER BY v DESC, label ASC) AS rn,
+                      CAST(sum(v) OVER (PARTITION BY item) AS BIGINT) AS n_votes
+                    FROM votes)
+         SELECT item AS doc_id, n_votes, label AS top_label, v AS top_votes,
+                v = n_votes AS unanimous
+         FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the
     // census+join formulation (hence MATERIALIZED wins) where Spark counts

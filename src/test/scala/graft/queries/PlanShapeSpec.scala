@@ -53,6 +53,16 @@ class PlanShapeSpec extends SparkSpec {
       assertNever(_, "Join", "HashAggregate", "Window"))
   }
 
+  test("label-QA plans: equi-join-only kappa, window-free join-free consolidation") {
+    // q149's pair expansion is an equi-join on item (bounded annotators²
+    // fanout) into a 10-row aggregate; q150 is two chained aggregates on
+    // one item partitioning with a max(struct) argmax — never a window,
+    // never a join
+    assertNever("q149_annotator_agreement",
+      "Window", "CartesianProduct", "BroadcastNestedLoopJoin")
+    assertNever("q150_label_consolidation", "Window", "Join")
+  }
+
   test("truncation audit: no window, no cartesian, no sort-merge past the checkpointed top-k") {
     // both top-k passes are the bounded-heap aggregate; every join past them
     // reads the localCheckpointed Q×k results (broadcast-sized by contract).
