@@ -14,6 +14,10 @@ case class UserTotals(nEvents: Long, sumValue: Double)
  * greatest (ts, event_id) change seen so far and its payload. */
 case class LatestRow(tsUs: Long, eventId: Long, isDel: Boolean, value: Double)
 
+/** Per-item vote census for [[StreamingExtraction.streamingConsolidateLabels]]
+ * — bounded by the label alphabet. */
+case class VoteState(votes: Map[Int, Long])
+
 /** Per-LSH-bucket membership state for
  * [[StreamingExtraction.streamingNearDupCandidates]]: the ids seen in this
  * bucket so far (capped at `maxBucket`), whether the cap ever bound, and
@@ -256,6 +260,39 @@ object StreamingExtraction {
           Iterator.single((user, cur.tsUs, cur.eventId, cur.isDel, cur.value))
       }
       .toDF("user_id", "ts_us", "event_id", "is_del", "value")
+  }
+
+  /**
+   * Streaming twin of [[graft.operators.Annotations.consolidateLabels]] —
+   * a continuously maintained label-consensus view as annotations arrive
+   * (the live dashboard of a labeling campaign). Per item, state holds the
+   * per-label vote counts — bounded by the LABEL ALPHABET, not by
+   * arrivals, the same per-key bound as the batch vote census — and each
+   * micro-batch folds its votes in and re-emits the item's refreshed
+   * consensus in update mode with the batch argmax's exact
+   * (votes desc, label asc) tie-break. `n_votes` is monotone per item, so
+   * the max-votes emission per item IS the final consensus, which
+   * SessionizeSpec proves equal to the batch operator across
+   * micro-batches.
+   */
+  def streamingConsolidateLabels(ann: DataFrame): DataFrame = {
+    val session = ann.sparkSession
+    import session.implicits._
+    ann.select(col("item"), col("label")).as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VoteState, (Long, Long, Int, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (item, rows, state) =>
+          val votes = rows.foldLeft(
+            state.getOption.getOrElse(VoteState(Map.empty)).votes) {
+            case (m, (_, l)) => m.updated(l, m.getOrElse(l, 0L) + 1L)
+          }
+          state.update(VoteState(votes))
+          val (topLabel, topVotes) = votes.minBy { case (l, v) => (-v, l) }
+          val n = votes.valuesIterator.sum
+          Iterator.single((item, n, topLabel, topVotes, topVotes == n))
+      }
+      .toDF("item", "n_votes", "top_label", "top_votes", "unanimous")
   }
 
   /**

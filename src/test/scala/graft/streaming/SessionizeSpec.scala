@@ -592,4 +592,53 @@ class SessionizeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS cycle_pidx_meta")
     }
   }
+
+  test("streaming label consolidation converges to the batch consensus per item") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-lbl-in").toFile
+    val ckDir = Files.createTempDirectory("graft-lbl-ck").toFile
+    // 120 items × 5 annotators, labels deterministically mixed so the set
+    // includes unanimous items, clear majorities, AND 2-2-1 ties (the
+    // smallest-label tie-break must match the batch argmax); each
+    // annotator's votes land in their own micro-batch, so every item's
+    // census accumulates ACROSS batches
+    val ann = (0L until 120L).flatMap { item =>
+      (0 until 5).map { a =>
+        val label =
+          if (item % 10 == 0) 1                       // unanimous
+          else if (item % 10 == 5) Seq(0, 0, 2, 2, 1)(a) // 2-2-1 tie → 0
+          else ((item * 7 + a * a + 3) % 3).toInt     // mixed
+        (item, a, label)
+      }
+    }.toDF("item", "annotator", "label")
+    (0 until 5).foreach(a => ann.where(col("annotator") === a)
+      .coalesce(1).write.parquet(s"$inDir/chunk=$a"))
+    val stream = spark.readStream.schema(ann.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = StreamingExtraction.streamingConsolidateLabels(stream)
+      .writeStream.format("memory").queryName("stream_lblcons")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // n_votes is monotone per item: the max-votes emission IS the final
+    // consensus (update mode re-emits refreshed state each trigger)
+    val finalRows = spark.table("stream_lblcons")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("item"))
+          .orderBy(col("n_votes").desc, col("top_votes").desc)))
+      .where(col("rn") === 1).drop("rn")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val batch = graft.operators.Annotations.consolidateLabels(ann)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(finalRows == batch,
+      s"stream-final consensus != batch for items ${
+        (finalRows.toSet diff batch.toSet).take(3)}")
+    // sanity on the planted regimes
+    assert(batch(0L)._4, "item 0 must be unanimous")
+    assert(batch(5L)._2 == 0, "2-2-1 tie must break to the smallest label")
+  }
 }
