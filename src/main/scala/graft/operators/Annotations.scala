@@ -73,6 +73,78 @@ object Annotations {
   }
 
   /**
+   * Fleiss' kappa — the MULTI-rater agreement statistic (Cohen's kappa is
+   * pairwise): one row summarizing the whole labeling campaign. Classic
+   * formulation over items with EXACTLY `ratersPerItem` ratings (Fleiss
+   * assumes a fixed rater count; items with any other count are excluded
+   * and reported in `n_dropped`):
+   *
+   *   - `pbar_ppm` — mean within-item agreement
+   *     (Σ_i Σ_c n_ic² − N·n) / (N·n·(n−1)), EXACT ×1e6 fixed point,
+   *   - `pe_ppm` — chance agreement Σ_c p_c² from ‰-quantized class
+   *     proportions (the [[annotatorAgreement]] quantization contract;
+   *     classes never observed carry zero mass, so no class-count
+   *     parameter is needed),
+   *   - `kappa_pm` — floor-division (pmod identity), NULL when pe = 1.
+   *
+   * Exact 64-bit domain: 1e6·N·n·(n−1) < 2^63 → N ≤ ~9e12/n² items
+   * (3.6e11 at n=5). Plan: per-(item,label) census → per-item rollup
+   * reusing the item partitioning → three driver-sized summaries
+   * (1-row totals, ≤nClasses class masses, 1-row drop count) combined by
+   * broadcast cross joins — output is ONE row for any corpus.
+   */
+  def fleissKappa(ann: DataFrame, ratersPerItem: Int): DataFrame = {
+    require(ratersPerItem >= 2, "need >= 2 raters per item")
+    val cell = ann.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("nic"))
+    val items = cell.groupBy(col("item"))
+      .agg(sum(col("nic")).as("n"), sum(col("nic") * col("nic")).as("s2i"))
+    val kept = items.where(col("n") === ratersPerItem)
+    val tot = kept.agg(count(lit(1)).as("n_items"), sum(col("s2i")).as("s2"))
+    val dropped = items.agg(
+      sum(when(col("n") =!= ratersPerItem, 1L).otherwise(0L)).as("n_dropped"))
+    val classMass = cell
+      .join(kept.select(col("item")), Seq("item"))
+      .groupBy(col("label")).agg(sum(col("nic")).as("cnt"))
+    val pe = classMass.crossJoin(broadcast(tot))
+      .select(expr(s"(1000 * cnt) div (n_items * $ratersPerItem)").as("p_pm"))
+      .agg(sum(col("p_pm") * col("p_pm")).as("pe_ppm"))
+    tot.crossJoin(broadcast(dropped)).crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_dropped"),
+        expr(s"(1000000 * (s2 - n_items * $ratersPerItem)) div " +
+          s"(n_items * $ratersPerItem * ${ratersPerItem - 1})").as("pbar_ppm"),
+        col("pe_ppm"))
+      .select(col("n_items"), col("n_dropped"), col("pbar_ppm"), col("pe_ppm"),
+        (lit(1000L) * (col("pbar_ppm") - col("pe_ppm"))).as("knum"),
+        (lit(1000000L) - col("pe_ppm")).as("kden"))
+      .select(col("n_items"), col("n_dropped"), col("pbar_ppm"), col("pe_ppm"),
+        when(col("kden") =!= 0,
+          expr("(knum - pmod(knum, kden)) div kden")).as("kappa_pm"))
+  }
+
+  /**
+   * Annotator-vs-consensus confusion report — the "who disagrees with the
+   * consensus, and how" table a labeling operation reads to retrain or
+   * drop annotators. One row per (annotator, label, consensus_label) cell
+   * observed: its count and the annotator-relative share in ×1e6 fixed
+   * point. Consensus is [[consolidateLabels]]'s majority vote (ties to the
+   * smallest label), joined back equi on `item`; output is bounded by
+   * annotators × labels² regardless of corpus size, and the share
+   * denominator joins from a broadcast per-annotator total.
+   */
+  def annotatorConfusion(ann: DataFrame): DataFrame = {
+    val consensus = consolidateLabels(ann)
+      .select(col("item"), col("top_label").as("consensus_label"))
+    val cells = ann.join(consensus, Seq("item"))
+      .groupBy(col("annotator"), col("label"), col("consensus_label"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("annotator")).agg(sum(col("n")).as("n_ann"))
+    cells.join(broadcast(totals), Seq("annotator"))
+      .select(col("annotator"), col("label"), col("consensus_label"), col("n"),
+        expr("(1000000 * n) div n_ann").as("share_ppm"))
+  }
+
+  /**
    * Majority-vote label consolidation — one row per item: total votes, the
    * winning label (most votes, ties to the SMALLEST label id — a fixed,
    * engine-shared rule), its vote count, and a unanimity flag. The argmax

@@ -502,6 +502,22 @@ object PipelineQueries {
           col("top_votes"), col("unanimous"))
         .orderBy(col("doc_id"))),
 
+    "q151_fleiss_kappa" -> ((s, d) =>
+      // the campaign-level agreement number (Fleiss generalizes Cohen to
+      // n raters): one row — mean within-item agreement, quantized chance
+      // agreement, floor-division kappa — all exact fixed point. Summaries
+      // are driver-sized at any corpus; items without exactly 5 ratings
+      // are excluded per the classic formulation and counted.
+      Annotations.fleissKappa(annotatedDocs(s, d), ratersPerItem = 5)),
+
+    "q152_annotator_confusion" -> ((s, d) =>
+      // who disagrees with the consensus and HOW: per (annotator, given
+      // label, consensus label) cell counts + annotator-relative share —
+      // the table that decides retraining vs dropping an annotator.
+      // Bounded at annotators × labels² rows for any corpus.
+      Annotations.annotatorConfusion(annotatedDocs(s, d))
+        .orderBy(col("annotator"), col("label"), col("consensus_label"))),
+
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
       // gram set: the held-out grams compress to a <=4096-bit filter (the
@@ -3437,6 +3453,59 @@ object PipelineQueries {
          SELECT item AS doc_id, n_votes, label AS top_label, v AS top_votes,
                 v = n_votes AS unanimous
          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+
+    // Same labels → the classic Fleiss algebra in exact integers: cell
+    // census, per-item Σ n_ic², drop non-5-rating items, ‰-quantized class
+    // masses, floor-division kappa (// floors natively).
+    "q151_fleiss_kappa" ->
+      s"""$duckAnnCte,
+         cell AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nic
+                  FROM ann GROUP BY 1, 2),
+         items AS (SELECT item, CAST(sum(nic) AS BIGINT) AS n,
+                     CAST(sum(nic * nic) AS BIGINT) AS s2i
+                   FROM cell GROUP BY 1),
+         kept AS (SELECT * FROM items WHERE n = 5),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(s2i) AS BIGINT) AS s2 FROM kept),
+         drp AS (SELECT CAST(coalesce(sum(CASE WHEN n != 5 THEN 1 END), 0)
+                   AS BIGINT) AS n_dropped FROM items),
+         cm AS (SELECT c.label, CAST(sum(c.nic) AS BIGINT) AS cnt
+                FROM cell c JOIN kept k USING (item) GROUP BY 1),
+         pe AS (SELECT CAST(sum(((1000 * cnt) // (t.n_items * 5)) *
+                  ((1000 * cnt) // (t.n_items * 5))) AS BIGINT) AS pe_ppm
+                FROM cm, tot t),
+         r AS (SELECT t.n_items, d.n_dropped,
+                 (1000000 * (t.s2 - t.n_items * 5)) // (t.n_items * 5 * 4)
+                   AS pbar_ppm,
+                 p.pe_ppm
+               FROM tot t, drp d, pe p)
+         SELECT n_items, n_dropped, pbar_ppm, pe_ppm,
+                CASE WHEN 1000000 - pe_ppm != 0
+                  THEN (1000 * (pbar_ppm - pe_ppm)) // (1000000 - pe_ppm)
+                END AS kappa_pm
+         FROM r""",
+
+    // Same labels → the q150 consensus CTE joined back per annotation,
+    // cell counts + annotator-relative share via integer //.
+    "q152_annotator_confusion" ->
+      s"""$duckAnnCte,
+         votes AS (SELECT item, label, CAST(count(*) AS BIGINT) AS v
+                   FROM ann GROUP BY 1, 2),
+         cons AS (SELECT item, label AS consensus_label FROM (
+                    SELECT item, label,
+                      row_number() OVER (PARTITION BY item
+                                         ORDER BY v DESC, label ASC) AS rn
+                    FROM votes)
+                  WHERE rn = 1),
+         cells AS (SELECT a.annotator, a.label, c.consensus_label,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM ann a JOIN cons c USING (item) GROUP BY 1, 2, 3),
+         tots AS (SELECT annotator, CAST(sum(n) AS BIGINT) AS n_ann
+                  FROM cells GROUP BY 1)
+         SELECT c.annotator, c.label, c.consensus_label, c.n,
+                (1000000 * c.n) // t.n_ann AS share_ppm
+         FROM cells c JOIN tots t USING (annotator)
+         ORDER BY c.annotator, c.label, c.consensus_label""",
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the
     // census+join formulation (hence MATERIALIZED wins) where Spark counts

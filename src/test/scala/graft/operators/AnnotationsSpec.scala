@@ -55,6 +55,45 @@ class AnnotationsSpec extends SparkSpec {
       Set((0, 1), (0, 2), (1, 2)))
   }
 
+  test("fleissKappa: hand-computed algebra, floor division, non-conforming items dropped") {
+    // 2 items × 2 raters, binary: item1 both 0; item2 split.
+    // S2 = 4 + 2 = 6 → pbar = (6 − 4)/(2·2·1) = 0.5. Class masses 3:1 of
+    // 4 → p = (750‰, 250‰) → pe = 625000. κ = (0.5 − 0.625)/0.375 = −1/3
+    // → FLOOR(−333.33) = −334 (truncation would give −333)
+    val r = Annotations.fleissKappa(ann(
+      (1L, 0, 0), (1L, 1, 0), (2L, 0, 0), (2L, 1, 1),
+      (9L, 0, 2)), ratersPerItem = 2).collect() // item 9 has 1 rating → dropped
+    assert(r.length == 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getAs[Any]("kappa_pm")) == ((2L, 1L, 500000L, 625000L, -334L)),
+      s"got ${row.toSeq}")
+    // perfect agreement on 2 classes: pbar = 1e6, kappa exactly 1000
+    val p = Annotations.fleissKappa(ann(
+      (1L, 0, 0), (1L, 1, 0), (2L, 0, 1), (2L, 1, 1)), ratersPerItem = 2)
+      .collect()(0)
+    assert(p.getLong(2) == 1000000L && p.getAs[Long]("kappa_pm") == 1000L,
+      s"got ${p.toSeq}")
+    // degenerate: every rating one class → pe = 1e6 → kappa NULL
+    val dg = Annotations.fleissKappa(ann(
+      (1L, 0, 0), (1L, 1, 0), (2L, 0, 0), (2L, 1, 0)), ratersPerItem = 2)
+      .collect()(0)
+    assert(dg.isNullAt(dg.fieldIndex("kappa_pm")), s"got ${dg.toSeq}")
+  }
+
+  test("annotatorConfusion: cells against the majority consensus with exact shares") {
+    // consensus: item1 → 0 (2-1), item2 → 1 (unanimous, annotator 2 absent)
+    val got = Annotations.annotatorConfusion(ann(
+      (1L, 0, 0), (1L, 1, 0), (1L, 2, 1),
+      (2L, 0, 1), (2L, 1, 1)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (0, 0, 0) -> ((1L, 500000L)), (0, 1, 1) -> ((1L, 500000L)),
+      (1, 0, 0) -> ((1L, 500000L)), (1, 1, 1) -> ((1L, 500000L)),
+      (2, 1, 0) -> ((1L, 1000000L))), s"got $got")
+  }
+
   test("consolidateLabels: majority, tie to smallest label, unanimity flag") {
     val got = Annotations.consolidateLabels(ann(
       (1L, 0, 2), (1L, 1, 2), (1L, 2, 0),             // majority 2

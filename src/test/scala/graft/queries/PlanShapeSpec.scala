@@ -61,6 +61,11 @@ class PlanShapeSpec extends SparkSpec {
     assertNever("q149_annotator_agreement",
       "Window", "CartesianProduct", "BroadcastNestedLoopJoin")
     assertNever("q150_label_consolidation", "Window", "Join")
+    // q151's only joins combine 1-row/≤k-row broadcast summaries (the
+    // bm25 pattern); q152's share join broadcasts per-annotator totals
+    assertNever("q151_fleiss_kappa", "Window", "SortMergeJoin")
+    assertNever("q152_annotator_confusion",
+      "Window", "SortMergeJoin", "CartesianProduct")
   }
 
   test("truncation audit: no window, no cartesian, no sort-merge past the checkpointed top-k") {
