@@ -540,6 +540,37 @@ object TrainingScaleSmoke {
       s"expected $expectedContam flagged docs each matched to its twin, " +
         s"got ${contam.toSeq}")
 
+    // 12b. Label QA at the full corpus (q149-q152's operators): a 5-rater
+    //      campaign over every doc (labels hash-derived as in the oracle
+    //      queries). Claims under test: the pair join's fanout stays
+    //      annotators²-bounded (all 10 kappa rows emit over exactly nDocs
+    //      shared items), Fleiss' summaries are driver-sized (one row,
+    //      nothing dropped), and consolidation returns one consensus per
+    //      item — at 5M annotation rows, seconds each.
+    val smokeAnn = docs.select(
+        col("id").as("item"),
+        explode(expr("sequence(0, 4)")).as("annotator"))
+      .select(col("item"), col("annotator"), expr(
+        "cast(conv(substring(md5(concat('sm', annotator, ':', item)), 1, 4), 16, 10) as int) % 3")
+        .as("label"))
+      .localCheckpoint()
+    val pairRows = timed(s"cohen kappa 10 pairs (${nDocs}x5 annotations)") {
+      graft.operators.Annotations.annotatorAgreement(smokeAnn, nClasses = 3).collect()
+    }
+    require(pairRows.length == 10 &&
+      pairRows.forall(_.getAs[Long]("n_items") == nDocs.toLong),
+      s"expected 10 full-coverage kappa pairs, got ${pairRows.toSeq.take(3)}")
+    val fleiss = timed(s"fleiss kappa (${nDocs} items)") {
+      graft.operators.Annotations.fleissKappa(smokeAnn, ratersPerItem = 5).collect()
+    }
+    require(fleiss.length == 1 && fleiss(0).getAs[Long]("n_items") == nDocs.toLong &&
+      fleiss(0).getAs[Long]("n_dropped") == 0L,
+      s"fleiss must keep every 5-rated item: ${fleiss.toSeq}")
+    val nCons = timed(s"label consolidation (${nDocs} items)") {
+      graft.operators.Annotations.consolidateLabels(smokeAnn).count()
+    }
+    require(nCons == nDocs.toLong, s"one consensus per item: $nCons of $nDocs")
+
     // everything persisted so far (docs corpus, span digests, Lloyd lifts) is
     // dead before the graph stage — a full sweep keeps the block manager
     // empty for the adversarial chain's own round checkpoints
