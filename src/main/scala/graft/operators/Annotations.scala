@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
  * (per-item fanout is bounded by annotators², never corpus-sized) into a
  * map-side-combinable aggregate whose output is one row per annotator
  * PAIR — driver-sized for any corpus. Consolidation is two chained
- * aggregates on the same `item` key (the second reuses the first's
- * partitioning — one shuffle total), with the argmax as `max(struct)`,
- * never a window. All arithmetic is 64-bit integer fixed point (the
- * q71/BM25 idiom), so every statistic is engine-independent bits.
+ * aggregates: the first exchange (on (item, label)) carries the
+ * map-combined vote census, and the second (on item) re-shuffles only
+ * that census — ≤ labels rows per item, never the raw annotations — with
+ * the argmax as `max(struct)`, never a window. All arithmetic is 64-bit
+ * integer fixed point (the q71/BM25 idiom), so every statistic is
+ * engine-independent bits.
  */
 object Annotations {
 
@@ -89,9 +91,10 @@ object Annotations {
    *
    * Exact 64-bit domain: 1e6·N·n·(n−1) < 2^63 → N ≤ ~9e12/n² items
    * (3.6e11 at n=5). Plan: per-(item,label) census → per-item rollup
-   * reusing the item partitioning → three driver-sized summaries
-   * (1-row totals, ≤nClasses class masses, 1-row drop count) combined by
-   * broadcast cross joins — output is ONE row for any corpus.
+   * (the second exchange carries only the ≤ labels-per-item census rows)
+   * → three driver-sized summaries (1-row totals, ≤nClasses class masses,
+   * 1-row drop count) combined by broadcast cross joins — output is ONE
+   * row for any corpus. An EMPTY campaign emits (0, 0, NULL, NULL, NULL).
    */
   def fleissKappa(ann: DataFrame, ratersPerItem: Int): DataFrame = {
     require(ratersPerItem >= 2, "need >= 2 raters per item")
@@ -101,8 +104,11 @@ object Annotations {
       .agg(sum(col("nic")).as("n"), sum(col("nic") * col("nic")).as("s2i"))
     val kept = items.where(col("n") === ratersPerItem)
     val tot = kept.agg(count(lit(1)).as("n_items"), sum(col("s2i")).as("s2"))
-    val dropped = items.agg(
-      sum(when(col("n") =!= ratersPerItem, 1L).otherwise(0L)).as("n_dropped"))
+    // coalesce: sum over ZERO rows is NULL, but the contract (and the
+    // oracle's coalesce) says an empty campaign drops 0 items
+    val dropped = items.agg(coalesce(
+      sum(when(col("n") =!= ratersPerItem, 1L).otherwise(0L)),
+      lit(0L)).as("n_dropped"))
     val classMass = cell
       .join(kept.select(col("item")), Seq("item"))
       .groupBy(col("label")).agg(sum(col("nic")).as("cnt"))
@@ -111,8 +117,10 @@ object Annotations {
       .agg(sum(col("p_pm") * col("p_pm")).as("pe_ppm"))
     tot.crossJoin(broadcast(dropped)).crossJoin(broadcast(pe))
       .select(col("n_items"), col("n_dropped"),
-        expr(s"(1000000 * (s2 - n_items * $ratersPerItem)) div " +
-          s"(n_items * $ratersPerItem * ${ratersPerItem - 1})").as("pbar_ppm"),
+        // n_items > 0 guard: ANSI mode throws on the empty-campaign div 0
+        when(col("n_items") > 0,
+          expr(s"(1000000 * (s2 - n_items * $ratersPerItem)) div " +
+            s"(n_items * $ratersPerItem * ${ratersPerItem - 1})")).as("pbar_ppm"),
         col("pe_ppm"))
       .select(col("n_items"), col("n_dropped"), col("pbar_ppm"), col("pe_ppm"),
         (lit(1000L) * (col("pbar_ppm") - col("pe_ppm"))).as("knum"),

@@ -42,14 +42,20 @@ object Similarity {
    * scanned once with no shuffle; the bounded-heap partial aggregation keeps
    * the top-k exchange at tasks × queries × k rows.
    */
-  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** The brute-force scoring join shared by [[knnBruteForce]] and
+   * [[truncationRecall]]: queries broadcast, corpus scanned once with no
+   * shuffle, raw cosine (NaN when a side has zero norm — callers choose
+   * the contract). ONE definition so the two consumers can never drift. */
+  private def scored(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val scored = corpus.select(col("id").as("neighbor_id"), col("vec"))
+    corpus.select(col("id").as("neighbor_id"), col("vec"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineNative(col("vec"), col("qvec")).as("cos"))
-    topK(scored, k)
   }
+
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topK(scored(corpus, queries), k)
 
   /**
    * Hard-negative mining for contrastive training: each query's top-k most
@@ -710,25 +716,26 @@ object Similarity {
    * localCheckpointed so the corpus is scanned exactly twice (once per
    * representation), not once per downstream consumer. Rank ties break
    * (cos desc, id asc) in both passes, so the comparison is deterministic.
-   * A vector whose first-`dim` prefix is all-zero has no cosine under
-   * truncation (0/0); it scores −1 — defined to LOSE against every real
-   * neighbor — rather than NaN (which the top-k heap would rank first).
-   * Swap either pass for [[annLsh]]/[[graft.operators.Ivf]] probes when
-   * the corpus outgrows brute force — the audit join is
-   * representation-agnostic.
+   * A vector with no cosine — zero norm, in EITHER representation (a
+   * failed-embed row full-dim, or an all-zero first-`dim` prefix under
+   * truncation) — scores −1 in BOTH passes: defined to LOSE against every
+   * real neighbor, rather than NaN (which the top-k heap would rank
+   * first, corrupting the audit). Swap either pass for
+   * [[annLsh]]/[[graft.operators.Ivf]] probes when the corpus outgrows
+   * brute force — the audit join is representation-agnostic.
    */
   def truncationRecall(corpus: DataFrame, queries: DataFrame, dim: Int,
                        k: Int): DataFrame = {
     require(dim >= 1, "dim must be positive")
     def trunc(df: DataFrame): DataFrame =
       df.select(col("id"), slice(col("vec"), 1, dim).as("vec"))
-    val kFull = knnBruteForce(corpus, queries, k).localCheckpoint()
-    val tq = trunc(queries).select(col("id").as("query_id"), col("vec").as("qvec"))
-    val scoredT = trunc(corpus).select(col("id").as("neighbor_id"), col("vec"))
-      .join(broadcast(tq), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        nanvl(cosineNative(col("vec"), col("qvec")), lit(-1.0)).as("cos"))
-    val kTrunc = topK(scoredT, k)
+    // the SHARED scoring join (one definition with knnBruteForce — the
+    // passes cannot drift) with the audit's undefined-cosine contract
+    def guardedTopK(c: DataFrame, q: DataFrame): DataFrame =
+      topK(scored(c, q).select(col("query_id"), col("neighbor_id"),
+        nanvl(col("cos"), lit(-1.0)).as("cos")), k)
+    val kFull = guardedTopK(corpus, queries).localCheckpoint()
+    val kTrunc = guardedTopK(trunc(corpus), trunc(queries))
       .select(col("query_id"), col("neighbor_id"), col("rank").as("trunc_rank"))
       .localCheckpoint()
     val overlap = kFull

@@ -3377,23 +3377,23 @@ object PipelineQueries {
     // The q35 scored/ranked CTEs twice — full lists and the [1:16] prefix
     // slice — then pure integer joins: the true top-1's truncated rank and
     // the top-10 intersection size. Same fold-order cosine, same
-    // (cos DESC, id ASC) tie-break as every kNN oracle. The truncated side
-    // carries the operator's zero-norm-prefix contract: an undefined cosine
-    // (NaN, or DuckDB's NULL on 0/0) scores −1 — nullif exploits DuckDB's
-    // total float ordering, under which NaN equals NaN.
+    // (cos DESC, id ASC) tie-break as every kNN oracle. BOTH sides carry
+    // the operator's undefined-cosine contract: a zero-norm vector's
+    // cosine (NaN, or DuckDB's NULL on 0/0) scores −1 — nullif exploits
+    // DuckDB's total float ordering, under which NaN equals NaN.
     "q148_truncation_recall" -> {
+      def guarded(cosExpr: String) =
+        s"coalesce(nullif($cosExpr, 'NaN'::DOUBLE), -1.0)"
       def ranked(cosExpr: String) =
         s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY q.vec_id
-                                 ORDER BY $cosExpr DESC, c.vec_id ASC) AS rank
+                                 ORDER BY ${guarded(cosExpr)} DESC, c.vec_id ASC) AS rank
             FROM c JOIN q ON c.vec_id != q.vec_id"""
-      val truncCos =
-        s"coalesce(nullif(${duckCos("c.v[1:16]", "q.v[1:16]")}, 'NaN'::DOUBLE), -1.0)"
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                     WHERE vec_id % 100 = 0),
               rf AS (${ranked(duckCos("c.v", "q.v"))}),
-              rt AS (${ranked(truncCos)}),
+              rt AS (${ranked(duckCos("c.v[1:16]", "q.v[1:16]"))}),
               f10 AS (SELECT * FROM rf WHERE rank <= 10),
               t10 AS (SELECT * FROM rt WHERE rank <= 10),
               ov AS (SELECT query_id, CAST(count(*) AS BIGINT) AS overlap_k
@@ -3475,8 +3475,9 @@ object PipelineQueries {
                   ((1000 * cnt) // (t.n_items * 5))) AS BIGINT) AS pe_ppm
                 FROM cm, tot t),
          r AS (SELECT t.n_items, d.n_dropped,
-                 (1000000 * (t.s2 - t.n_items * 5)) // (t.n_items * 5 * 4)
-                   AS pbar_ppm,
+                 CASE WHEN t.n_items > 0 THEN
+                   (1000000 * (t.s2 - t.n_items * 5)) // (t.n_items * 5 * 4)
+                 END AS pbar_ppm,
                  p.pe_ppm
                FROM tot t, drp d, pe p)
          SELECT n_items, n_dropped, pbar_ppm, pe_ppm,

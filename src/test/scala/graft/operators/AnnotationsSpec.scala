@@ -79,6 +79,11 @@ class AnnotationsSpec extends SparkSpec {
       (1L, 0, 0), (1L, 1, 0), (2L, 0, 0), (2L, 1, 0)), ratersPerItem = 2)
       .collect()(0)
     assert(dg.isNullAt(dg.fieldIndex("kappa_pm")), s"got ${dg.toSeq}")
+    // empty campaign: (0 items, 0 dropped, NULL, NULL, NULL) — no throw,
+    // n_dropped 0 not NULL (the oracle's coalesce contract)
+    val e = Annotations.fleissKappa(ann(), ratersPerItem = 2).collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L &&
+      e.isNullAt(2) && e.isNullAt(3) && e.isNullAt(4), s"got ${e.toSeq}")
   }
 
   test("annotatorConfusion: cells against the majority consensus with exact shares") {

@@ -153,14 +153,17 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     // q10=(1,0,10,0): X's similarity lives in dims 3-4 (full cos .990), Y's
     // in the prefix (full cos .0995) — truncation to dim 2 INVERTS the order
-    // Z's first-2 prefix is all-zero: its truncated cosine is 0/0. The
-    // operator's contract scores it -1 (loses to every real neighbor); an
-    // unguarded NaN would rank FIRST in the heap's descending Double order
-    // and corrupt every assertion below by displacing the real top-k.
+    // Z's first-2 prefix is all-zero (truncated cosine 0/0) and W is a
+    // failed-embed all-zero row (FULL cosine 0/0 too). The operator's
+    // contract scores both -1 in the affected pass (loses to every real
+    // neighbor); an unguarded NaN would rank FIRST in the heap's
+    // descending Double order and corrupt every assertion below by
+    // displacing the real top-k in either representation.
     val corpus = Seq(
       (1L, Seq(0.0, 1.0, 10.0, 0.0)),  // X
       (2L, Seq(1.0, 0.0, 0.0, 0.0)),   // Y
-      (3L, Seq(0.0, 0.0, -1.0, 0.0))   // Z — zero-norm prefix
+      (3L, Seq(0.0, 0.0, -1.0, 0.0)),  // Z — zero-norm prefix
+      (4L, Seq(0.0, 0.0, 0.0, 0.0))    // W — zero-norm everywhere
     ).toDF("id", "vec")
     val queries = Seq(
       (10L, Seq(1.0, 0.0, 10.0, 0.0)),
