@@ -99,6 +99,41 @@ class AnnotationsSpec extends SparkSpec {
       (2, 1, 0) -> ((1L, 1000000L))), s"got $got")
   }
 
+  test("agreement fuzz: operator matches an independent brute force on random campaigns") {
+    val rnd = new scala.util.Random(11_49)
+    // 150 items, 4 annotators, PARTIAL coverage (each annotator skips ~1/3
+    // of items) — the shared-items semantics must hold pair by pair
+    val rows = for {
+      item <- (0L until 150L)
+      a <- 0 until 4
+      if rnd.nextInt(3) != 0
+    } yield (item, a, rnd.nextInt(3))
+    val byAnn = rows.groupBy(_._2)
+      .map { case (a, rs) => a -> rs.map(r => r._1 -> r._3).toMap }
+    def brute(a1: Int, a2: Int): (Long, Long, Long, Long, Option[Long]) = {
+      val m1 = byAnn(a1); val m2 = byAnn(a2)
+      val shared = (m1.keySet & m2.keySet).toSeq
+      val n = shared.size.toLong
+      val agree = shared.count(i => m1(i) == m2(i)).toLong
+      val po = 1000000L * agree / n
+      val pe = (0 until 3).map { c =>
+        (1000L * shared.count(i => m1(i) == c) / n) *
+          (1000L * shared.count(i => m2(i) == c) / n)
+      }.sum
+      val kappa = if (1000000L - pe == 0) None
+        else Some(Math.floorDiv(1000L * (po - pe), 1000000L - pe))
+      (n, agree, po, pe, kappa)
+    }
+    val got = Annotations.annotatorAgreement(ann(rows: _*), nClasses = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.getAs[Any]("kappa_pm")).map(_.asInstanceOf[Long])))).toMap
+    assert(got.size == 6, s"expected C(4,2)=6 pairs, got ${got.keySet}")
+    for (a1 <- 0 until 4; a2 <- a1 + 1 until 4)
+      assert(got((a1, a2)) == brute(a1, a2),
+        s"pair ($a1,$a2): got ${got((a1, a2))} expected ${brute(a1, a2)}")
+  }
+
   test("consolidateLabels: majority, tie to smallest label, unanimity flag") {
     val got = Annotations.consolidateLabels(ann(
       (1L, 0, 2), (1L, 1, 2), (1L, 2, 0),             // majority 2
