@@ -131,6 +131,67 @@ object Annotations {
   }
 
   /**
+   * Krippendorff's alpha (nominal metric) — the MISSING-DATA-tolerant
+   * agreement coefficient: where Cohen needs complete pairs and Fleiss a
+   * fixed rater count, alpha weighs every item by its own rating count
+   * m_u, so partially-labeled campaigns (the real-world norm) need no
+   * filtering beyond m_u ≥ 2. One output row:
+   *
+   *   - `n_items` / `n_dropped` — items with 2..maxRaters ratings vs not
+   *     (m_u < 2 carries no pair; m_u > maxRaters would break the exact
+   *     weighting and is excluded loudly in the count)
+   *   - `a_o_ppm` — observed within-item agreement from the coincidence
+   *     matrix. The classic 1/(m_u−1) pair weights become EXACT integers
+   *     by scaling every pair with W = lcm(1..maxRaters−1) — each item
+   *     contributes m_u·W scaled coincidences, each class t·W — so the
+   *     whole matrix is 64-bit integer arithmetic, no rationals.
+   *   - `a_e_ppm` — chance agreement Σ_c p_c·p'_c from ‰-quantized
+   *     margins, with the small-sample correction p'_c =
+   *     (1000·(n_c−W)) div (n−W) — the scaled twin of n_c(n_c−1)/n(n−1).
+   *     Scale-invariant in W by construction.
+   *   - `alpha_pm` — (A_o − A_e)/(1 − A_e) ×1e3, floor division via the
+   *     pmod identity; NULL when A_e = 1 or no item has 2+ ratings.
+   *
+   * Same shape as [[fleissKappa]]: census → per-item rollup → driver-sized
+   * summaries combined by broadcast cross joins.
+   */
+  def krippendorffAlpha(ann: DataFrame, maxRaters: Int): DataFrame = {
+    require(maxRaters >= 2, "maxRaters must be >= 2")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val w = (1 until maxRaters).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val cell = ann.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("t"))
+    val items = cell.groupBy(col("item"))
+      .agg(sum(col("t")).as("m"),
+        sum(col("t") * (col("t") - 1)).as("sagree_raw"))
+    val kept = items.where(col("m") >= 2 && col("m") <= maxRaters)
+    // per kept item: scaled diagonal mass (W/(m−1))·Σ t(t−1), scaled total m·W
+    val tot = kept.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(expr(s"($w div (m - 1)) * sagree_raw")), lit(0L)).as("sagree"),
+      coalesce(sum(col("m") * w), lit(0L)).as("n"))
+    val dropped = items.agg(coalesce(
+      sum(when(col("m") < 2 || col("m") > maxRaters, 1L).otherwise(0L)),
+      lit(0L)).as("n_dropped"))
+    val classMass = cell.join(kept.select(col("item")), Seq("item"))
+      .groupBy(col("label")).agg((sum(col("t")) * w).as("nc"))
+    val ae = classMass.crossJoin(broadcast(tot))
+      .select((expr("(1000 * nc) div n") *
+        expr(s"(1000 * (nc - $w)) div (n - $w)")).as("term"))
+      .agg(sum(col("term")).as("ae_ppm"))
+    tot.crossJoin(broadcast(dropped)).crossJoin(broadcast(ae))
+      .select(col("n_items"), col("n_dropped"),
+        when(col("n") > 0, expr("(1000000 * sagree) div n")).as("a_o_ppm"),
+        col("ae_ppm").as("a_e_ppm"))
+      .select(col("n_items"), col("n_dropped"), col("a_o_ppm"), col("a_e_ppm"),
+        (lit(1000L) * (col("a_o_ppm") - col("a_e_ppm"))).as("knum"),
+        (lit(1000000L) - col("a_e_ppm")).as("kden"))
+      .select(col("n_items"), col("n_dropped"), col("a_o_ppm"), col("a_e_ppm"),
+        when(col("kden") =!= 0,
+          expr("(knum - pmod(knum, kden)) div kden")).as("alpha_pm"))
+  }
+
+  /**
    * Annotator-vs-consensus confusion report — the "who disagrees with the
    * consensus, and how" table a labeling operation reads to retrain or
    * drop annotators. One row per (annotator, label, consensus_label) cell

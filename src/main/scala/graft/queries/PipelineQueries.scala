@@ -518,6 +518,17 @@ object PipelineQueries {
       Annotations.annotatorConfusion(annotatedDocs(s, d))
         .orderBy(col("annotator"), col("label"), col("consensus_label"))),
 
+    "q153_krippendorff_alpha" -> ((s, d) =>
+      // the MISSING-data agreement coefficient (real campaigns are
+      // sparse): each annotator skips ~1/6 of items by an md5 roll, so
+      // per-item rating counts vary 2..5 and alpha's 1/(m−1) coincidence
+      // weights — exact integers via the ×12 LCM scaling — are genuinely
+      // exercised. One output row at any corpus size.
+      Annotations.krippendorffAlpha(
+        annotatedDocs(s, d).where(expr(
+          "cast(conv(substring(md5(concat('skip', annotator, ':', item)), 1, 4), 16, 10) as int) % 6 != annotator")),
+        maxRaters = 5)),
+
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
       // gram set: the held-out grams compress to a <=4096-bit filter (the
@@ -3507,6 +3518,41 @@ object PipelineQueries {
                 (1000000 * c.n) // t.n_ann AS share_ppm
          FROM cells c JOIN tots t USING (annotator)
          ORDER BY c.annotator, c.label, c.consensus_label""",
+
+    // Same labels minus the md5 skip roll → the identical LCM-scaled
+    // coincidence algebra: ×12 pair weights, ‰-quantized margins with the
+    // (n_c − W)/(n − W) small-sample correction, floor-division alpha.
+    "q153_krippendorff_alpha" ->
+      s"""$duckAnnCte,
+         sp AS (SELECT * FROM ann
+                WHERE CAST(concat('0x', substr(md5('skip' || CAST(annotator AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 4)) AS INT) % 6 != annotator),
+         cell AS (SELECT item, label, CAST(count(*) AS BIGINT) AS t
+                  FROM sp GROUP BY 1, 2),
+         items AS (SELECT item, CAST(sum(t) AS BIGINT) AS m,
+                     CAST(sum(t * (t - 1)) AS BIGINT) AS sraw
+                   FROM cell GROUP BY 1),
+         kept AS (SELECT * FROM items WHERE m BETWEEN 2 AND 5),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(coalesce(sum((12 // (m - 1)) * sraw), 0) AS BIGINT) AS sagree,
+                   CAST(coalesce(sum(m * 12), 0) AS BIGINT) AS n
+                 FROM kept),
+         drp AS (SELECT CAST(coalesce(sum(CASE WHEN m < 2 OR m > 5 THEN 1 END), 0)
+                   AS BIGINT) AS n_dropped FROM items),
+         cm AS (SELECT label, CAST(sum(t) * 12 AS BIGINT) AS nc
+                FROM cell JOIN kept USING (item) GROUP BY 1),
+         ae AS (SELECT CAST(sum(((1000 * nc) // t.n) *
+                  ((1000 * (nc - 12)) // (t.n - 12))) AS BIGINT) AS a_e_ppm
+                FROM cm, tot t),
+         r AS (SELECT t.n_items, d.n_dropped,
+                 CASE WHEN t.n > 0
+                   THEN (1000000 * t.sagree) // t.n END AS a_o_ppm,
+                 a.a_e_ppm
+               FROM tot t, drp d, ae a)
+         SELECT n_items, n_dropped, a_o_ppm, a_e_ppm,
+                CASE WHEN 1000000 - a_e_ppm != 0
+                  THEN (1000 * (a_o_ppm - a_e_ppm)) // (1000000 - a_e_ppm)
+                END AS alpha_pm
+         FROM r""",
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the
     // census+join formulation (hence MATERIALIZED wins) where Spark counts

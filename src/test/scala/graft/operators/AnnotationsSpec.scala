@@ -99,6 +99,42 @@ class AnnotationsSpec extends SparkSpec {
       (2, 1, 0) -> ((1L, 1000000L))), s"got $got")
   }
 
+  test("krippendorffAlpha: hand-computed coincidence algebra, dropped items, edge cases") {
+    // u1 agrees (0,0), u2 splits (0,1), u3 has ONE rating (no pair →
+    // dropped). W = lcm(1..1) = 1: n = 4, diag = 2 → A_o = 500000;
+    // margins 3:1 → p = (750, 250), corrected p' = (666, 0) →
+    // A_e = 499500; alpha = floor(1000·500/500500) = 0
+    val r = Annotations.krippendorffAlpha(ann(
+      (1L, 0, 0), (1L, 1, 0), (2L, 0, 0), (2L, 1, 1), (3L, 0, 2)),
+      maxRaters = 2).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getAs[Any]("alpha_pm")) == ((2L, 1L, 500000L, 499500L, 0L)),
+      s"got ${r.toSeq}")
+    // perfect agreement across 2 classes: A_o = 1e6, alpha exactly 1000
+    val p = Annotations.krippendorffAlpha(ann(
+      (1L, 0, 0), (1L, 1, 0), (2L, 0, 1), (2L, 1, 1)), maxRaters = 2)
+      .collect()(0)
+    assert(p.getLong(2) == 1000000L && p.getAs[Long]("alpha_pm") == 1000L,
+      s"got ${p.toSeq}")
+    // an item with MORE raters than maxRaters is dropped (exact weighting
+    // would break), not silently mis-weighted
+    val over = Annotations.krippendorffAlpha(ann(
+      (1L, 0, 0), (1L, 1, 0),
+      (2L, 0, 0), (2L, 1, 0), (2L, 2, 0)), maxRaters = 2).collect()(0)
+    assert(over.getLong(0) == 1L && over.getLong(1) == 1L, s"got ${over.toSeq}")
+    // empty campaign: counts 0, stats NULL, no throw
+    val e = Annotations.krippendorffAlpha(ann(), maxRaters = 5).collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L &&
+      e.isNullAt(2) && e.isNullAt(4), s"got ${e.toSeq}")
+    // varying m with W = 12: values are scale-invariant — the 2-rater
+    // fixture recomputed at maxRaters = 5 gives the identical statistics
+    val w12 = Annotations.krippendorffAlpha(ann(
+      (1L, 0, 0), (1L, 1, 0), (2L, 0, 0), (2L, 1, 1), (3L, 0, 2)),
+      maxRaters = 5).collect()(0)
+    assert((w12.getLong(2), w12.getLong(3), w12.getAs[Any]("alpha_pm")) ==
+      ((500000L, 499500L, 0L)), s"got ${w12.toSeq}")
+  }
+
   test("agreement fuzz: operator matches an independent brute force on random campaigns") {
     val rnd = new scala.util.Random(11_49)
     // 150 items, 4 annotators, PARTIAL coverage (each annotator skips ~1/3

@@ -66,6 +66,7 @@ class PlanShapeSpec extends SparkSpec {
     assertNever("q151_fleiss_kappa", "Window", "SortMergeJoin")
     assertNever("q152_annotator_confusion",
       "Window", "SortMergeJoin", "CartesianProduct")
+    assertNever("q153_krippendorff_alpha", "Window", "SortMergeJoin")
   }
 
   test("truncation audit: no window, no cartesian, no sort-merge past the checkpointed top-k") {
