@@ -214,6 +214,95 @@ object Annotations {
   }
 
   /**
+   * Dawid–Skene truth inference (Dawid & Skene 1979) — the EM upgrade of
+   * majority vote: annotators are weighed by their estimated per-class
+   * confusion, so a reliable minority can overturn a noisy majority. A
+   * fixed number of EM `rounds` is unrolled into the plan (the classic
+   * fixed-iteration deployment — convergence checks would force an action
+   * per round), each round being:
+   *
+   *   - M-step: per-annotator confusion θ_pm[a][c][g] = P(a says g | true
+   *     c) and class priors π_pm[c], both from the CURRENT consensus with
+   *     add-one smoothing and ‰ quantization:
+   *     θ_pm = (1000·(n_acg+1)) div (n_ac + C), π_pm = (1000·(n_c+1)) div
+   *     (N + C) — a FULL A×C² grid (unobserved cells get the smoothed
+   *     floor), so θ is never undefined.
+   *   - E-step: score(item, c) = π_pm(c) · Π_a θ_pm[a][c][g_a] as an EXACT
+   *     int64 product (factors ≤ 1000; with ≤ 5 raters per item the
+   *     product is ≤ 1e15 and the scored posterior ≤ 1e18 — inside 2^63;
+   *     more raters overflow LOUDLY under ANSI mode, never silently);
+   *     argmax via `max(struct)`, ties to the smallest class.
+   *
+   * Initialization is [[consolidateLabels]]'s majority vote. Output: one
+   * row per item — (item, mv_label, ds_label, changed). Label values must
+   * lie in [0, nClasses) (the agreement-family contract; out-of-range
+   * labels would silently drop their annotator from the posterior).
+   *
+   * Scale posture: each round is two equi-shuffles on corpus-sized keys
+   * (the census join on `item`, the factor product on (item, class)) plus
+   * driver-sized θ/π grids joined by BROADCAST; round state is
+   * materialized through [[Checkpoints.iterative]] (localCheckpoint, or
+   * reliable `checkpoint()` under `graft.iterative.reliableCheckpoint`) so
+   * the unrolled lineage never re-executes prior rounds.
+   */
+  def dawidSkene(ann: DataFrame, nClasses: Int, rounds: Int = 2): DataFrame = {
+    require(nClasses >= 2, "nClasses must be >= 2")
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = ann.sparkSession
+    val classes = spark.range(nClasses.toLong)
+      .select(col("id").cast("int").as("c"))
+    val mv = Checkpoints.iterative(
+      consolidateLabels(ann).select(col("item"), col("top_label").as("lab")))
+
+    var labels = mv
+    for (_ <- 1 to rounds) {
+      val cells = ann.join(labels, Seq("item"))
+        .select(col("annotator"), col("lab").as("c"), col("label").as("g"))
+        .groupBy("annotator", "c", "g")
+        .agg(count(lit(1)).as("n"))
+      val nac = cells.groupBy(col("annotator"), col("c"))
+        .agg(sum(col("n")).as("n_ac"))
+      val grid = ann.select(col("annotator")).distinct()
+        .crossJoin(classes)
+        .crossJoin(classes.select(col("c").as("g")))
+      val theta = grid
+        .join(cells, Seq("annotator", "c", "g"), "left")
+        .join(nac, Seq("annotator", "c"), "left")
+        .select(col("annotator"), col("c"), col("g"),
+          expr(s"(1000 * (coalesce(n, 0) + 1)) div (coalesce(n_ac, 0) + $nClasses)")
+            .as("theta_pm"))
+      val tot = labels.agg(count(lit(1)).as("nn"))
+      val prior = classes
+        .join(labels.select(col("lab").as("c")).groupBy("c")
+            .agg(count(lit(1)).as("cnt")),
+          Seq("c"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("c"),
+          expr(s"(1000 * (coalesce(cnt, 0) + 1)) div (nn + $nClasses)")
+            .as("prior_pm"))
+      val factors = ann.join(
+        broadcast(theta
+          .withColumnRenamed("annotator", "t_annotator")
+          .withColumnRenamed("g", "t_g")),
+        col("annotator") === col("t_annotator") && col("label") === col("t_g"))
+        .select(col("item"), col("c"), col("theta_pm"))
+      val scores = factors.groupBy(col("item"), col("c"))
+        .agg(aggregate(collect_list(col("theta_pm")), lit(1L),
+          (acc, x) => acc * x).as("prod"))
+        .join(broadcast(prior), Seq("c"))
+        .select(col("item"), col("c"), (col("prod") * col("prior_pm")).as("score"))
+      labels = Checkpoints.iterative(
+        scores.groupBy(col("item"))
+          .agg(max(struct(col("score"), (-col("c")).as("neg"))).as("top"))
+          .select(col("item"), (-col("top.neg")).as("lab")))
+    }
+    mv.select(col("item"), col("lab").as("mv_label"))
+      .join(labels.select(col("item"), col("lab").as("ds_label")), Seq("item"))
+      .select(col("item"), col("mv_label"), col("ds_label"),
+        (col("mv_label") =!= col("ds_label")).as("changed"))
+  }
+
+  /**
    * Majority-vote label consolidation — one row per item: total votes, the
    * winning label (most votes, ties to the SMALLEST label id — a fixed,
    * engine-shared rule), its vote count, and a unanimity flag. The argmax

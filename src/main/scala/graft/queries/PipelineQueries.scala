@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Similarity, Skew}
+import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Preferences, Retrieval, Similarity, Skew}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -62,6 +62,25 @@ object PipelineQueries {
                 ELSE CASE WHEN n_chars < 250 THEN 0
                           WHEN n_chars < 350 THEN 1 ELSE 2 END
            END""").as("label"))
+
+  /** Deterministic pairwise model duels over the documents table (the q59
+   * in-query derivation pattern, so the DuckDB oracle rebuilds the SAME
+   * comparisons): 5 models with strengths s_m = 10−m contest each of the
+   * 10 unordered pairs on each doc; ~1/4 of (doc, pair) slots produce a
+   * comparison (an md5 participation roll — sparse campaigns are the
+   * norm), and the winner is drawn by a second md5 roll with
+   * P(lo wins) = s_lo/(s_lo+s_hi) — so every pair's true rate is a known
+   * rational and the Wilson bounds are exercised across 52%…77%. */
+  private def modelDuels(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("item"), explode(sequence(lit(0), lit(3))).as("ma"))
+      .select(col("item"), col("ma"), explode(expr("sequence(ma + 1, 4)")).as("mb"))
+      .where(expr(
+        "cast(conv(substring(md5(concat('duel', ma, ':', mb, ':', item)), 1, 4), 16, 10) as int) % 4 = 0"))
+      .select(col("item"), col("ma").as("model_a"), col("mb").as("model_b"),
+        expr(
+          """CASE WHEN cast(conv(substring(md5(concat('duel', ma, ':', mb, ':', item)), 5, 4), 16, 10) as int) % (20 - ma - mb) < 10 - ma
+                  THEN ma ELSE mb END""").as("winner"))
 
   /** embeddings → (id, vec) in double precision. */
   private def embVecs(s: SparkSession, d: String, pred: Column = lit(true)): DataFrame =
@@ -528,6 +547,45 @@ object PipelineQueries {
         annotatedDocs(s, d).where(expr(
           "cast(conv(substring(md5(concat('skip', annotator, ':', item)), 1, 4), 16, 10) as int) % 6 != annotator")),
         maxRaters = 5)),
+
+    "q154_retrieval_metrics" -> ((s, d) =>
+      // retrieval-eval report over the q35 run: per query, MRR / DCG /
+      // nDCG@10 / recall@10 under same-label relevance — the scorecard an
+      // encoder or index change must beat before it ships. The only
+      // transcendental (log2 rank discounts) is evaluated ONCE on the
+      // driver and plan-embedded as integer literals, so every metric is
+      // exact fixed point; the run is broadcast against the label scan,
+      // zero corpus shuffles.
+      Retrieval.labelRetrievalMetrics(
+        run = Similarity.knnBruteForce(
+          corpus = embVecs(s, d),
+          queries = embVecs(s, d, col("vec_id") % 100 === 0), k = 10)
+          .select(col("query_id"), col("rank"), col("neighbor_id")),
+        labels = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("label")),
+        k = 10)
+        .orderBy(col("query_id"))),
+
+    "q155_pairwise_winrate" -> ((s, d) =>
+      // preference-data QA: per model pair, win counts and the z=2 Wilson
+      // interval for the lo side's true win rate — the
+      // confidence-aware table a pairwise-eval ranking reads instead of
+      // raw win shares. One map-side-combinable aggregate to 10 rows; the
+      // single sqrt is the quantized-isqrt contract, so the bounds are
+      // engine-identical bits.
+      Preferences.pairwiseWinRates(modelDuels(s, d))
+        .orderBy(col("model_lo"), col("model_hi"))),
+
+    "q156_dawid_skene" -> ((s, d) =>
+      // Dawid–Skene truth inference over the 5-annotator labeling: two
+      // unrolled EM rounds re-weight each annotator by its estimated
+      // confusion, so reliable annotators overturn noisy majorities —
+      // the upgrade of q150's majority vote. All-‰-quantized integer
+      // posteriors; per-round state is localCheckpoint-materialized.
+      Annotations.dawidSkene(annotatedDocs(s, d), nClasses = 3, rounds = 2)
+        .select(col("item").as("doc_id"), col("mv_label"), col("ds_label"),
+          col("changed"))
+        .orderBy(col("doc_id"))),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
@@ -3553,6 +3611,145 @@ object PipelineQueries {
                   THEN (1000 * (a_o_ppm - a_e_ppm)) // (1000000 - a_e_ppm)
                 END AS alpha_pm
          FROM r""",
+
+    // The q35 run CTE (same double cosine, same rank tie-break) scored
+    // against same-label relevance. The rank-discount weights are the SAME
+    // driver-computed ×1e6 integers the Spark plan embeds
+    // (Retrieval.dcgWeightFp) — DuckDB never calls its own log2 — so
+    // every metric is engine-identical integer arithmetic.
+    "q154_retrieval_metrics" -> {
+      val wCase = (1 to 10)
+        .map(r => s"WHEN $r THEN ${Retrieval.dcgWeightFp(r)}").mkString(" ")
+      val cumCase = Retrieval.idcgWeightsFp(10).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id % 100 = 0),
+           scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ${duckCos("c.v", "q.v")} AS cos
+                      FROM c JOIN q ON c.vec_id != q.vec_id),
+           run AS (SELECT query_id, neighbor_id, rank FROM (
+                     SELECT query_id, neighbor_id,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+                     FROM scored) WHERE rank <= 10),
+           lab AS (SELECT vec_id AS id, label FROM embeddings),
+           census AS (SELECT label, CAST(count(*) AS BIGINT) AS class_n
+                      FROM lab GROUP BY 1),
+           qmeta AS (SELECT q.vec_id AS query_id, l.label AS q_label,
+                       cn.class_n - 1 AS n_rel
+                     FROM q JOIN lab l ON q.vec_id = l.id
+                            JOIN census cn ON l.label = cn.label),
+           rel AS (SELECT r.query_id, m.n_rel, r.rank,
+                     nl.label = m.q_label AS is_rel
+                   FROM run r JOIN lab nl ON r.neighbor_id = nl.id
+                              JOIN qmeta m ON r.query_id = m.query_id),
+           agg AS (SELECT query_id, n_rel,
+                     CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+                     min(CASE WHEN is_rel THEN rank END) AS first_rel_rank,
+                     CAST(coalesce(sum(CASE WHEN is_rel
+                       THEN CASE rank $wCase END END), 0) AS BIGINT) AS dcg_fp
+                   FROM rel GROUP BY 1, 2),
+           fin AS (SELECT query_id, n_rel, n_rel_topk, first_rel_rank,
+                     CASE WHEN first_rel_rank IS NOT NULL
+                       THEN 1000000 // first_rel_rank END AS mrr_ppm,
+                     dcg_fp,
+                     CASE WHEN n_rel > 0
+                       THEN CASE least(n_rel, 10) $cumCase END END AS idcg_fp
+                   FROM agg)
+         SELECT query_id, n_rel, n_rel_topk, first_rel_rank, mrr_ppm, dcg_fp,
+                idcg_fp,
+                CASE WHEN idcg_fp > 0 THEN (1000 * dcg_fp) // idcg_fp END AS ndcg_pm,
+                CASE WHEN n_rel > 0 THEN (1000 * n_rel_topk) // n_rel END AS recall_pm
+         FROM fin ORDER BY query_id"""
+    },
+
+    // The same md5-derived duels (participation roll + strength-biased
+    // winner roll), then the identical quantized-isqrt Wilson algebra:
+    // floor(sqrt(double)) is IEEE-deterministic in both engines, and the
+    // numerators are non-negative so // and div agree.
+    "q155_pairwise_winrate" -> {
+      val duelMd5 =
+        "md5('duel' || CAST(p.ma AS VARCHAR) || ':' || CAST(p.mb AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))"
+      s"""WITH pairs AS (SELECT a.ma, b.mb
+                 FROM (SELECT unnest(generate_series(0, 3)) AS ma) a,
+                      (SELECT unnest(generate_series(1, 4)) AS mb) b
+                 WHERE b.mb > a.ma),
+           duels AS (SELECT d.doc_id AS item, p.ma AS model_a, p.mb AS model_b,
+                       CASE WHEN CAST(concat('0x', substr($duelMd5, 5, 4)) AS INT)
+                              % (20 - p.ma - p.mb) < 10 - p.ma
+                            THEN p.ma ELSE p.mb END AS winner
+                     FROM documents d, pairs p
+                     WHERE CAST(concat('0x', substr($duelMd5, 1, 4)) AS INT) % 4 = 0),
+           g AS (SELECT least(model_a, model_b) AS model_lo,
+                   greatest(model_a, model_b) AS model_hi,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN winner = least(model_a, model_b)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS wins_lo
+                 FROM duels GROUP BY 1, 2),
+           y AS (SELECT model_lo, model_hi, n, wins_lo,
+                   (1000 * wins_lo) // n AS win_pm,
+                   (wins_lo * (n - wins_lo)) // n + 1 AS y
+                 FROM g)
+         SELECT model_lo, model_hi, n, wins_lo, win_pm,
+                (1000 * (wins_lo + 2) - 2 * CAST(floor(sqrt(CAST(1000000 * y AS DOUBLE))) AS BIGINT)) // (n + 4) AS wilson_lb_pm,
+                (1000 * (wins_lo + 2) + 2 * CAST(floor(sqrt(CAST(1000000 * y AS DOUBLE))) AS BIGINT)) // (n + 4) AS wilson_ub_pm
+         FROM y ORDER BY model_lo, model_hi"""
+    },
+
+    // Two EM rounds unrolled in SQL: majority-vote init, then per round
+    // the ‰-quantized smoothed confusion/prior M-step and the
+    // integer-product E-step (product() over ≤5 factors ≤1000 is ≤1e15 —
+    // exact in DOUBLE — then BIGINT × prior). Same argmax tie-break
+    // (score DESC, class ASC) as Spark's max(struct).
+    "q156_dawid_skene" -> {
+      def round(i: Int, prev: String) = s"""
+           cells$i AS (SELECT a.annotator, p.lab AS c, a.label AS g,
+                         CAST(count(*) AS BIGINT) AS n
+                       FROM ann a JOIN $prev p USING (item) GROUP BY 1, 2, 3),
+           nac$i AS (SELECT annotator, c, CAST(sum(n) AS BIGINT) AS n_ac
+                     FROM cells$i GROUP BY 1, 2),
+           theta$i AS (SELECT gr.annotator, gr.c, gr.g,
+                         (1000 * (coalesce(ce.n, 0) + 1)) // (coalesce(na.n_ac, 0) + 3) AS theta_pm
+                       FROM grid gr
+                       LEFT JOIN cells$i ce ON gr.annotator = ce.annotator
+                         AND gr.c = ce.c AND gr.g = ce.g
+                       LEFT JOIN nac$i na ON gr.annotator = na.annotator
+                         AND gr.c = na.c),
+           tot$i AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM $prev),
+           pc$i AS (SELECT lab AS c, CAST(count(*) AS BIGINT) AS cnt
+                    FROM $prev GROUP BY 1),
+           prior$i AS (SELECT cls.c, (1000 * (coalesce(pc.cnt, 0) + 1)) // (t.nn + 3) AS prior_pm
+                       FROM cls LEFT JOIN pc$i pc ON cls.c = pc.c, tot$i t),
+           score$i AS (SELECT f.item, f.c,
+                         CAST(product(f.theta_pm) AS BIGINT) * max(p.prior_pm) AS score
+                       FROM (SELECT a.item, t.c, t.theta_pm
+                             FROM ann a JOIN theta$i t ON a.annotator = t.annotator
+                               AND a.label = t.g) f
+                       JOIN prior$i p ON f.c = p.c
+                       GROUP BY 1, 2),
+           lab$i AS (SELECT item, c AS lab FROM (
+                       SELECT item, c, row_number() OVER (PARTITION BY item
+                         ORDER BY score DESC, c ASC) AS rn
+                       FROM score$i) WHERE rn = 1)"""
+      s"""$duckAnnCte,
+           votes AS (SELECT item, label, CAST(count(*) AS BIGINT) AS v
+                     FROM ann GROUP BY 1, 2),
+           lab0 AS (SELECT item, label AS lab FROM (
+                      SELECT item, label, row_number() OVER (PARTITION BY item
+                        ORDER BY v DESC, label ASC) AS rn
+                      FROM votes) WHERE rn = 1),
+           cls AS (SELECT unnest(generate_series(0, 2)) AS c),
+           grid AS (SELECT an.annotator, c1.c, c2.c AS g
+                    FROM (SELECT DISTINCT annotator FROM ann) an,
+                         (SELECT unnest(generate_series(0, 2)) AS c) c1,
+                         (SELECT unnest(generate_series(0, 2)) AS c) c2),
+           ${round(1, "lab0")},
+           ${round(2, "lab1")}
+         SELECT l0.item AS doc_id, l0.lab AS mv_label, l2.lab AS ds_label,
+                l0.lab != l2.lab AS changed
+         FROM lab0 l0 JOIN lab2 l2 USING (item) ORDER BY doc_id"""
+    },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the
     // census+join formulation (hence MATERIALIZED wins) where Spark counts

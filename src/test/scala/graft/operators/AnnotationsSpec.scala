@@ -170,6 +170,100 @@ class AnnotationsSpec extends SparkSpec {
         s"pair ($a1,$a2): got ${got((a1, a2))} expected ${brute(a1, a2)}")
   }
 
+  /** Independent in-driver Dawid–Skene replica: same majority init, same
+   * ‰-quantized smoothed θ/π, same exact integer-product E-step, same
+   * (score desc, class asc) argmax — the gold pin for the operator. */
+  private def bruteDs(rows: Seq[(Long, Int, Int)], nClasses: Int,
+                      rounds: Int): Map[Long, (Int, Int)] = {
+    val items = rows.groupBy(_._1)
+    val mv = items.map { case (item, rs) =>
+      val votes = rs.groupBy(_._3).map { case (l, v) => l -> v.size }
+      item -> votes.minBy { case (l, v) => (-v, l) }._1
+    }
+    var labels = mv
+    for (_ <- 1 to rounds) {
+      val cells = rows.groupBy(r => (r._2, labels(r._1), r._3))
+        .map { case (k, v) => k -> v.size.toLong }
+      val nac = rows.groupBy(r => (r._2, labels(r._1)))
+        .map { case (k, v) => k -> v.size.toLong }
+      def theta(a: Int, c: Int, g: Int): Long =
+        (1000L * (cells.getOrElse((a, c, g), 0L) + 1)) /
+          (nac.getOrElse((a, c), 0L) + nClasses)
+      val n = labels.size.toLong
+      val classCnt = labels.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+      def prior(c: Int): Long =
+        (1000L * (classCnt.getOrElse(c, 0L) + 1)) / (n + nClasses)
+      labels = items.map { case (item, rs) =>
+        val best = (0 until nClasses).map { c =>
+          val prod = rs.map(r => theta(r._2, c, r._3)).product
+          (prior(c) * prod, c)
+        }.minBy { case (s, c) => (-s, c) }
+        item -> best._2
+      }
+    }
+    mv.map { case (item, m) => item -> ((m, labels(item))) }
+  }
+
+  private def dsOf(rows: Seq[(Long, Int, Int)], rounds: Int = 2): Map[Long, (Int, Int, Boolean)] =
+    Annotations.dawidSkene(ann(rows: _*), nClasses = 3, rounds = rounds)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+
+  test("dawidSkene: perfect annotators — EM confirms the unanimous vote, nothing changes") {
+    val rows = for (item <- 0L until 9L; a <- 0 until 3)
+      yield (item, a, (item % 3).toInt)
+    val got = dsOf(rows)
+    assert(got.size == 9)
+    assert(got.forall { case (item, (mv, ds, ch)) =>
+      mv == (item % 3).toInt && ds == mv && !ch }, s"got $got")
+  }
+
+  test("dawidSkene: a noisy-annotator majority is overturned by the reliable pair") {
+    // A0, A1: always truth. A2–A4: mutually-disagreeing scatter on items
+    // 0..11 (consensus stays with truth), but they COINCIDE on a wrong
+    // label on item 12 — majority vote flips to it; EM, having learned
+    // A2–A4's weak diagonals and A0/A1's strong ones, restores the truth.
+    def truth(i: Long) = (i % 3).toInt
+    val scatter = for (item <- 0L until 12L; a <- 2 until 5)
+      yield (item, a, (truth(item) + 1 + (a + item).toInt % 2) % 3)
+    val reliable = for (item <- 0L to 12L; a <- 0 until 2)
+      yield (item, a, truth(item))
+    val coincide = for (a <- 2 until 5)
+      yield (12L, a, (truth(12L) + 1) % 3)
+    val rows = reliable ++ scatter ++ coincide
+    val got = dsOf(rows)
+    val exp = bruteDs(rows, nClasses = 3, rounds = 2)
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == exp,
+      s"operator disagrees with the in-driver replica")
+    val (mv12, ds12, ch12) = got(12L)
+    assert(mv12 == (truth(12L) + 1) % 3 && ds12 == truth(12L) && ch12,
+      s"item 12 not overturned: $mv12 -> $ds12")
+  }
+
+  test("dawidSkene fuzz: operator matches the independent replica on noisy campaigns") {
+    val rnd = new scala.util.Random(11_56)
+    for (trial <- 0 until 3) {
+      val rows = for {
+        item <- 0L until 120L
+        a <- 0 until 5
+        if rnd.nextInt(8) != 0 // sparse: some items lose raters
+      } yield {
+        val truth = (item % 3).toInt
+        val flip = rnd.nextInt(10) < a * 2 // noise grows with annotator id
+        (item, a, if (flip) rnd.nextInt(3) else truth)
+      }
+      for (rounds <- Seq(1, 2, 3)) {
+        val got = dsOf(rows, rounds)
+        val exp = bruteDs(rows, nClasses = 3, rounds = rounds)
+        assert(got.size == exp.size, s"trial $trial rounds $rounds sizes differ")
+        got.foreach { case (item, (mv, ds, ch)) =>
+          assert(exp(item) == ((mv, ds)) && ch == (mv != ds),
+            s"trial $trial rounds $rounds item $item: got ($mv,$ds) exp ${exp(item)}")
+        }
+      }
+    }
+  }
+
   test("consolidateLabels: majority, tie to smallest label, unanimity flag") {
     val got = Annotations.consolidateLabels(ann(
       (1L, 0, 2), (1L, 1, 2), (1L, 2, 0),             // majority 2

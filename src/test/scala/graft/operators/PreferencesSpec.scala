@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Preference-pair win rates: hand-computed Wilson bounds under the
+ * quantized-isqrt contract, pair normalization, interval properties, and a
+ * fuzz pass against an independent in-driver replica. */
+class PreferencesSpec extends SparkSpec {
+
+  private def duels(rows: (Long, Int, Int, Int)*) = {
+    import spark.implicits._
+    rows.toDF("item", "model_a", "model_b", "winner")
+  }
+
+  private def collectPairs(rows: (Long, Int, Int, Int)*) =
+    Preferences.pairwiseWinRates(duels(rows: _*))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+
+  test("pairwiseWinRates: hand-computed Wilson bounds, z=2 quantized contract") {
+    // pair (1,2): 3 duels, lo wins 2 → win 666‰; y = (2·1) div 3 + 1 = 1,
+    // isqrt(1e6) = 1000 → lb = (4000−2000) div 7 = 285, ub = 6000 div 7 = 857
+    val got = collectPairs(
+      (1L, 1, 2, 1), (2L, 1, 2, 1), (3L, 1, 2, 2))
+    assert(got((1, 2)) == ((3L, 2L, 666L, 285L, 857L)), s"got $got")
+  }
+
+  test("pairwiseWinRates: unanimous lo-side wins pin ub at exactly 1000") {
+    // w = n → y = 1: ub = (1000n + 4000) div (n+4) = 1000, lb = 1000n div (n+4)
+    val got = collectPairs((1L, 0, 3, 0), (2L, 0, 3, 0), (3L, 0, 3, 0),
+      (4L, 0, 3, 0), (5L, 0, 3, 0), (6L, 0, 3, 0))
+    assert(got((0, 3)) == ((6L, 6L, 1000L, 600L, 1000L)), s"got $got")
+    // and a lo-side shutout floors lb at exactly 0
+    val lose = collectPairs((1L, 2, 4, 4), (2L, 2, 4, 4))
+    assert(lose((2, 4)) == ((2L, 0L, 0L, 0L, 666L)), s"got $lose")
+  }
+
+  test("pairwiseWinRates: pair order is normalized — reversed rows merge") {
+    // same pair observed as (5,3) and (3,5): both count toward (3,5);
+    // winner 5 is a loss for lo regardless of the input order
+    val got = collectPairs((1L, 5, 3, 5), (2L, 3, 5, 3), (3L, 3, 5, 5))
+    assert(got.keySet == Set((3, 5)), s"got $got")
+    assert(got((3, 5))._1 == 3L && got((3, 5))._2 == 1L, s"got $got")
+  }
+
+  test("winrate fuzz: operator matches an independent replica; bounds bracket the rate") {
+    val rnd = new scala.util.Random(11_55)
+    val rows = for {
+      i <- 0L until 400L
+      a = rnd.nextInt(5); bRaw = rnd.nextInt(5)
+      if a != bRaw
+    } yield {
+      val b = bRaw
+      (i, a, b, if (rnd.nextBoolean()) a else b)
+    }
+    def isqrt(x: Long): Long = math.floor(math.sqrt(x.toDouble)).toLong
+    val brute = rows
+      .map { case (_, a, b, w) =>
+        (math.min(a, b), math.max(a, b)) -> (if (w == math.min(a, b)) 1L else 0L)
+      }
+      .groupBy(_._1)
+      .map { case (pair, v) =>
+        val n = v.size.toLong
+        val wl = v.map(_._2).sum
+        val y = wl * (n - wl) / n + 1
+        val s = isqrt(1000000L * y)
+        pair -> ((n, wl, 1000L * wl / n,
+          (1000L * (wl + 2) - 2 * s) / (n + 4),
+          (1000L * (wl + 2) + 2 * s) / (n + 4)))
+      }
+    val got = collectPairs(rows: _*)
+    assert(got == brute, s"operator vs replica:\n$got\n$brute")
+    got.values.foreach { case (_, _, win, lb, ub) =>
+      assert(lb >= 0L && lb <= win && win <= ub && ub <= 1000L,
+        s"interval violation: $win in [$lb, $ub]")
+    }
+  }
+}
