@@ -192,6 +192,126 @@ object Annotations {
   }
 
   /**
+   * Krippendorff's alpha under a DISTANCE metric — the ordinal/interval
+   * upgrade of [[krippendorffAlpha]]: real rating campaigns (1–5 quality
+   * scores) must count a 1-vs-2 disagreement as smaller than 1-vs-5, which
+   * the nominal coefficient cannot. Computed in the general disagreement
+   * form alpha = 1 − D_o/D_e over the coincidence matrix, with the same
+   * LCM-scaled 1/(m_u−1) integer weights as the nominal operator:
+   *
+   *   - the class-pair distance is δ_ck = eq², where eq = (1000·e_ck) div
+   *     max e — e_ck per `metric`: `"nominal"` e = 1 (all distinct pairs
+   *     equal, so δ = 1e6 — the nominal coefficient through the distance
+   *     path), `"interval"` e = |c − k| (squared-difference weights),
+   *     `"ordinal"` e = 2·Σ_{g∈[c,k]} n_g − n_c − n_k (Krippendorff's
+   *     margin-based ordinal distance, ×2 so the half-integer endpoints
+   *     stay integral — the constant cancels in the eq normalization).
+   *     Quantizing e (not e²) keeps the whole table inside int64 for any
+   *     campaign with ≤ 4.6e15 ratings; δ lands in [0, 1e6].
+   *   - D_o: per kept item, (W div (m−1))·Σ_{c<k} 2·t_c·t_k·δ_ck, summed
+   *     and divided by W·n — `d_o_ppm` (×1e6, since δ carries the scale).
+   *   - D_e: Σ_{c<k} (p_c·p'_k + p_k·p'_c)·δ_ck div 1e6 from ‰-quantized
+   *     margins p_c = (1000·n_c) div n, p'_c = (1000·n_c) div (n−1) — the
+   *     small-sample n(n−1) denominator, as in the nominal operator.
+   *   - `alpha_pm` = 1000·(D_e − D_o)/D_e, floor division via the pmod
+   *     identity; NULL when D_e = 0 (a single observed class — agreement
+   *     is undefined, not perfect).
+   *
+   * Labels must be integers for `"interval"`/`"ordinal"` (the campaign
+   * contract). Output: one row — (metric, n_items, n_dropped, d_o_ppm,
+   * d_e_ppm, alpha_pm). Same scale posture as [[fleissKappa]]: censuses →
+   * driver-sized summaries combined by broadcast cross joins; the only
+   * corpus-sized joins are equi on `item` (the within-item pair expansion,
+   * bounded labels² fanout). The distance table itself is classes² rows.
+   */
+  def krippendorffAlphaMetric(ann: DataFrame, maxRaters: Int,
+                              metric: String): DataFrame = {
+    require(maxRaters >= 2, "maxRaters must be >= 2")
+    require(Set("nominal", "interval", "ordinal")(metric),
+      s"metric must be nominal|interval|ordinal, got $metric")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val w = (1 until maxRaters).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+
+    val cell = ann.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("t"))
+    val items = cell.groupBy(col("item")).agg(sum(col("t")).as("m"))
+    val kept = items.where(col("m") >= 2 && col("m") <= maxRaters)
+    val keptCell = cell.join(kept.select(col("item")), Seq("item"))
+    val classMass = keptCell.groupBy(col("label")).agg(sum(col("t")).as("nc"))
+    val tot = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("m")), lit(0L)).as("n"))
+    val dropped = items.agg(coalesce(
+      sum(when(col("m") < 2 || col("m") > maxRaters, 1L).otherwise(0L)),
+      lit(0L)).as("n_dropped"))
+
+    // class-pair distances over OBSERVED classes (c < k): e per metric,
+    // then the ‰-of-max quantization and the square
+    val base = classMass.select(col("label").as("c"), col("nc").as("nc_c"))
+      .join(classMass.select(col("label").as("k"), col("nc").as("nc_k")),
+        col("c") < col("k"))
+    val withE = metric match {
+      case "nominal" =>
+        base.select(col("c"), col("k"), lit(1L).as("e"))
+      case "interval" =>
+        base.select(col("c"), col("k"),
+          abs(col("k").cast("long") - col("c").cast("long")).as("e"))
+      case "ordinal" =>
+        base.join(classMass.select(col("label").as("g"), col("nc").as("nc_g")),
+            col("g") >= col("c") && col("g") <= col("k"))
+          .groupBy(col("c"), col("k"), col("nc_c"), col("nc_k"))
+          .agg(sum(col("nc_g")).as("between"))
+          .select(col("c"), col("k"),
+            (lit(2L) * col("between") - col("nc_c") - col("nc_k")).as("e"))
+    }
+    val emax = withE.agg(coalesce(max(col("e")), lit(0L)).as("e_max"))
+    val dq = withE.crossJoin(broadcast(emax))
+      .select(col("c"), col("k"),
+        when(col("e_max") > 0, expr("(1000 * e) div e_max"))
+          .otherwise(lit(0L)).as("eq"))
+      .select(col("c"), col("k"), (col("eq") * col("eq")).as("d"))
+
+    // D_o: within-item unordered label pairs (equi self-join on item,
+    // labels² fanout) against the broadcast distance table
+    val doNum = keptCell.select(col("item"), col("label").as("c"), col("t").as("tc"))
+      .join(keptCell.select(col("item"), col("label").as("k"), col("t").as("tk")),
+        Seq("item"))
+      .where(col("c") < col("k"))
+      .join(broadcast(dq), Seq("c", "k"))
+      .groupBy(col("item"))
+      .agg(sum(lit(2L) * col("tc") * col("tk") * col("d")).as("ddis"))
+      .join(kept, Seq("item"))
+      .select(expr(s"($w div (m - 1)) * ddis").as("contrib"))
+      .agg(coalesce(sum(col("contrib")), lit(0L)).as("do_num"))
+
+    // D_e from ‰ margins with the n(n−1) small-sample denominators
+    val deAgg = classMass.select(col("label").as("c"), col("nc").as("nc_c"))
+      .join(classMass.select(col("label").as("k"), col("nc").as("nc_k")),
+        col("c") < col("k"))
+      .join(broadcast(dq), Seq("c", "k"))
+      .crossJoin(broadcast(tot))
+      .select(when(col("n") > 1,
+        (expr("(1000 * nc_c) div n") * expr("(1000 * nc_k) div (n - 1)") +
+          expr("(1000 * nc_k) div n") * expr("(1000 * nc_c) div (n - 1)")) *
+          col("d")).otherwise(lit(0L)).as("term"))
+      .agg(coalesce(sum(col("term")), lit(0L)).as("de_sum"))
+      .select(expr("de_sum div 1000000").as("de_raw"))
+
+    tot.crossJoin(broadcast(dropped))
+      .crossJoin(broadcast(doNum)).crossJoin(broadcast(deAgg))
+      .select(lit(metric).as("metric"), col("n_items"), col("n_dropped"),
+        when(col("n") > 0, expr(s"do_num div ($w * n)")).as("d_o_ppm"),
+        col("de_raw").as("d_e_ppm"))
+      .select(col("metric"), col("n_items"), col("n_dropped"),
+        col("d_o_ppm"), col("d_e_ppm"),
+        (lit(1000L) * (col("d_e_ppm") - col("d_o_ppm"))).as("knum"),
+        col("d_e_ppm").as("kden"))
+      .select(col("metric"), col("n_items"), col("n_dropped"),
+        col("d_o_ppm"), col("d_e_ppm"),
+        when(col("kden") > 0,
+          expr("(knum - pmod(knum, kden)) div kden")).as("alpha_pm"))
+  }
+
+  /**
    * Annotator-vs-consensus confusion report — the "who disagrees with the
    * consensus, and how" table a labeling operation reads to retrain or
    * drop annotators. One row per (annotator, label, consensus_label) cell
@@ -248,6 +368,19 @@ object Annotations {
   def dawidSkene(ann: DataFrame, nClasses: Int, rounds: Int = 2): DataFrame = {
     require(nClasses >= 2, "nClasses must be >= 2")
     require(rounds >= 1, "rounds must be >= 1")
+    // The E-step's int64 product is exact only while Π theta_pm (≤ 1000
+    // each) × prior_pm (≤ 1000) stays inside 2^63 — i.e. ≤ 5 annotations
+    // per item (1000^5 × 1000 = 1e18). Past that, ANSI mode would abort
+    // MID-EM with an opaque arithmetic overflow; census the campaign up
+    // front (one cheap count job) and fail at call time with the domain
+    // contract instead.
+    val maxPerItem = ann.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(maxPerItem <= 5,
+      s"dawidSkene: an item carries $maxPerItem annotations, past the exact " +
+        "int64 posterior budget of 5 per item (1000^5 theta factors x 1000 " +
+        "prior = 1e18 < 2^63); cap raters per item upstream or move the " +
+        "operator to log-space fixed point")
     val spark = ann.sparkSession
     val classes = spark.range(nClasses.toLong)
       .select(col("id").cast("int").as("c"))

@@ -36,7 +36,11 @@ private[operators] object Audits {
                                  qe: org.apache.spark.sql.execution.QueryExecution,
                                  durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith(prefix) && shouldWarn(row))
+              // metric names are always `$prefix.$n` — match the dotted
+              // form so a prefix that is a proper prefix of another
+              // ("graft.corpus.sample" vs "graft.corpus.sample_rate")
+              // never invokes this listener on a foreign row schema
+              if (name.startsWith(prefix + ".") && shouldWarn(row))
                 org.slf4j.LoggerFactory.getLogger(loggerName).warn(render(row))
             }
           override def onFailure(funcName: String,

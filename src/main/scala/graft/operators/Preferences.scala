@@ -63,4 +63,91 @@ object Preferences {
           .as("wilson_lb_pm"),
         expr("(1000 * (wins_lo + 2) + 2 * cast(floor(sqrt(cast(1000000 * y as double))) as bigint)) div (n + 4)")
           .as("wilson_ub_pm"))
+
+  /**
+   * Bradley–Terry strength fitting over pairwise duels — the ranking layer
+   * above [[pairwiseWinRates]]: instead of per-pair shares, ONE strength
+   * per model such that P(i beats j) = s_i/(s_i+s_j) best explains every
+   * observed comparison, fitted by the classic minorization–maximization
+   * iteration (Hunter 2004) with a fixed unrolled `rounds` count (the
+   * q71/q113 fixed-round idiom — convergence checks would force an action
+   * per round).
+   *
+   * Exact fixed point end to end, so the trajectory is engine-identical
+   * with the DuckDB oracle: strengths are ×1e6 integers (init 1e6), and
+   * each round computes, per model i,
+   *
+   *   d_i   = Σ_j n_ij·1e12 div (s_i + s_j)           (MM denominator)
+   *         + 2·1e12 div (s_i + 1e6)                  (regularizer)
+   *   raw_i = (W_i + 1)·1e12 div d_i                  (MM numerator)
+   *   s_i   = greatest(M · ((raw_i·1e6) div Σ raw), 1)  (normalization)
+   *
+   * where W_i = total wins and n_ij = comparisons against j. The
+   * regularizer is one phantom win + one phantom loss against a fixed
+   * strength-1e6 opponent (the standard BT regularization), which keeps
+   * the MLE defined — and every d_i strictly positive — even for models
+   * that win or lose everything. Normalization pins Σ s ≈ M·1e6 each
+   * round, making the trajectory scale-free and bounding every
+   * intermediate: with per-model game counts ≤ 4e6 (CENSUSED up front —
+   * one cheap aggregate — so a larger campaign fails at call time, not
+   * mid-round under ANSI overflow), n_ij·1e12 ≤ 4e18 < 2^63 even in the
+   * degenerate s_i+s_j = 2 corner, raw_i ≤ ~4M·1e6, and raw_i·1e6 ≤
+   * ~2.4e13.
+   *
+   * Output: one row per model — (model, games, wins, strength_fp), with
+   * strength_fp the fitted ×1e6 strength; rank by strength_fp DESC.
+   *
+   * Scale posture: the duel corpus collapses to a models²-row census in
+   * ONE map-side-combinable exchange; every round after that runs on the
+   * census (checkpoint-materialized) with broadcast strength joins — round
+   * cost is independent of the number of comparisons.
+   */
+  def bradleyTerry(duels: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val pairs = duels
+      .select(
+        least(col("model_a"), col("model_b")).as("model_lo"),
+        greatest(col("model_a"), col("model_b")).as("model_hi"),
+        when(col("winner") === least(col("model_a"), col("model_b")), 1L)
+          .otherwise(0L).as("lo_win"))
+      .groupBy(col("model_lo"), col("model_hi"))
+      .agg(count(lit(1)).as("n"), sum(col("lo_win")).as("wins_lo"))
+    val directed = Checkpoints.iterative(
+      pairs.select(col("model_lo").as("model"), col("model_hi").as("opp"),
+          col("n"), col("wins_lo").as("w"))
+        .unionByName(
+          pairs.select(col("model_hi").as("model"), col("model_lo").as("opp"),
+            col("n"), (col("n") - col("wins_lo")).as("w"))))
+    val totals = directed.groupBy(col("model"))
+      .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
+    val maxGames = totals.agg(coalesce(max(col("games")), lit(0L)))
+      .head().getLong(0)
+    require(maxGames <= 4000000L,
+      s"bradleyTerry: a model carries $maxGames comparisons, past the exact " +
+        "int64 MM budget of 4e6 per model (n_ij*1e12 must stay inside 2^63 " +
+        "at the degenerate strength corner); pre-sample duels per model or " +
+        "move the update to log-space fixed point")
+    val nModels = totals.select(count(lit(1)).as("nm"))
+
+    var s = totals.select(col("model"), lit(1000000L).as("s_fp"))
+    for (_ <- 1 to rounds) {
+      val joined = directed
+        .join(broadcast(s), Seq("model"))
+        .join(broadcast(s.select(col("model").as("opp"), col("s_fp").as("s_opp"))),
+          Seq("opp"))
+      val raw = joined.groupBy(col("model"), col("s_fp"))
+        .agg(sum(expr("n * 1000000000000 div (s_fp + s_opp)")).as("d"),
+          sum(col("w")).as("wins"))
+        .select(col("model"),
+          expr("((wins + 1) * 1000000000000) div " +
+            "(d + 2000000000000 div (s_fp + 1000000))").as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("t")).crossJoin(broadcast(nModels))
+      s = Checkpoints.iterative(
+        raw.crossJoin(broadcast(tot))
+          .select(col("model"),
+            greatest(expr("nm * ((raw * 1000000) div t)"), lit(1L)).as("s_fp")))
+    }
+    totals.join(broadcast(s), Seq("model"))
+      .select(col("model"), col("games"), col("wins"), col("s_fp").as("strength_fp"))
+  }
 }

@@ -587,6 +587,66 @@ object PipelineQueries {
           col("changed"))
         .orderBy(col("doc_id"))),
 
+    "q157_ann_scorecard" -> ((s, d) => {
+      // "does the index ship?" — the q154 scorecard computed TWICE, once
+      // over the exact brute-force run and once over the q36 LSH-ANN run,
+      // joined per query into metric deltas: the report that decides
+      // whether the approximate index's recall/nDCG loss is acceptable.
+      // Both runs are deterministic (md5-parity signatures), so the
+      // approximate side is itself oracle-gated, not just sanity-checked.
+      // A query the ANN misses entirely (empty probe buckets) surfaces as
+      // NULL ann_* columns via the left join — counted, never dropped.
+      val corpus = embVecs(s, d)
+      val queries = embVecs(s, d, col("vec_id") % 100 === 0)
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("label"))
+      def score(run: DataFrame, p: String) =
+        Retrieval.labelRetrievalMetrics(
+          run.select(col("query_id"), col("rank"), col("neighbor_id")),
+          labels, k = 10)
+          .select(col("query_id"), col("n_rel"),
+            col("mrr_ppm").as(s"${p}_mrr_ppm"),
+            col("ndcg_pm").as(s"${p}_ndcg_pm"),
+            col("recall_pm").as(s"${p}_recall_pm"))
+      val exact = score(Similarity.knnBruteForce(corpus, queries, k = 10), "exact")
+      val ann = score(
+        Similarity.annLsh(corpus, queries, dim = 64, nBits = 8, k = 10), "ann")
+      exact.join(ann.drop("n_rel"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_rel"),
+          col("exact_ndcg_pm"), col("ann_ndcg_pm"),
+          (col("exact_ndcg_pm") - col("ann_ndcg_pm")).as("ndcg_delta_pm"),
+          col("exact_recall_pm"), col("ann_recall_pm"),
+          (col("exact_recall_pm") - col("ann_recall_pm")).as("recall_delta_pm"),
+          col("exact_mrr_ppm"), col("ann_mrr_ppm"))
+        .orderBy(col("query_id"))
+    }),
+
+    "q158_bradley_terry" -> ((s, d) =>
+      // the ranking layer above q155's pairwise win rates: one fitted
+      // Bradley–Terry strength per model (2 unrolled MM rounds, exact
+      // ×1e6 fixed point). The duels are planted with true strengths
+      // 10−m, recovered in expectation (model 0 tops every scale; mid
+      // ranks can swap under small-sample noise — the fit ranks the
+      // OBSERVED duels, which is the point of fitting rather than
+      // assuming).
+      Preferences.bradleyTerry(modelDuels(s, d), rounds = 2)
+        .orderBy(col("strength_fp").desc, col("model"))),
+
+    "q159_krippendorff_distance" -> ((s, d) => {
+      // q153's sparse campaign scored under all three distance metrics:
+      // nominal (any disagreement equal), interval (squared label
+      // distance), ordinal (squared margin distance) — the table a rating
+      // campaign reads to see how much "near-miss" structure the nominal
+      // coefficient was hiding. Labels are ordered severities (0 < 1 < 2
+      // by n_chars), so interval/ordinal are the honest coefficients here.
+      val sparse = annotatedDocs(s, d).where(expr(
+        "cast(conv(substring(md5(concat('skip', annotator, ':', item)), 1, 4), 16, 10) as int) % 6 != annotator"))
+      Seq("nominal", "interval", "ordinal")
+        .map(m => Annotations.krippendorffAlphaMetric(sparse, maxRaters = 5, m))
+        .reduce(_ unionByName _)
+        .orderBy(col("metric"))
+    }),
+
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
       // gram set: the held-out grams compress to a <=4096-bit filter (the
@@ -2323,7 +2383,7 @@ object PipelineQueries {
       // the twin offset must clear every real id — a collision would fan
       // out the a/b hash joins on a duplicate doc_id and silently diverge
       // from the oracle, so refuse loudly at the scale where it would start
-      require(base.agg(max(col("doc_id"))).head.getLong(0) < 999999L,
+      require(base.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0) < 999999L,
         "q90 twin offset 999999 collides with real doc_ids at this corpus " +
           "size - raise the offset (and its oracle twin) together")
       val corpus = base.select(col("doc_id"), col("text"))
@@ -3749,6 +3809,199 @@ object PipelineQueries {
          SELECT l0.item AS doc_id, l0.lab AS mv_label, l2.lab AS ds_label,
                 l0.lab != l2.lab AS changed
          FROM lab0 l0 JOIN lab2 l2 USING (item) ORDER BY doc_id"""
+    },
+
+    // Both runs rebuilt in SQL (the q154 brute-force CTEs + the q36
+    // signature-bucket CTEs at k=10), each scored by the SAME
+    // driver-computed ×1e6 DCG weights, joined per query into the deltas.
+    "q157_ann_scorecard" -> {
+      val wCase = (1 to 10)
+        .map(r => s"WHEN $r THEN ${Retrieval.dcgWeightFp(r)}").mkString(" ")
+      val cumCase = Retrieval.idcgWeightsFp(10).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+      def metrics(runCte: String, p: String) = s"""
+           rel_$p AS (SELECT r.query_id, m.n_rel, r.rank,
+                        nl.label = m.q_label AS is_rel
+                      FROM $runCte r JOIN lab nl ON r.neighbor_id = nl.id
+                                     JOIN qmeta m ON r.query_id = m.query_id),
+           agg_$p AS (SELECT query_id, n_rel,
+                        CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+                        min(CASE WHEN is_rel THEN rank END) AS first_rel_rank,
+                        CAST(coalesce(sum(CASE WHEN is_rel
+                          THEN CASE rank $wCase END END), 0) AS BIGINT) AS dcg_fp
+                      FROM rel_$p GROUP BY 1, 2),
+           met_$p AS (SELECT query_id, n_rel,
+                        CASE WHEN first_rel_rank IS NOT NULL
+                          THEN 1000000 // first_rel_rank END AS mrr_ppm,
+                        CASE WHEN n_rel > 0 AND (CASE least(n_rel, 10) $cumCase END) > 0
+                          THEN (1000 * dcg_fp) // (CASE least(n_rel, 10) $cumCase END) END AS ndcg_pm,
+                        CASE WHEN n_rel > 0
+                          THEN (1000 * n_rel_topk) // n_rel END AS recall_pm
+                      FROM agg_$p)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+           scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ${duckCos("c.v", "q.v")} AS cos
+                      FROM e c JOIN q ON c.vec_id != q.vec_id),
+           run_exact AS (SELECT query_id, neighbor_id, rank FROM (
+                           SELECT query_id, neighbor_id,
+                                  row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                           FROM scored) WHERE rank <= 10),
+           sigs AS (
+             SELECT vec_id, v,
+               CAST(list_reduce(list_concat([0::BIGINT], list_transform(range(0, 8), j ->
+                 CASE WHEN list_reduce(list_transform(range(0, 64), i ->
+                             v[i+1] * (CASE WHEN CAST(concat('0x', substr(md5(concat(j, ':', i)), 32, 1)) AS INT) % 2 = 1
+                                       THEN 1.0 ELSE -1.0 END)),
+                           (x, y) -> x + y) > 0
+                 THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (x, y) -> x + y) AS BIGINT) AS sig
+             FROM e),
+           probes AS (
+             SELECT query_id, qv, UNNEST(allsigs) AS sig FROM (
+               SELECT vec_id AS query_id, v AS qv,
+                      list_concat([sig], list_transform(range(0, 8), b -> xor(sig, 1::BIGINT << b))) AS allsigs
+               FROM sigs WHERE vec_id % 100 = 0)),
+           cand AS (
+             SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, ${duckCos("c.v", "p.qv")} AS cos
+             FROM sigs c JOIN probes p ON c.sig = p.sig
+             WHERE c.vec_id != p.query_id),
+           run_ann AS (SELECT query_id, neighbor_id, rank FROM (
+                         SELECT query_id, neighbor_id,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+                         FROM cand) WHERE rank <= 10),
+           lab AS (SELECT vec_id AS id, label FROM embeddings),
+           census AS (SELECT label, CAST(count(*) AS BIGINT) AS class_n
+                      FROM lab GROUP BY 1),
+           qmeta AS (SELECT q.vec_id AS query_id, l.label AS q_label,
+                       cn.class_n - 1 AS n_rel
+                     FROM q JOIN lab l ON q.vec_id = l.id
+                            JOIN census cn ON l.label = cn.label),
+           ${metrics("run_exact", "ex")},
+           ${metrics("run_ann", "an")}
+         SELECT x.query_id, x.n_rel,
+                x.ndcg_pm AS exact_ndcg_pm, a.ndcg_pm AS ann_ndcg_pm,
+                x.ndcg_pm - a.ndcg_pm AS ndcg_delta_pm,
+                x.recall_pm AS exact_recall_pm, a.recall_pm AS ann_recall_pm,
+                x.recall_pm - a.recall_pm AS recall_delta_pm,
+                x.mrr_ppm AS exact_mrr_ppm, a.mrr_ppm AS ann_mrr_ppm
+         FROM met_ex x LEFT JOIN met_an a ON x.query_id = a.query_id
+         ORDER BY x.query_id"""
+    },
+
+    // The q155 duels, collapsed to the same models² census, then two MM
+    // rounds unrolled — every update is positive-integer //, so DuckDB's
+    // floor division and Spark's div agree bit for bit.
+    "q158_bradley_terry" -> {
+      val duelMd5 =
+        "md5('duel' || CAST(p.ma AS VARCHAR) || ':' || CAST(p.mb AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))"
+      def round(i: Int, prev: String) = s"""
+           j$i AS (SELECT d.model, d.n, d.w, si.s_fp, so.s_fp AS s_opp
+                   FROM dir d JOIN $prev si ON d.model = si.model
+                              JOIN $prev so ON d.opp = so.model),
+           r$i AS (SELECT model,
+                     ((CAST(sum(w) AS BIGINT) + 1) * 1000000000000) //
+                     (CAST(sum((n * 1000000000000) // (s_fp + s_opp)) AS BIGINT)
+                      + 2000000000000 // (s_fp + 1000000)) AS raw
+                   FROM j$i GROUP BY model, s_fp),
+           t$i AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM r$i),
+           s$i AS (SELECT model,
+                     greatest(nm.c * ((raw * 1000000) // t), 1) AS s_fp
+                   FROM r$i, t$i, nm)"""
+      s"""WITH pairs AS (SELECT a.ma, b.mb
+                 FROM (SELECT unnest(generate_series(0, 3)) AS ma) a,
+                      (SELECT unnest(generate_series(1, 4)) AS mb) b
+                 WHERE b.mb > a.ma),
+           duels AS (SELECT d.doc_id AS item, p.ma AS model_a, p.mb AS model_b,
+                       CASE WHEN CAST(concat('0x', substr($duelMd5, 5, 4)) AS INT)
+                              % (20 - p.ma - p.mb) < 10 - p.ma
+                            THEN p.ma ELSE p.mb END AS winner
+                     FROM documents d, pairs p
+                     WHERE CAST(concat('0x', substr($duelMd5, 1, 4)) AS INT) % 4 = 0),
+           g AS (SELECT least(model_a, model_b) AS model_lo,
+                   greatest(model_a, model_b) AS model_hi,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN winner = least(model_a, model_b)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS wins_lo
+                 FROM duels GROUP BY 1, 2),
+           dir AS (SELECT model_lo AS model, model_hi AS opp, n, wins_lo AS w FROM g
+                   UNION ALL
+                   SELECT model_hi, model_lo, n, n - wins_lo FROM g),
+           tot AS (SELECT model, CAST(sum(n) AS BIGINT) AS games,
+                     CAST(sum(w) AS BIGINT) AS wins
+                   FROM dir GROUP BY 1),
+           nm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tot),
+           s0 AS (SELECT model, 1000000::BIGINT AS s_fp FROM tot),
+           ${round(1, "s0")},
+           ${round(2, "s1")}
+         SELECT t.model, t.games, t.wins, s2.s_fp AS strength_fp
+         FROM tot t JOIN s2 ON t.model = s2.model
+         ORDER BY strength_fp DESC, t.model"""
+    },
+
+    // The q153 sparse campaign through the quantized-distance algebra —
+    // one per-metric block (e, eq = ‰ of max e, δ = eq², D_o, D_e), same
+    // integer steps; // floors exactly like Spark's pmod identity.
+    "q159_krippendorff_distance" -> {
+      def block(m: String, eCte: String) = s"""
+           we_$m AS ($eCte),
+           em_$m AS (SELECT CAST(coalesce(max(e), 0) AS BIGINT) AS e_max FROM we_$m),
+           dq_$m AS (SELECT c, k,
+                       CASE WHEN em.e_max > 0
+                         THEN ((1000 * w.e) // em.e_max) * ((1000 * w.e) // em.e_max)
+                         ELSE 0 END AS d
+                     FROM we_$m w, em_$m em),
+           don_$m AS (SELECT CAST(coalesce(sum((12 // (kp.m - 1)) * dd.ddis), 0) AS BIGINT) AS do_num
+                      FROM (SELECT x.item,
+                              CAST(sum(2 * x.t * y.t * q.d) AS BIGINT) AS ddis
+                            FROM kcell x JOIN kcell y ON x.item = y.item
+                              AND x.label < y.label
+                            JOIN dq_$m q ON x.label = q.c AND y.label = q.k
+                            GROUP BY 1) dd JOIN kept kp ON dd.item = kp.item),
+           de_$m AS (SELECT CAST(coalesce(sum(CASE WHEN t.n > 1
+                       THEN (((1000 * a.nc) // t.n) * ((1000 * b.nc) // (t.n - 1))
+                           + ((1000 * b.nc) // t.n) * ((1000 * a.nc) // (t.n - 1))) * q.d
+                       ELSE 0 END), 0) AS BIGINT) // 1000000 AS de_raw
+                     FROM cm a JOIN cm b ON a.label < b.label
+                     JOIN dq_$m q ON a.label = q.c AND b.label = q.k, tot t),
+           row_$m AS (SELECT '$m' AS metric, t.n_items, dr.n_dropped,
+                        CASE WHEN t.n > 0 THEN dn.do_num // (12 * t.n) END AS d_o_ppm,
+                        de.de_raw AS d_e_ppm,
+                        CASE WHEN de.de_raw > 0
+                          THEN (1000 * (de.de_raw - (dn.do_num // (12 * t.n)))) // de.de_raw
+                        END AS alpha_pm
+                      FROM tot t, drp dr, don_$m dn, de_$m de)"""
+      val eNominal =
+        "SELECT a.label AS c, b.label AS k, 1::BIGINT AS e FROM cm a JOIN cm b ON a.label < b.label"
+      val eInterval =
+        "SELECT a.label AS c, b.label AS k, CAST(abs(b.label - a.label) AS BIGINT) AS e FROM cm a JOIN cm b ON a.label < b.label"
+      val eOrdinal = """SELECT a.label AS c, b.label AS k,
+                 CAST(2 * (SELECT sum(g.nc) FROM cm g
+                           WHERE g.label BETWEEN a.label AND b.label)
+                      - a.nc - b.nc AS BIGINT) AS e
+               FROM cm a JOIN cm b ON a.label < b.label"""
+      s"""$duckAnnCte,
+           sp AS (SELECT * FROM ann
+                  WHERE CAST(concat('0x', substr(md5('skip' || CAST(annotator AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 4)) AS INT) % 6 != annotator),
+           cell AS (SELECT item, label, CAST(count(*) AS BIGINT) AS t
+                    FROM sp GROUP BY 1, 2),
+           items AS (SELECT item, CAST(sum(t) AS BIGINT) AS m FROM cell GROUP BY 1),
+           kept AS (SELECT * FROM items WHERE m BETWEEN 2 AND 5),
+           kcell AS (SELECT c.* FROM cell c JOIN kept USING (item)),
+           cm AS (SELECT label, CAST(sum(t) AS BIGINT) AS nc
+                  FROM kcell GROUP BY 1),
+           tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                     CAST(coalesce(sum(m), 0) AS BIGINT) AS n FROM kept),
+           drp AS (SELECT CAST(coalesce(sum(CASE WHEN m < 2 OR m > 5 THEN 1 END), 0)
+                     AS BIGINT) AS n_dropped FROM items),
+           ${block("nominal", eNominal)},
+           ${block("interval", eInterval)},
+           ${block("ordinal", eOrdinal)}
+         SELECT * FROM row_nominal
+         UNION ALL SELECT * FROM row_interval
+         UNION ALL SELECT * FROM row_ordinal
+         ORDER BY metric"""
     },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the

@@ -1,13 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Deterministic ×K scale-up of a driver-generated testdata directory
- * (TESTDATA.md star schema) — the sf1.0 evidence generator: the driver ships
- * sf0.001/0.01/0.1 only, and the 100×-scale argument needs at least one
- * measured order-of-magnitude datapoint (VERDICT r10 "Next round #1"). Writes
+ * (TESTDATA.md star schema) — the sf1.0/sf10 evidence generator: the driver
+ * ships sf0.001/0.01/0.1 only, and the 100×-scale argument needs measured
+ * order-of-magnitude datapoints (VERDICT r10 #1, r11 #2). Writes
  * `<out>/<table>.parquet` for every table, K replicas each, seed-free and
  * fully deterministic (replica index is the only entropy).
  *
@@ -21,14 +21,26 @@ import org.apache.spark.sql.functions._
  *    `r · stride(table)` with stride = max(key)+1 of the SOURCE table, so
  *    replicas are id-disjoint and every intra-replica FK join still lands
  *    (fact FKs shift by their DIMENSION's stride);
- *  - `documents.text` passes through a per-replica letter-substitution
- *    cipher (`translate` over both alphabets, rotation r) — token count,
- *    token lengths, whitespace, punctuation, df SHAPE, and near-dup
- *    structure are preserved within the replica while replica vocabularies
- *    are disjoint (shingle/term join keys never collide across replicas);
- *  - `embeddings.embedding` rotates element positions by r — norm-preserving
- *    (cosine structure within a replica is exactly the original) while
- *    cross-replica dot products decorrelate;
+ *  - `documents.text` passes through a per-replica KEYED letter-substitution
+ *    cipher (`translate` over both alphabets; replica 0 is the identity,
+ *    replica r ≥ 1 draws a Fisher–Yates permutation from a splitmix64
+ *    stream seeded by r — 26! keyspace, so K is not capped at the 26
+ *    rotations the pre-r12 version used). Token count, token lengths,
+ *    whitespace, punctuation, df SHAPE, and near-dup structure are
+ *    preserved within a replica (any letter bijection maps shingles 1:1)
+ *    while replica vocabularies are pairwise disjoint in distribution;
+ *    pairwise permutation distinctness is ASSERTED driver-side, not
+ *    assumed;
+ *  - `embeddings.embedding` passes through a per-replica SIGNED ROTATION —
+ *    rotate element positions by `r mod dim`, then flip the sign of
+ *    element i where bit i of `splitmix64(r div dim)` is set (replica 0 is
+ *    the identity: rotation 0, sign word 0). A signed permutation matrix
+ *    is orthogonal, so cosine structure WITHIN a replica is exactly the
+ *    original, while cross-replica transforms are distinct by construction
+ *    for any K ≤ dim·2^dim (splitmix64 is a 64-bit bijection; for
+ *    dim < 64 the truncated sign words are distinctness-checked
+ *    driver-side) — the pre-r12 pure rotation repeated at r ≥ dim and
+ *    would have planted exact cosine-1.0 cross-replica twins (ADVICE r11);
  *  - `nation`/`region` copy unscaled (TPC-H dims are constant at every sf).
  *
  * Net: every per-document/per-pair statistic scales ×K linearly and the
@@ -36,15 +48,62 @@ import org.apache.spark.sql.functions._
  * is exactly the property a scaling-exponent measurement needs.
  *
  * Usage: `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 localdata/sf1.0 10"`
+ *        `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 localdata/sf10 100"`
  */
 object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  /** translate() target alphabets for rotation r (r=0 → identity). */
-  private def rot(r: Int): (String, String) = {
-    val k = ((r % 26) + 26) % 26
-    (Lower.drop(k) + Lower.take(k), Upper.drop(k) + Upper.take(k))
+  /** splitmix64 — the standard 64-bit finalizer/bijection (public domain,
+   * Steele et al., JDK SplittableRandom). Deterministic, seed-free. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** translate() target alphabets for replica r: identity at r=0, a keyed
+   * Fisher–Yates permutation (splitmix64 stream seeded by r) otherwise. */
+  private def perm(r: Int): (String, String) = {
+    if (r == 0) return (Lower, Upper)
+    val a = Lower.toCharArray
+    var s = splitmix64(r.toLong)
+    var i = a.length - 1
+    while (i > 0) {
+      s = splitmix64(s)
+      val j = (((s % (i + 1)) + (i + 1)) % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    val lo = new String(a)
+    (lo, lo.toUpperCase)
+  }
+
+  /** Per-replica signed rotation of an Array[Float] embedding column:
+   * positions rotate by `r mod dim`, element i's sign flips where bit i of
+   * `splitmix64(r div dim)` is set (sign word 0 — all +1 — at r div dim = 0,
+   * so r=0 is the identity). Orthogonal ⇒ intra-replica cosines exact. */
+  private def signedRotate(emb: Column, r: Int, dim: Int): Column = {
+    val rr = r % dim
+    val rotated =
+      if (rr == 0) emb
+      else concat(slice(emb, rr + 1, dim - rr), slice(emb, 1, rr))
+    val word = if (r / dim == 0) 0L else splitmix64((r / dim).toLong)
+    if (word == 0L) rotated
+    else {
+      val signs = array((0 until dim).map(i =>
+        lit(if (((word >>> (i % 64)) & 1L) == 1L) -1.0f else 1.0f)): _*)
+      zip_with(rotated, signs, (x, s) => x * s)
+    }
+  }
+
+  /** The (rotation, sign-word) pair that identifies replica r's embedding
+   * transform — used to ASSERT pairwise distinctness up front. */
+  private def embTransformKey(r: Int, dim: Int): (Int, Long) = {
+    val mask = if (dim >= 64) -1L else (1L << dim) - 1L
+    val word = if (r / dim == 0) 0L else splitmix64((r / dim).toLong)
+    (r % dim, word & mask)
   }
 
   private def maxKey(df: DataFrame, key: String): Long =
@@ -54,13 +113,12 @@ object ScaleUp {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "localdata/sf1.0"
     val k = if (args.length > 2) args(2).toInt else 10
-    // k > 26 would wrap rot() back to the identity cipher and (past the
-    // embedding dim) repeat rotations: replicas r and r+26 become EXACT
-    // text twins — precisely the degenerate duplication this tool exists to
-    // avoid. Refuse loudly rather than corrupt a benchmark silently.
-    require(k >= 1 && k <= 26,
-      s"replication factor must be in [1, 26] (got $k): replica $k would " +
-        "reuse replica 0's substitution cipher and plant exact duplicates")
+    require(k >= 1, s"replication factor must be >= 1 (got $k)")
+    // A cipher or embedding-transform collision between two replicas would
+    // plant exact cross-replica twins — precisely the degenerate duplication
+    // this tool exists to avoid — so distinctness is asserted, never assumed.
+    require((0 until k).map(perm(_)._1).distinct.size == k,
+      s"keyed cipher collision within $k replicas - change the stream seed")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -95,24 +153,24 @@ object ScaleUp {
       write(table, (0 until k).map(r => f(r, src(table))).reduce(_ unionByName _))
 
     replicate("documents") { (r, d) =>
-      val (lo, up) = rot(r)
+      val (lo, up) = perm(r)
       d.select(
         (col("doc_id") + lit(r * docStride)).as("doc_id"),
         translate(col("text"), Lower + Upper, lo + up).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
 
-    // constant across replicas — computed once, not one scan per replica
+    // constant across replicas — computed once, not one scan per replica;
+    // embedding-transform distinctness needs the dim, so it is asserted
+    // here (the cipher check above runs before the session exists)
     val embDim = src("embeddings").select(size(col("embedding"))).head().getInt(0)
+    require((0 until k).map(embTransformKey(_, embDim)).distinct.size == k,
+      s"signed-rotation collision within $k replicas at dim $embDim (max " +
+        s"distinct transforms: $embDim * 2^${math.min(embDim, 63)}) - " +
+        "reduce k or widen the embedding")
     replicate("embeddings") { (r, d) =>
-      val dim = embDim
-      val rr = r % dim
-      val emb =
-        if (rr == 0) col("embedding")
-        else concat(slice(col("embedding"), rr + 1, dim - rr),
-          slice(col("embedding"), 1, rr))
       d.select((col("vec_id") + lit(r * vecStride)).as("vec_id"),
-        emb.as("embedding"), col("label"))
+        signedRotate(col("embedding"), r, embDim).as("embedding"), col("label"))
     }
 
     replicate("events") { (r, d) =>
