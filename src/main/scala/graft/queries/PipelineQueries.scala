@@ -611,7 +611,8 @@ object PipelineQueries {
       val exact = score(Similarity.knnBruteForce(corpus, queries, k = 10), "exact")
       val ann = score(
         Similarity.annLsh(corpus, queries, dim = 64, nBits = 8, k = 10), "ann")
-      exact.join(ann.drop("n_rel"), Seq("query_id"), "left")
+      // both metric tables are Q-row by contract — the delta join broadcasts
+      exact.join(broadcast(ann.drop("n_rel")), Seq("query_id"), "left")
         .select(col("query_id"), col("n_rel"),
           col("exact_ndcg_pm"), col("ann_ndcg_pm"),
           (col("exact_ndcg_pm") - col("ann_ndcg_pm")).as("ndcg_delta_pm"),

@@ -275,4 +275,64 @@ class AnnotationsSpec extends SparkSpec {
     assert(got(2L) == ((4L, 0, 2L, false)), s"got ${got(2L)}")
     assert(got(3L) == ((2L, 1, 2L, true)), s"got ${got(3L)}")
   }
+
+  test("dawidSkene: a >5-rater item fails fast at call time, not mid-EM") {
+    val rows = (0 until 6).map(a => (1L, a, 0))
+    val e = intercept[IllegalArgumentException] {
+      Annotations.dawidSkene(ann(rows: _*), nClasses = 3, rounds = 1)
+    }
+    assert(e.getMessage.contains("6 annotations"), e.getMessage)
+  }
+
+  private def alphaMetric(metric: String, rows: (Long, Int, Int)*)
+      : (Long, Long, Option[Long], Long, Option[Long]) = {
+    val r = Annotations.krippendorffAlphaMetric(ann(rows: _*),
+      maxRaters = 5, metric = metric).collect()
+    assert(r.length == 1 && r(0).getString(0) == metric, s"got ${r.toSeq}")
+    (r(0).getLong(1), r(0).getLong(2),
+      Option(r(0).getAs[Any]("d_o_ppm")).map(_.asInstanceOf[Long]),
+      r(0).getLong(4),
+      Option(r(0).getAs[Any]("alpha_pm")).map(_.asInstanceOf[Long]))
+  }
+
+  test("krippendorffAlphaMetric: hand-computed nominal/interval/ordinal on the same campaign") {
+    // 3 items, 2 raters each, labels 0<1<2: one near miss (0 vs 1), one far
+    // miss (0 vs 2), one agreement — margins n0=2, n1=3, n2=1, n=6.
+    // Distances separate the metrics where nominal cannot:
+    //  nominal  — δ = 1e6 everywhere: D_o = 48e6/72 = 666666, D_e = 732400
+    //             (‰ margins p=(333,500,166), p'=(400,600,200)), alpha 89
+    //  interval — e_max = 2, δ(0,1) = δ(1,2) = 500² , δ(0,2) = 1e6:
+    //             D_o = 30e6/72 = 416666, D_e = 282850, alpha floor(−473.1)
+    //             = −474 (the near miss counts LESS, the far miss full)
+    //  ordinal  — e = (5, 9, 4), e_max = 9 → eq = (555, 1000, 444):
+    //             D_o = 31392600/72 = 436008, D_e = 295496, alpha −476
+    val campaign = Seq(
+      (1L, 0, 0), (1L, 1, 1),  // near miss
+      (2L, 0, 0), (2L, 1, 2),  // far miss
+      (3L, 0, 1), (3L, 1, 1))  // agreement
+    assert(alphaMetric("nominal", campaign: _*) ==
+      ((3L, 0L, Some(666666L), 732400L, Some(89L))))
+    assert(alphaMetric("interval", campaign: _*) ==
+      ((3L, 0L, Some(416666L), 282850L, Some(-474L))))
+    assert(alphaMetric("ordinal", campaign: _*) ==
+      ((3L, 0L, Some(436008L), 295496L, Some(-476L))))
+  }
+
+  test("krippendorffAlphaMetric: perfect agreement is 1000, drops and empties handled") {
+    // two perfectly-agreed items over two classes: D_o = 0, D_e > 0 → 1000
+    val perfect = Seq((1L, 0, 0), (1L, 1, 0), (2L, 0, 1), (2L, 1, 1))
+    for (m <- Seq("nominal", "interval", "ordinal"))
+      assert(alphaMetric(m, perfect: _*) ==
+        ((2L, 0L, Some(0L), 666000L, Some(1000L))), s"metric $m")
+    // a 1-rating item drops and is counted; a 6-rating item likewise
+    val withDrops = perfect ++ Seq((3L, 0, 2)) ++
+      (0 until 5).map(a => (4L, a, 1)) ++ (0 until 5).map(a => (5L, a, 1)) ++
+      Seq((5L, 5, 1)) // hypothetical 6th rater — but annotator ids only go 0..4
+    val (nItems, nDropped, _, _, _) = alphaMetric("interval", withDrops: _*)
+    assert(nItems == 3L && nDropped == 2L, s"got $nItems/$nDropped")
+    // empty campaign: zero items, D_e = 0 → alpha NULL
+    assert(alphaMetric("ordinal") == ((0L, 0L, None, 0L, None)))
+    // single observed class: no class pairs, D_e = 0 → alpha NULL (not 1000)
+    assert(alphaMetric("interval", (1L, 0, 1), (1L, 1, 1))._5.isEmpty)
+  }
 }

@@ -76,4 +76,76 @@ class PreferencesSpec extends SparkSpec {
         s"interval violation: $win in [$lb, $ub]")
     }
   }
+
+  private def btOf(rounds: Int, rows: (Long, Int, Int, Int)*)
+      : Map[Int, (Long, Long, Long)] =
+    Preferences.bradleyTerry(duels(rows: _*), rounds)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  /** Independent in-driver replica of the integer MM trajectory. */
+  private def bruteBt(rows: Seq[(Long, Int, Int, Int)], rounds: Int)
+      : Map[Int, Long] = {
+    val census = rows.groupBy { case (_, a, b, _) => (math.min(a, b), math.max(a, b)) }
+      .map { case ((lo, hi), v) =>
+        (lo, hi, v.size.toLong, v.count { case (_, a, b, w) => w == math.min(a, b) }.toLong)
+      }.toSeq
+    val dir = census.flatMap { case (lo, hi, n, wl) =>
+      Seq((lo, hi, n, wl), (hi, lo, n, n - wl)) }
+    val models = dir.map(_._1).distinct.sorted
+    val m = models.size.toLong
+    var s = models.map(_ -> 1000000L).toMap
+    for (_ <- 1 to rounds) {
+      val raw = models.map { i =>
+        val mine = dir.filter(_._1 == i)
+        val d = mine.map { case (_, o, n, _) => n * 1000000000000L / (s(i) + s(o)) }.sum +
+          2000000000000L / (s(i) + 1000000L)
+        i -> ((mine.map(_._4).sum + 1L) * 1000000000000L / d)
+      }
+      val t = raw.map(_._2).sum
+      s = raw.map { case (i, r) => i -> math.max(m * (r * 1000000L / t), 1L) }.toMap
+    }
+    s
+  }
+
+  test("bradleyTerry: a symmetric cycle fits equal strengths (hand-computed 999999)") {
+    // A>B, B>C, C>A once each: perfectly symmetric, so every round keeps
+    // strengths equal; normalization lands them at 3·(1e6·1e6 div 3e6) =
+    // 999999 exactly (the div remainder), identically for every model
+    val got = btOf(2, (1L, 0, 1, 0), (2L, 1, 2, 1), (3L, 2, 0, 2))
+    assert(got.keySet == Set(0, 1, 2))
+    got.foreach { case (mdl, (games, wins, s)) =>
+      assert(games == 2L && wins == 1L && s == 999999L, s"model $mdl: $got")
+    }
+  }
+
+  test("bradleyTerry: the dominant side fits strictly stronger; shutouts stay positive") {
+    // 0 beats 1 in 3 of 4 → s_0 > s_1 at every round count
+    for (r <- Seq(1, 2, 3)) {
+      val got = btOf(r, (1L, 0, 1, 0), (2L, 0, 1, 0), (3L, 0, 1, 0), (4L, 0, 1, 1))
+      assert(got(0)._3 > got(1)._3, s"rounds $r: $got")
+      assert(got(0) == ((4L, 3L, got(0)._3)) && got(1) == ((4L, 1L, got(1)._3)))
+    }
+    // a total shutout: the regularizer keeps the loser's strength >= 1 and
+    // the fit finite (no division by zero at the degenerate corner)
+    val shut = btOf(3, (1L, 4, 7, 4), (2L, 4, 7, 4), (3L, 4, 7, 4))
+    assert(shut(7)._3 >= 1L && shut(4)._3 > shut(7)._3, s"got $shut")
+  }
+
+  test("bradleyTerry fuzz: operator matches the independent integer-MM replica") {
+    val rnd = new scala.util.Random(11_58)
+    for (trial <- 0 until 3) {
+      val rows = for {
+        i <- 0L until 300L
+        a = rnd.nextInt(5); b = rnd.nextInt(5)
+        if a != b
+      } yield (i, a, b, if (rnd.nextInt(10) < 5 + (b - a)) b else a)
+      for (rounds <- Seq(1, 2)) {
+        val got = btOf(rounds, rows: _*)
+        val exp = bruteBt(rows, rounds)
+        assert(got.view.mapValues(_._3).toMap == exp,
+          s"trial $trial rounds $rounds:\n${got.view.mapValues(_._3).toMap}\n$exp")
+      }
+    }
+  }
 }

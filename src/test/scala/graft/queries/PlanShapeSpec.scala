@@ -69,6 +69,40 @@ class PlanShapeSpec extends SparkSpec {
     assertNever("q153_krippendorff_alpha", "Window", "SortMergeJoin")
   }
 
+  test("retrieval scorecards: run broadcast against the label scan, no window, no sort-merge") {
+    // q154/q157's runs are Q×k localCheckpointed results broadcast into the
+    // corpus-sized label scan — the corpus never shuffles; ranks come from
+    // the bounded-heap top-k, never a window. (q154's scoring scan and
+    // q157's exact side ARE knnBruteForce BNLJs by design — the q148 note —
+    // so BNLJ is deliberately not banned here.)
+    assertNever("q154_retrieval_metrics",
+      "Window", "SortMergeJoin", "CartesianProduct")
+    assertNever("q157_ann_scorecard",
+      "Window", "SortMergeJoin", "CartesianProduct")
+  }
+
+  test("preference fits: win rates are one aggregate; BT rounds join only broadcast strengths") {
+    // q155 is a single map-side-combinable aggregate to models² rows —
+    // nothing joins, nothing windows; q158's census is one exchange and
+    // every MM round joins the checkpointed census against BROADCAST
+    // strength tables (models-sized by contract)
+    assertNever("q155_pairwise_winrate", "Join", "Window")
+    assert(exchanges("q155_pairwise_winrate") <= 2,
+      "win rates must be one aggregation exchange plus the ORDER BY")
+    assertNever("q158_bradley_terry",
+      "Window", "SortMergeJoin", "CartesianProduct")
+  }
+
+  test("EM and distance-alpha plans: broadcast grids, equi-only corpus joins, no windows") {
+    // q156: per-round census joins are equi on item; θ/π grids join
+    // BROADCAST (annotators × classes² rows); the argmax is max(struct),
+    // never a window. q159: the within-item pair expansion is an equi
+    // self-join on item (labels² fanout); the distance table and the
+    // driver-sized summaries are broadcast.
+    assertNever("q156_dawid_skene", "Window", "CartesianProduct")
+    assertNever("q159_krippendorff_distance", "Window", "CartesianProduct")
+  }
+
   test("truncation audit: no window, no cartesian, no sort-merge past the checkpointed top-k") {
     // both top-k passes are the bounded-heap aggregate; every join past them
     // reads the localCheckpointed Q×k results (broadcast-sized by contract).

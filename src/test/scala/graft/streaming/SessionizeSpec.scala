@@ -641,4 +641,66 @@ class SessionizeSpec extends SparkSpec {
     assert(batch(0L)._4, "item 0 must be unanimous")
     assert(batch(5L)._2 == 0, "2-2-1 tie must break to the smallest label")
   }
+
+  test("micro-batch Dawid-Skene refresh equals the batch EM on campaign close") {
+    import spark.implicits._
+    import graft.operators.Annotations
+    // the labeling-operations front door: annotations land in per-annotator
+    // micro-batches; each batch folds into the accumulated campaign and EM
+    // re-runs over it (the operational daily refresh — EM is a whole-
+    // campaign statistic, so the refresh recomputes rather than maintaining
+    // incremental state). On campaign close the last refresh must equal the
+    // one-shot batch dawidSkene. Campaign: A0/A1 always truth, A2-A4
+    // scatter but COINCIDE wrong on items 12 and 25 — majority vote flips
+    // there; EM restores the truth on item 12 (the q156 overturn
+    // contract), so the equality is proven on a campaign where EM
+    // genuinely acts. (Item 25's coincidence survives EM — the learned
+    // class-1 confusion row is weaker there — which the equality check
+    // covers either way: the refresh must match batch EM's behavior, not
+    // an idealized one.)
+    val inDir = Files.createTempDirectory("graft-dsem-in").toFile
+    val ckDir = Files.createTempDirectory("graft-dsem-ck").toFile
+    def truth(i: Long) = (i % 3).toInt
+    val ann = ((for (item <- 0L until 30L; a <- 0 until 2)
+        yield (item, a, truth(item))) ++
+      (for (item <- 0L until 30L; a <- 2 until 5) yield {
+        val lab =
+          if (item == 12L || item == 25L) (truth(item) + 1) % 3
+          else (truth(item) + 1 + (a + item).toInt % 2) % 3
+        (item, a, lab)
+      })).toDF("item", "annotator", "label")
+    (0 until 5).foreach(a => ann.where(col("annotator") === a)
+      .coalesce(1).write.parquet(s"$inDir/chunk=$a"))
+    var campaign: org.apache.spark.sql.DataFrame = null
+    var lastRefresh = Map.empty[Long, (Int, Int, Boolean)]
+    var batches = 0
+    val stream = spark.readStream.schema(ann.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // localCheckpoint per fold: the next refresh reads the accumulated
+        // campaign, not a lineage replaying every prior micro-batch
+        campaign = (if (campaign == null) b
+                    else campaign.unionByName(b)).localCheckpoint()
+        lastRefresh = Annotations.dawidSkene(campaign, nClasses = 3, rounds = 2)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+        batches += 1
+      }
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(batches >= 3, s"need >= 3 micro-batches, got $batches")
+    val batch = Annotations.dawidSkene(ann, nClasses = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(lastRefresh == batch,
+      s"closed-campaign refresh != batch EM: ${
+        (lastRefresh.toSet diff batch.toSet).take(3)}")
+    // EM genuinely acted: the planted item-12 coincidence was overturned
+    assert(batch(12L) == ((truth(12L) + 1) % 3, truth(12L), true),
+      s"planted overturn missing: ${batch(12L)}")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }
