@@ -1,12 +1,22 @@
 #!/usr/bin/env bash
 # Derive the round-closing counts FROM THE ARTIFACTS, never by hand — the
 # r10 closing commit said "143 queries / 247 tests" while the shipped
-# artifacts held 144/249 (two landed after the message was drafted). Run this
-# right before writing any closing-state commit message or PLANS.md section.
+# artifacts held 144/249, and the r11 snapshot shipped a 153-vs-156
+# bench gap this script had already surfaced. Run it right before writing
+# any closing-state commit message or PLANS.md section.
 #
-# Usage: scripts/closing_counts.sh [CORRECTNESS_json] [bench_json] [test_log]
+# Usage: scripts/closing_counts.sh [--gate] [CORRECTNESS_json] [bench_json] [test_log]
+#
+# --gate: exit NON-ZERO unless declared == correctness total == bench
+#   measured, correctness is all-green with zero errors, the bench ran
+#   error-free, and every declared query number has a COVERAGE.md mention.
+#   The closing snapshot must run this mode and abort on failure — counts
+#   can then never diverge from artifacts again (VERDICT r11 #6).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+gate=0
+if [[ "${1:-}" == "--gate" ]]; then gate=1; shift; fi
 
 # `|| true` inside the substitutions: with pipefail an unmatched glob makes
 # ls fail through the pipe and set -e would kill the whole script silently —
@@ -15,13 +25,39 @@ corr="${1:-$(ls -t CORRECTNESS_r*.json 2>/dev/null | head -1 || true)}"
 bench="${2:-$(ls -t bench_local_r*.json 2>/dev/null | head -1 || true)}"
 testlog="${3:-}"
 
-echo "== declared queries (SparkEntry.queries via PipelineQueries/RelationalQueries/XmlQueries) =="
+fail=0
+
 declared=$(grep -rhoE '"q[0-9]+[a-z0-9_]*" -> \(\(' \
   src/main/scala/graft/queries/*.scala | sort -u | wc -l)
-echo "declared: $declared"
+echo "declared queries: $declared"
+
+# every declared query number must appear in COVERAGE.md (the prose
+# evidence table, which uses both plain mentions and qNN–qMM ranges) —
+# a query shipped without documentation is the r11 gap
+missing_cov=$(python3 - <<'PYEOF'
+import re, subprocess
+src = subprocess.run(
+    ["grep", "-rhoE", '"q[0-9]+[a-z0-9_]*" -> \\(\\(',
+     *__import__("glob").glob("src/main/scala/graft/queries/*.scala")],
+    capture_output=True, text=True).stdout
+declared = set(int(m) for m in re.findall(r'"q0*(\d+)[a-z0-9_]*"', src))
+cov = open("COVERAGE.md").read()
+mentioned = set(int(m) for m in re.findall(r'q0*(\d+)', cov))
+for a, b in re.findall(r'q0*(\d+)[–-]q0*(\d+)', cov):
+    mentioned.update(range(int(a), int(b) + 1))
+missing = sorted(declared - mentioned)
+print(" ".join(f"q{n}" for n in missing))
+PYEOF
+)
+if [[ -n "$missing_cov" ]]; then
+  echo "COVERAGE.md MISSING: $missing_cov"
+  fail=1
+else
+  echo "COVERAGE.md: all declared query numbers mentioned"
+fi
 
 if [[ -n "$corr" && -f "$corr" ]]; then
-  python3 - "$corr" <<'EOF'
+  corr_out=$(python3 - "$corr" <<'PYEOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
 total = len(d)
@@ -29,20 +65,35 @@ green = sum(1 for v in d.values()
             if v.get("rows_match") and v.get("schema_match")
             and v.get("hash_match") and not v.get("err"))
 errs = [k for k, v in d.items() if v.get("err")]
-print(f"correctness artifact: {green}/{total} green ({sys.argv[1]})")
-if errs:
-    print(f"  ERRORED: {errs}")
-EOF
+print(f"{green} {total} {len(errs)}")
+PYEOF
+)
+  read -r green total errn <<< "$corr_out"
+  echo "correctness artifact: $green/$total green, $errn errored ($corr)"
+  if [[ $gate -eq 1 ]]; then
+    [[ "$green" == "$total" && "$errn" == 0 ]] || { echo "GATE: correctness not all-green"; fail=1; }
+    # the artifact may lag a round that ADDS queries; it must never exceed
+    [[ "$total" -le "$declared" ]] || { echo "GATE: correctness total $total > declared $declared"; fail=1; }
+  fi
+else
+  echo "correctness artifact: MISSING"; [[ $gate -eq 1 ]] && fail=1
 fi
 
 if [[ -n "$bench" && -f "$bench" ]]; then
-  python3 - "$bench" <<'EOF'
+  bench_out=$(python3 - "$bench" <<'PYEOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
-print(f"bench artifact: total={d['value']:.1f}s measured={d.get('measured')}"
-      f"/{d.get('of')} passes={d.get('passes_done')} errors={len(d.get('errors', {}))}"
-      f" ({sys.argv[1]})")
-EOF
+print(f"{d.get('measured')} {d.get('of')} {len(d.get('errors', {}))} {d['value']:.1f}")
+PYEOF
+)
+  read -r bmeas bof berr bsec <<< "$bench_out"
+  echo "bench artifact: $bmeas/$bof measured, $berr errors, ${bsec}s ($bench)"
+  if [[ $gate -eq 1 ]]; then
+    [[ "$bmeas" == "$declared" && "$berr" == 0 ]] || {
+      echo "GATE: bench measured $bmeas != declared $declared (or errors)"; fail=1; }
+  fi
+else
+  echo "bench artifact: MISSING"; [[ $gate -eq 1 ]] && fail=1
 fi
 
 if [[ -n "$testlog" && -f "$testlog" ]]; then
@@ -50,4 +101,12 @@ if [[ -n "$testlog" && -f "$testlog" ]]; then
 else
   echo "test count: pass a 'sbt test' log as arg 3, or read the final" \
     "'Tests: succeeded N' line from the suite run"
+fi
+
+if [[ $gate -eq 1 ]]; then
+  if [[ $fail -ne 0 ]]; then
+    echo "GATE FAILED: counts diverge — refresh the stale artifact before the snapshot"
+    exit 1
+  fi
+  echo "GATE PASSED: declared == bench == all-green correctness, COVERAGE complete"
 fi

@@ -101,6 +101,14 @@ object Bench {
     // warm-up (untimed): JVM/codegen init + parquet footer reads, so the first
     // timed query doesn't absorb one-time session costs
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // the XPath expression machinery (JAXP factories, compiled XPath cache)
+    // initializes on FIRST use per JVM — q24 is the first xpath query in
+    // name order and was absorbing that init as a ±0.5 s wobble across
+    // otherwise-identical rounds (VERDICT r10/r11); pay it here instead
+    spark.range(1)
+      .selectExpr("xpath_string('<a><b>x</b></a>', '/a/b')",
+        "xpath_int('<a><b>1</b></a>', '/a/b')")
+      .collect()
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")) {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()

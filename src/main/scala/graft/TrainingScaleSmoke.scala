@@ -621,6 +621,73 @@ object TrainingScaleSmoke {
       require(mismatches == 0L,
         s"reliable mode diverged from local mode on $mismatches vertices")
     } finally spark.conf.set("graft.iterative.reliableCheckpoint", "false")
+
+    // 15. Label-QA family at the full campaign: nDocs annotations (nDocs/5
+    //     items × 5 annotators, md5-derived per-annotator noise like the
+    //     q149-q156 generator). Claims under test: the agreement family
+    //     (Fleiss, distance-metric Krippendorff) reduces the campaign to
+    //     driver-sized summaries at census cost; Dawid-Skene's EM rounds
+    //     stay at two equi-shuffles + broadcast theta/pi grids per round;
+    //     consolidation emits exactly one consensus row per item.
+    import graft.operators.{Annotations, Preferences}
+    val nItems = math.max(nDocs / 5, 1).toLong
+    val (annQa, annIds) = checkpointTracked(spark.range(nItems)
+      .select(col("id").as("item"), explode(expr("sequence(0, 4)")).as("annotator"))
+      .select(col("item"), col("annotator"), expr(
+        """CASE WHEN cast(conv(substring(md5(concat('smoke', annotator, ':', item)), 1, 4), 16, 10) as int) % 10 < annotator
+                THEN cast(conv(substring(md5(concat('smoke', annotator, ':', item)), 5, 4), 16, 10) as int) % 3
+                ELSE cast(item % 3 as int) END""").as("label")))
+    timed(s"label QA: consolidate+fleiss+ordinal alpha (${nItems * 5} annotations)") {
+      val nCons = Annotations.consolidateLabels(annQa).count()
+      require(nCons == nItems, s"expected $nItems consensus rows, got $nCons")
+      val fk = Annotations.fleissKappa(annQa, ratersPerItem = 5).first()
+      val al = Annotations.krippendorffAlphaMetric(annQa, maxRaters = 5,
+        metric = "ordinal").first()
+      val kap = fk.getAs[Long]("kappa_pm"); val alp = al.getAs[Long]("alpha_pm")
+      // the planted majority-truth campaign must land at clear positive
+      // agreement (noise rates 0..4/10 per annotator), inside the legal band
+      require(kap > 100 && kap <= 1000 && alp > 100 && alp <= 1000,
+        s"degenerate agreement: fleiss=$kap alpha=$alp")
+    }
+    timed(s"dawid-skene 2 EM rounds ($nItems items)") {
+      val ds = Annotations.dawidSkene(annQa, nClasses = 3, rounds = 2)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed")).first()
+      require(ds.getLong(0) == nItems,
+        s"EM must emit one row per item: ${ds.getLong(0)} of $nItems")
+      println(s"[training-smoke] dawid-skene changed ${ds.getLong(1)} of $nItems")
+    }
+    free(annIds)
+
+    // 16. Preference fits at nDocs duels: the win-rate census is ONE
+    //     map-side-combinable exchange to 10 rows; the Bradley-Terry MM
+    //     rounds then run on the checkpointed census with broadcast
+    //     strengths, so round cost is independent of duel volume. The
+    //     planted strengths (10-m) must come back in ORDER at this volume
+    //     (per-pair noise ~0.2% at 100k duels/pair, far under the gaps).
+    val (duelsQa, duelIds) = checkpointTracked(spark.range(nDocs.toLong)
+      .select(col("id").as("item"),
+        expr("cast(conv(substring(md5(concat('dpair', id)), 1, 4), 16, 10) as int) % 10").as("p"))
+      .select(col("item"),
+        expr("element_at(array(0,0,0,0,1,1,1,2,2,3), p + 1)").as("model_a"),
+        expr("element_at(array(1,2,3,4,2,3,4,3,4,4), p + 1)").as("model_b"))
+      .select(col("item"), col("model_a"), col("model_b"), expr(
+        """CASE WHEN cast(conv(substring(md5(concat('dwin', item)), 1, 4), 16, 10) as int)
+                     % (20 - model_a - model_b) < 10 - model_a
+                THEN model_a ELSE model_b END""").as("winner")))
+    timed(s"pairwise win rates ($nDocs duels)") {
+      val wr = Preferences.pairwiseWinRates(duelsQa).collect()
+      require(wr.length == 10, s"expected 10 pair rows, got ${wr.length}")
+    }
+    timed("bradley-terry 2 MM rounds") {
+      val bt = Preferences.bradleyTerry(duelsQa, rounds = 2)
+        .orderBy(col("strength_fp").desc).collect()
+      require(bt.length == 5, s"expected 5 models, got ${bt.length}")
+      val order = bt.map(_.getInt(0)).toSeq
+      require(order == Seq(0, 1, 2, 3, 4),
+        s"planted strength order not recovered: $order")
+    }
+    free(duelIds)
     spark.stop()
   }
 }

@@ -69,6 +69,20 @@ class PlanShapeSpec extends SparkSpec {
     assertNever("q153_krippendorff_alpha", "Window", "SortMergeJoin")
   }
 
+  test("q03 pushes its filter and projection into the parquet scan") {
+    // the claim its scaladoc makes: predicate AND column pruning both reach
+    // the scan (PushedFilters non-empty, ReadSchema narrowed to the 4
+    // referenced columns) — the difference between scanning 4 columns of
+    // the selective slice and scanning 16 columns of everything at 100 TB
+    val p = planOf("q03_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "q03 must push its predicates to the scan")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(Seq("l_quantity", "l_discount", "l_orderkey", "l_linenumber",
+        "l_extendedprice").forall(read.contains) && !read.contains("l_comment"),
+      s"q03 must prune the scan to the referenced columns: $read")
+  }
+
   test("retrieval scorecards: run broadcast against the label scan, no window, no sort-merge") {
     // q154/q157's runs are Q×k localCheckpointed results broadcast into the
     // corpus-sized label scan — the corpus never shuffles; ranks come from
