@@ -2365,21 +2365,29 @@ object PipelineQueries {
     "q90_image_phash_neardup" -> ((s, d) => {
       // image near-duplicate detection by perceptual hash: REAL PPM payloads
       // (Codecs round-trip) decode to pixels, a 64-bit block-sum aHash
-      // (Multimodal.imagePhash); candidates come from an 8×8-bit banded
-      // equi-join — 256 keys per band, the sf1.0-measured fix for the
-      // 16-key 32-bit variant's 50× super-linear pair growth — via the
-      // GUARDED Dedup.bucketedPairs (degenerate bands degrade to star pairs
-      // instead of going quadratic), then verify with bit_count(xor) ≤ 6
-      // of 64 — REAL near-dup strictness (9%), not the 19% the old 32-bit
-      // gate needed. At that strictness the base corpus has no accidental
-      // matches, so the detection is non-vacuous by PLANTED twins (the q143
+      // (Multimodal.imagePhash); candidates come from a banded equi-join on
+      // all C(8,2) = 28 unordered BLOCK-PAIR keys (16 bits → 65536 buckets
+      // per band) via the GUARDED Dedup.bucketedPairs (degenerate bands
+      // degrade to star pairs instead of going quadratic), then verify with
+      // bit_count(xor) ≤ 6 of 64 — REAL near-dup strictness (9%). Key-space
+      // history, measured by the ScaleUp sweeps: 16-key 32-bit bands went
+      // 50× at sf1.0 (r11, fixed to single 8-bit blocks = 256 keys); the
+      // 256-key variant held at 10× data but went 38× at the SECOND decade
+      // (sf10, r12) — any fixed key space fills linearly and pairs grow
+      // quadratically, so each decade of corpus needs ~2× the key BITS.
+      // Block-pair keys keep the recall THEOREM while multiplying the key
+      // space by 256: with ≤ 6 differing bits at most 6 of the 8 blocks are
+      // damaged, so ≥ 2 blocks are clean and their PAIR is an identical
+      // 16-bit key — every true pair still collides, exactly as the
+      // quadratic oracle demands. At the third decade, move to a 128-bit
+      // hash (16 blocks → pair keys of 16 of 65536) — same theorem, ham
+      // budget ≤ 14. Strictness: the base corpus has no accidental matches
+      // at 6/64, so detection is non-vacuous by PLANTED twins (the q143
       // derived-snapshot discipline): every %5 image doc gains a copy with
       // its first character edited (id + 999999 — ≡ 0 mod 3, so the twin
       // synthesizes as an image too); each twin pair lands at ham 0-4 and
-      // must be recalled exactly. With ≤ 6 differing bits and 8 bands,
-      // pigeonhole GUARANTEES ≥ 2 identical bands — recall vs the quadratic
-      // oracle is a theorem, not a corpus property. The hash table is
-      // checkpointed once (it feeds both the bands and the verification).
+      // must be recalled exactly. The hash table is checkpointed once (it
+      // feeds both the bands and the verification).
       val base = Tables.documents(s, d)
       // the twin offset must clear every real id — a collision would fan
       // out the a/b hash joins on a duplicate doc_id and silently diverge
@@ -2397,7 +2405,9 @@ object PipelineQueries {
         graft.multimodal.Multimodal.synthesizeReal(corpus))
         .localCheckpoint()
       val bands = ph.select(col("doc_id").as("id"), explode(expr(
-        "transform(sequence(0, 7), b -> struct(b AS band, shiftright(phash, b * 8) & 255 AS band_key))")).as("bb"))
+        "flatten(transform(sequence(0, 6), i -> transform(sequence(i + 1, 7), j -> " +
+          "struct(i * 8 + j AS band, " +
+          "(shiftright(phash, i * 8) & 255) * 256 + (shiftright(phash, j * 8) & 255) AS band_key))))")).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
       Dedup.bucketedPairs(bands)
         .join(ph.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
