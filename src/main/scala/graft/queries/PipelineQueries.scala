@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Preferences, Retrieval, Similarity, Skew}
+import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Preferences, Retrieval, Similarity, Skew, TextEval}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -646,6 +646,29 @@ object PipelineQueries {
         .map(m => Annotations.krippendorffAlphaMetric(sparse, maxRaters = 5, m))
         .reduce(_ unionByName _)
         .orderBy(col("metric"))
+    }),
+
+    "q160_rouge_eval" -> ((s, d) => {
+      // generation-eval over (reference, candidate) pairs — the metric a
+      // summarization/distillation pipeline gates outputs with: ROUGE-1 and
+      // ROUGE-2 precision/recall/F1 with the OFFICIAL multiset clipping
+      // (min of the two occurrence counts per gram — a candidate repeating
+      // one reference gram scores it once per reference occurrence).
+      // Candidates are derived deterministically: every ~1/5th word drops
+      // by an md5 roll (the q143 derived-data discipline), so recall lands
+      // ~800‰ at n=1 and lower at n=2 (each drop kills two bigrams), while
+      // n=2 precision < 1000 proves the clip is real (dropout creates
+      // bigrams the reference never had). The gramless-side NULL contract
+      // is pinned in TextEvalSpec (this corpus has no sub-n docs).
+      val pairs = Tables.documents(s, d).select(
+        col("doc_id").as("id"), col("text").as("reference"),
+        expr(
+          """array_join(filter(transform(split(text, ' '), (w, p) ->
+               CASE WHEN cast(conv(substring(md5(concat('drop', doc_id, ':', p)), 1, 4), 16, 10) as int) % 5 = 0
+                    THEN NULL ELSE w END), x -> x IS NOT NULL), ' ')""")
+          .as("candidate"))
+      TextEval.rougeN(pairs, 1).unionByName(TextEval.rougeN(pairs, 2))
+        .orderBy(col("n"), col("id"))
     }),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
@@ -4013,6 +4036,57 @@ object PipelineQueries {
          UNION ALL SELECT * FROM row_interval
          UNION ALL SELECT * FROM row_ordinal
          ORDER BY metric"""
+    },
+
+    // Same md5 word dropout (1-based DuckDB positions shifted to the
+    // 0-based Spark transform index), same clipped-multiset counts, same
+    // ×1e3 floor divisions — n=1 and n=2 blocks union like the Spark side.
+    "q160_rouge_eval" -> {
+      def block(n: Int) = s"""
+           ref_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
+                        SELECT id, array_to_string(wr[i:i+$n-1], ' ') AS g
+                        FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
+                      GROUP BY 1, 2),
+           cand_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+                         SELECT id, array_to_string(wc[i:i+$n-1], ' ') AS g
+                         FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
+                       GROUP BY 1, 2),
+           ov_$n AS (SELECT id, CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
+                     FROM ref_$n JOIN cand_$n USING (id, g) GROUP BY 1),
+           rt_$n AS (SELECT id, CAST(sum(cr) AS BIGINT) AS ref_grams
+                     FROM ref_$n GROUP BY 1),
+           ct_$n AS (SELECT id, CAST(sum(cc) AS BIGINT) AS cand_grams
+                     FROM cand_$n GROUP BY 1),
+           pr_$n AS (SELECT p.id, $n AS n,
+                       coalesce(o.overlap, 0) AS overlap,
+                       r.ref_grams, c.cand_grams,
+                       CASE WHEN r.ref_grams IS NOT NULL
+                         THEN (1000 * coalesce(o.overlap, 0)) // r.ref_grams END AS recall_pm,
+                       CASE WHEN c.cand_grams IS NOT NULL
+                         THEN (1000 * coalesce(o.overlap, 0)) // c.cand_grams END AS precision_pm
+                     FROM pw p LEFT JOIN rt_$n r ON p.id = r.id
+                               LEFT JOIN ct_$n c ON p.id = c.id
+                               LEFT JOIN ov_$n o ON p.id = o.id),
+           fin_$n AS (SELECT id, n, overlap, ref_grams, cand_grams,
+                        recall_pm, precision_pm,
+                        CASE WHEN recall_pm IS NOT NULL AND precision_pm IS NOT NULL
+                          THEN CASE WHEN recall_pm + precision_pm > 0
+                            THEN (2 * precision_pm * recall_pm) // (precision_pm + recall_pm)
+                            ELSE 0 END END AS f1_pm
+                      FROM pr_$n)"""
+      s"""WITH base AS (SELECT doc_id AS id, text,
+                          string_split(text, ' ') AS w FROM documents),
+           p AS (SELECT id, text AS reference,
+                   array_to_string(list_filter(list_transform(range(1, len(w) + 1), i ->
+                     CASE WHEN CAST(concat('0x', substr(md5('drop' || CAST(id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INT) % 5 = 0
+                          THEN NULL ELSE w[i] END), x -> x IS NOT NULL), ' ') AS candidate
+                 FROM base),
+           pw AS (SELECT id, string_split(reference, ' ') AS wr,
+                    string_split(candidate, ' ') AS wc FROM p),
+           ${block(1)},
+           ${block(2)}
+         SELECT * FROM fin_1 UNION ALL SELECT * FROM fin_2
+         ORDER BY n, id"""
     },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ROUGE-N: hand-computed clipped-multiset fixtures (the official Lin 2004
+ * counting, not set intersection), the per-side gramless NULL contract, and
+ * a fuzz pass against an independent in-driver sliding-window replica. */
+class TextEvalSpec extends SparkSpec {
+
+  private def pairs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "reference", "candidate")
+  }
+
+  private def rougeOf(n: Int, rows: (Long, String, String)*)
+      : Map[Long, (Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])] =
+    TextEval.rougeN(pairs(rows: _*), n).collect().map { r =>
+      def opt(i: Int) = Option(r.getAs[Any](i)).map(_.asInstanceOf[Long])
+      r.getLong(0) -> ((r.getLong(2), opt(3), opt(4), opt(5), opt(6), opt(7)))
+    }.toMap
+
+  test("rougeN: multiset clipping — a repeated candidate gram scores once per reference occurrence") {
+    // ref "a a b" (grams a:2, b:1), cand "a a a b" (a:3, b:1):
+    // overlap = min(2,3) + min(1,1) = 3 — the SET approximation would say 2.
+    // recall = 3000 div 3 = 1000, precision = 3000 div 4 = 750,
+    // f1 = (2·750·1000) div 1750 = 857
+    val got = rougeOf(1, (1L, "a a b", "a a a b"))
+    assert(got(1L) == ((3L, Some(3L), Some(4L), Some(1000L), Some(750L), Some(857L))),
+      s"got $got")
+  }
+
+  test("rougeN: bigrams — dropout-created grams cost precision, not just recall") {
+    // ref "a b c" (ab, bc), cand "a b d c" (ab, bd, dc): overlap = 1
+    // recall = 1000 div 2 = 500, precision = 1000 div 3 = 333,
+    // f1 = (2·333·500) div 833 = 399
+    val got = rougeOf(2, (1L, "a b c", "a b d c"))
+    assert(got(1L) == ((1L, Some(2L), Some(3L), Some(500L), Some(333L), Some(399L))),
+      s"got $got")
+  }
+
+  test("rougeN: zero overlap gives 0/0/0, not NULL; gramless sides give NULL per side") {
+    // disjoint vocab: everything defined, everything 0 (incl. F1 at P=R=0)
+    val zero = rougeOf(1, (1L, "x y", "z"))
+    assert(zero(1L) == ((0L, Some(2L), Some(1L), Some(0L), Some(0L), Some(0L))),
+      s"got $zero")
+    // at n=2 a single-token REFERENCE has no grams: recall and f1 NULL,
+    // precision still defined (0 of the candidate's grams are in it)
+    val noRef = rougeOf(2, (1L, "a", "b c"))
+    assert(noRef(1L) == ((0L, None, Some(1L), None, Some(0L), None)), s"got $noRef")
+    // and symmetrically for a single-token CANDIDATE
+    val noCand = rougeOf(2, (1L, "a b", "c"))
+    assert(noCand(1L) == ((0L, Some(1L), None, Some(0L), None, None)), s"got $noCand")
+  }
+
+  test("rougeN fuzz: operator matches an independent sliding-window replica") {
+    val rnd = new scala.util.Random(11_60)
+    def doc() = Seq.fill(rnd.nextInt(12))("abcde".charAt(rnd.nextInt(5)).toString)
+      .mkString(" ")
+    def gramCounts(s: String, n: Int): Map[Seq[String], Long] = {
+      val w = s.split(" ", -1).toSeq
+      if (w.size < n) Map.empty
+      else w.sliding(n).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    for (trial <- 0 until 3; n <- Seq(1, 2, 3)) {
+      val rows = (0L until 60L).map(i => (i, doc(), doc()))
+      val got = rougeOf(n, rows: _*)
+      rows.foreach { case (id, ref, cand) =>
+        val cr = gramCounts(ref, n); val cc = gramCounts(cand, n)
+        val ov = cr.keySet.intersect(cc.keySet).toSeq
+          .map(g => math.min(cr(g), cc(g))).sum
+        val rg = if (cr.isEmpty) None else Some(cr.values.sum)
+        val cg = if (cc.isEmpty) None else Some(cc.values.sum)
+        val rec = rg.map(1000L * ov / _)
+        val prec = cg.map(1000L * ov / _)
+        val f1 = for (r <- rec; p <- prec)
+          yield if (r + p > 0) 2 * p * r / (p + r) else 0L
+        assert(got(id) == ((ov, rg, cg, rec, prec, f1)),
+          s"trial $trial n=$n id=$id ref='$ref' cand='$cand': " +
+            s"got ${got(id)} expected ${(ov, rg, cg, rec, prec, f1)}")
+      }
+    }
+  }
+}

@@ -117,6 +117,13 @@ class PlanShapeSpec extends SparkSpec {
     assertNever("q159_krippendorff_distance", "Window", "CartesianProduct")
   }
 
+  test("ROUGE censuses locate on (id, gram) equi-keys — no window, no cross product") {
+    // two narrow explodes → per-side (id, gram) censuses → clip by equi-join
+    // → per-id rollups; nothing windows and nothing pairs docs with docs
+    assertNever("q160_rouge_eval",
+      "Window", "CartesianProduct", "BroadcastNestedLoopJoin")
+  }
+
   test("truncation audit: no window, no cartesian, no sort-merge past the checkpointed top-k") {
     // both top-k passes are the bounded-heap aggregate; every join past them
     // reads the localCheckpointed Q×k results (broadcast-sized by contract).

@@ -703,4 +703,53 @@ class SessionizeSpec extends SparkSpec {
       s"planted overturn missing: ${batch(12L)}")
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
+
+  test("micro-batch preference refresh equals the batch win rates and BT fit on close") {
+    import spark.implicits._
+    import graft.operators.Preferences
+    // the eval-operations twin of the EM-refresh case: duels land in
+    // micro-batches (a live pairwise-eval campaign), each batch folds into
+    // the accumulated duel log and the win-rate census + Bradley-Terry fit
+    // re-run over it — both are whole-campaign statistics, so the refresh
+    // recomputes from the models²-row census (cheap at any volume). On
+    // campaign close the last refresh must equal the one-shot batch fit.
+    val inDir = Files.createTempDirectory("graft-pref-in").toFile
+    val ckDir = Files.createTempDirectory("graft-pref-ck").toFile
+    val duels = (0L until 300L).map { i =>
+      val a = (i % 4).toInt; val b = (a + 1 + (i % (4 - a)).toInt) % 5
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      // planted bias: lo wins ~2/3 of the time, deterministically
+      (i, lo, hi, if (i % 3 != 0) lo else hi)
+    }.toDF("item", "model_a", "model_b", "winner")
+    (0 until 3).foreach(c => duels.where(col("item") % 3 === c)
+      .coalesce(1).write.parquet(s"$inDir/chunk=$c"))
+    var campaign: org.apache.spark.sql.DataFrame = null
+    var lastWr = Set.empty[(Int, Int, Long, Long)]
+    var lastBt = Map.empty[Int, Long]
+    var batches = 0
+    val stream = spark.readStream.schema(duels.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/chunk=*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        campaign = (if (campaign == null) b
+                    else campaign.unionByName(b)).localCheckpoint()
+        lastWr = Preferences.pairwiseWinRates(campaign).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+        lastBt = Preferences.bradleyTerry(campaign, rounds = 2).collect()
+          .map(r => r.getInt(0) -> r.getLong(3)).toMap
+        batches += 1
+      }
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(batches >= 3, s"need >= 3 micro-batches, got $batches")
+    val batchWr = Preferences.pairwiseWinRates(duels).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batchBt = Preferences.bradleyTerry(duels, rounds = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(lastWr == batchWr, "closed-campaign win rates != batch census")
+    assert(lastBt == batchBt, s"closed-campaign BT fit != batch: $lastBt vs $batchBt")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }
