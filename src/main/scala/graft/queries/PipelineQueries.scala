@@ -667,6 +667,9 @@ object PipelineQueries {
                CASE WHEN cast(conv(substring(md5(concat('drop', doc_id, ':', p)), 1, 4), 16, 10) as int) % 5 = 0
                     THEN NULL ELSE w END), x -> x IS NOT NULL), ' ')""")
           .as("candidate"))
+        // derived once: the per-word md5 dropout is the expensive part and
+        // BOTH gram orders read the same pair table
+        .localCheckpoint()
       TextEval.rougeN(pairs, 1).unionByName(TextEval.rougeN(pairs, 2))
         .orderBy(col("n"), col("id"))
     }),
