@@ -84,4 +84,64 @@ object TextEval {
             expr("(2 * precision_pm * recall_pm) div (precision_pm + recall_pm)"))
             .otherwise(lit(0L))).as("f1_pm"))
   }
+
+  /**
+   * BLEU modified n-gram precisions (Papineni et al. 2002) for orders
+   * 1..maxN in ONE pass — the candidate-side counterpart of [[rougeN]]:
+   * per (id, n), clipped overlap (candidate counts clipped at the
+   * reference's — the "modified" in modified precision), candidate gram
+   * total, `precision_pm`, plus the per-pair length columns and
+   * `brevity_pm` = (1000·cand_len) div ref_len that the brevity penalty is
+   * computed from. One row per (pair, order), orders with a gramless
+   * candidate carrying NULL precision.
+   *
+   * The composite BLEU score (geometric mean × exp brevity penalty) is
+   * deliberately NOT computed here: exp/log are not engine-exact, and the
+   * auditable parts — the per-order precisions and the length ratio — are;
+   * consumers compose the scalar with whatever smoothing they use.
+   *
+   * Scale posture: unlike four [[rougeN]] calls, ALL orders explode into
+   * one tagged (id, n, gram) census per side — one shuffle per side
+   * regardless of maxN, then the same equi clip join and per-(id, n)
+   * rollups. Linear in token volume × maxN.
+   */
+  def bleuPrecisions(pairs: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, "maxN must be >= 1")
+    val emptyGrams = s"cast(array() as array<struct<n:int,g:string>>)"
+    def gramsAll(c: Column): Column = {
+      val w = split(c, " ")
+      flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+        when(size(w) >= nn,
+          transform(sequence(lit(0), size(w) - nn),
+            i => struct(nn.cast("int").as("n"),
+              array_join(slice(w, i + 1, nn), " ").as("g"))))
+          .otherwise(expr(emptyGrams))))
+    }
+    val ref = pairs.select(col("id"), explode(gramsAll(col("reference"))).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("cr"))
+    val cand = pairs.select(col("id"), explode(gramsAll(col("candidate"))).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("cc"))
+    val clip = ref.join(cand, Seq("id", "n", "g"))
+      .groupBy(col("id"), col("n"))
+      .agg(sum(least(col("cr"), col("cc"))).as("overlap"))
+    val cTot = cand.groupBy(col("id"), col("n"))
+      .agg(sum(col("cc")).as("cand_grams"))
+    pairs.select(col("id"),
+        size(split(col("reference"), " ")).cast("long").as("ref_len"),
+        size(split(col("candidate"), " ")).cast("long").as("cand_len"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+      .join(cTot, Seq("id", "n"), "left")
+      .join(clip, Seq("id", "n"), "left")
+      .select(col("id"), col("n"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("cand_grams"), col("ref_len"), col("cand_len"))
+      .select(col("id"), col("n"), col("overlap"), col("cand_grams"),
+        col("ref_len"), col("cand_len"),
+        when(col("cand_grams").isNotNull,
+          expr("(1000 * overlap) div cand_grams")).as("precision_pm"),
+        when(col("ref_len") > 0,
+          expr("(1000 * cand_len) div ref_len")).as("brevity_pm"))
+  }
 }

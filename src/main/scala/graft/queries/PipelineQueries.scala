@@ -82,6 +82,21 @@ object PipelineQueries {
           """CASE WHEN cast(conv(substring(md5(concat('duel', ma, ':', mb, ':', item)), 5, 4), 16, 10) as int) % (20 - ma - mb) < 10 - ma
                   THEN ma ELSE mb END""").as("winner"))
 
+  /** (id, reference, candidate) pairs for the generation-eval queries
+   * (q160/q161): candidate = reference with every ~1/5th word dropped by a
+   * deterministic md5 roll (the q143 derived-data discipline). Checkpointed:
+   * the per-word md5 is the expensive part and every gram order re-reads
+   * the same pair table. */
+  private def dropoutPairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("id"), col("text").as("reference"),
+      expr(
+        """array_join(filter(transform(split(text, ' '), (w, p) ->
+             CASE WHEN cast(conv(substring(md5(concat('drop', doc_id, ':', p)), 1, 4), 16, 10) as int) % 5 = 0
+                  THEN NULL ELSE w END), x -> x IS NOT NULL), ' ')""")
+        .as("candidate"))
+      .localCheckpoint()
+
   /** embeddings → (id, vec) in double precision. */
   private def embVecs(s: SparkSession, d: String, pred: Column = lit(true)): DataFrame =
     Tables.embeddings(s, d).where(pred)
@@ -660,19 +675,22 @@ object PipelineQueries {
       // n=2 precision < 1000 proves the clip is real (dropout creates
       // bigrams the reference never had). The gramless-side NULL contract
       // is pinned in TextEvalSpec (this corpus has no sub-n docs).
-      val pairs = Tables.documents(s, d).select(
-        col("doc_id").as("id"), col("text").as("reference"),
-        expr(
-          """array_join(filter(transform(split(text, ' '), (w, p) ->
-               CASE WHEN cast(conv(substring(md5(concat('drop', doc_id, ':', p)), 1, 4), 16, 10) as int) % 5 = 0
-                    THEN NULL ELSE w END), x -> x IS NOT NULL), ' ')""")
-          .as("candidate"))
-        // derived once: the per-word md5 dropout is the expensive part and
-        // BOTH gram orders read the same pair table
-        .localCheckpoint()
+      val pairs = dropoutPairs(s, d)
       TextEval.rougeN(pairs, 1).unionByName(TextEval.rougeN(pairs, 2))
         .orderBy(col("n"), col("id"))
     }),
+
+    "q161_bleu_precisions" -> ((s, d) =>
+      // the BLEU side of the generation-eval pair: modified (clipped)
+      // n-gram precisions for orders 1..4 over the SAME derived pairs as
+      // q160, all orders censused in ONE tagged pass (one shuffle per
+      // side, not four), plus the ×1e3 length ratio the brevity penalty
+      // composes from. The exp/log composite is deliberately left to
+      // consumers — the per-order precisions and the length ratio are the
+      // engine-exact, auditable parts. Orders above a short candidate's
+      // token count exercise the NULL-precision contract corpus-wide.
+      TextEval.bleuPrecisions(dropoutPairs(s, d), maxN = 4)
+        .orderBy(col("n"), col("id"))),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
@@ -4089,6 +4107,51 @@ object PipelineQueries {
            ${block(1)},
            ${block(2)}
          SELECT * FROM fin_1 UNION ALL SELECT * FROM fin_2
+         ORDER BY n, id"""
+    },
+
+    // Same dropout pairs as q160; per order the clipped candidate-side
+    // precision plus the length ratio — all // floor division.
+    "q161_bleu_precisions" -> {
+      def block(n: Int) = s"""
+           rf_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
+                       SELECT id, array_to_string(wr[i:i+$n-1], ' ') AS g
+                       FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
+                     GROUP BY 1, 2),
+           cn_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+                       SELECT id, array_to_string(wc[i:i+$n-1], ' ') AS g
+                       FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
+                     GROUP BY 1, 2),
+           ov_$n AS (SELECT id, CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
+                     FROM rf_$n JOIN cn_$n USING (id, g) GROUP BY 1),
+           ct_$n AS (SELECT id, CAST(sum(cc) AS BIGINT) AS cand_grams
+                     FROM cn_$n GROUP BY 1),
+           row_$n AS (SELECT l.id, $n AS n,
+                        coalesce(o.overlap, 0) AS overlap, c.cand_grams,
+                        l.ref_len, l.cand_len,
+                        CASE WHEN c.cand_grams IS NOT NULL
+                          THEN (1000 * coalesce(o.overlap, 0)) // c.cand_grams END AS precision_pm,
+                        CASE WHEN l.ref_len > 0
+                          THEN (1000 * l.cand_len) // l.ref_len END AS brevity_pm
+                      FROM lens l LEFT JOIN ct_$n c USING (id)
+                                  LEFT JOIN ov_$n o ON l.id = o.id)"""
+      s"""WITH base AS (SELECT doc_id AS id, text,
+                          string_split(text, ' ') AS w FROM documents),
+           p AS (SELECT id, text AS reference,
+                   array_to_string(list_filter(list_transform(range(1, len(w) + 1), i ->
+                     CASE WHEN CAST(concat('0x', substr(md5('drop' || CAST(id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INT) % 5 = 0
+                          THEN NULL ELSE w[i] END), x -> x IS NOT NULL), ' ') AS candidate
+                 FROM base),
+           pw AS (SELECT id, string_split(reference, ' ') AS wr,
+                    string_split(candidate, ' ') AS wc FROM p),
+           lens AS (SELECT id, CAST(len(wr) AS BIGINT) AS ref_len,
+                      CAST(len(wc) AS BIGINT) AS cand_len FROM pw),
+           ${block(1)},
+           ${block(2)},
+           ${block(3)},
+           ${block(4)}
+         SELECT * FROM row_1 UNION ALL SELECT * FROM row_2
+         UNION ALL SELECT * FROM row_3 UNION ALL SELECT * FROM row_4
          ORDER BY n, id"""
     },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests

@@ -56,7 +56,7 @@ object ScaleUp {
 
   /** splitmix64 — the standard 64-bit finalizer/bijection (public domain,
    * Steele et al., JDK SplittableRandom). Deterministic, seed-free. */
-  private def splitmix64(x0: Long): Long = {
+  private[tools] def splitmix64(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -65,7 +65,7 @@ object ScaleUp {
 
   /** translate() target alphabets for replica r: identity at r=0, a keyed
    * Fisher–Yates permutation (splitmix64 stream seeded by r) otherwise. */
-  private def perm(r: Int): (String, String) = {
+  private[tools] def perm(r: Int): (String, String) = {
     if (r == 0) return (Lower, Upper)
     val a = Lower.toCharArray
     var s = splitmix64(r.toLong)
@@ -84,7 +84,7 @@ object ScaleUp {
    * positions rotate by `r mod dim`, element i's sign flips where bit i of
    * `splitmix64(r div dim)` is set (sign word 0 — all +1 — at r div dim = 0,
    * so r=0 is the identity). Orthogonal ⇒ intra-replica cosines exact. */
-  private def signedRotate(emb: Column, r: Int, dim: Int): Column = {
+  private[tools] def signedRotate(emb: Column, r: Int, dim: Int): Column = {
     val rr = r % dim
     val rotated =
       if (rr == 0) emb
@@ -100,7 +100,7 @@ object ScaleUp {
 
   /** The (rotation, sign-word) pair that identifies replica r's embedding
    * transform — used to ASSERT pairwise distinctness up front. */
-  private def embTransformKey(r: Int, dim: Int): (Int, Long) = {
+  private[tools] def embTransformKey(r: Int, dim: Int): (Int, Long) = {
     val mask = if (dim >= 64) -1L else (1L << dim) - 1L
     val word = if (r / dim == 0) 0L else splitmix64((r / dim).toLong)
     (r % dim, word & mask)

@@ -52,6 +52,33 @@ class TextEvalSpec extends SparkSpec {
     assert(noCand(1L) == ((0L, Some(1L), None, Some(0L), None, None)), s"got $noCand")
   }
 
+  test("bleuPrecisions: the classic clipped-repetition example, NULL above the token count") {
+    // ref "a b a", cand "a a a" — Papineni's degenerate-repetition case:
+    // n=1 clipped overlap = min(3, 2) = 2 of 3 candidate grams → 666‰
+    // (unclipped would be a perfect 1000); n=2 overlap 0 ("a a" is not a
+    // reference bigram); n=4 has no candidate grams at 3 tokens → NULL;
+    // brevity = (1000·3) div 3 = 1000 at every order
+    val got = TextEval.bleuPrecisions(pairs((1L, "a b a", "a a a")), maxN = 4)
+      .collect().map { r =>
+        def opt(i: Int) = Option(r.getAs[Any](i)).map(_.asInstanceOf[Long])
+        r.getInt(1) -> ((r.getLong(2), opt(3), opt(6), opt(7)))
+      }.toMap
+    assert(got(1) == ((2L, Some(3L), Some(666L), Some(1000L))), s"got $got")
+    assert(got(2) == ((0L, Some(2L), Some(0L), Some(1000L))), s"got $got")
+    assert(got(3) == ((0L, Some(1L), Some(0L), Some(1000L))), s"got $got")
+    assert(got(4) == ((0L, None, None, Some(1000L))), s"got $got")
+  }
+
+  test("bleuPrecisions: order-1 precision equals rougeN's on the same pairs (shared clip)") {
+    val rows = Seq((1L, "a a b c", "a b b"), (2L, "x y", "x y z w"),
+      (3L, "q", "q q"))
+    val bleu = TextEval.bleuPrecisions(pairs(rows: _*), maxN = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("precision_pm"))).toMap
+    val rouge = TextEval.rougeN(pairs(rows: _*), 1)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("precision_pm"))).toMap
+    assert(bleu == rouge, s"clip divergence between the two operators:\n$bleu\n$rouge")
+  }
+
   test("rougeN fuzz: operator matches an independent sliding-window replica") {
     val rnd = new scala.util.Random(11_60)
     def doc() = Seq.fill(rnd.nextInt(12))("abcde".charAt(rnd.nextInt(5)).toString)

@@ -122,6 +122,9 @@ class PlanShapeSpec extends SparkSpec {
     // → per-id rollups; nothing windows and nothing pairs docs with docs
     assertNever("q160_rouge_eval",
       "Window", "CartesianProduct", "BroadcastNestedLoopJoin")
+    // q161 censuses ALL four gram orders in one tagged pass — same shape
+    assertNever("q161_bleu_precisions",
+      "Window", "CartesianProduct", "BroadcastNestedLoopJoin")
   }
 
   test("truncation audit: no window, no cartesian, no sort-merge past the checkpointed top-k") {
