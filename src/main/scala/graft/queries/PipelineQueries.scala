@@ -86,9 +86,17 @@ object PipelineQueries {
    * (q160/q161): candidate = reference with every ~1/5th word dropped by a
    * deterministic md5 roll (the q143 derived-data discipline). Checkpointed:
    * the per-word md5 is the expensive part and every gram order re-reads
-   * the same pair table. */
+   * the same pair table. Repartitioned first: the per-word md5 roll and
+   * the downstream multi-order gram explosion are the heavy per-row work
+   * of these queries, and a compact corpus can arrive as ONE scan
+   * partition (sf0.1 is a single parquet file — measured 1-task, 8 s);
+   * the raw-text round-robin is a fraction of the gram-census shuffles
+   * that follow, and sizes with the session's parallelism, not a magic
+   * constant. */
   private def dropoutPairs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       col("doc_id").as("id"), col("text").as("reference"),
       expr(
         """array_join(filter(transform(split(text, ' '), (w, p) ->
