@@ -9,9 +9,10 @@
 #
 # --gate: exit NON-ZERO unless declared == correctness total == bench
 #   measured, correctness is all-green with zero errors, the bench ran
-#   error-free, and every declared query number has a COVERAGE.md mention.
+#   error-free, every declared query number has a COVERAGE.md mention, AND
+#   the sbt test log (arg 3, REQUIRED in gate mode) shows zero failures.
 #   The closing snapshot must run this mode and abort on failure — counts
-#   can then never diverge from artifacts again (VERDICT r11 #6).
+#   can then never diverge from artifacts again (VERDICT r11 #6, r12 #8).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -72,8 +73,24 @@ PYEOF
   echo "correctness artifact: $green/$total green, $errn errored ($corr)"
   if [[ $gate -eq 1 ]]; then
     [[ "$green" == "$total" && "$errn" == 0 ]] || { echo "GATE: correctness not all-green"; fail=1; }
-    # the artifact may lag a round that ADDS queries; it must never exceed
-    [[ "$total" -le "$declared" ]] || { echo "GATE: correctness total $total > declared $declared"; fail=1; }
+    # EQUALITY, not <=: a round that adds queries must refresh the
+    # correctness artifact before the snapshot, else the new queries were
+    # never verified (ADVICE r12) — list exactly which ids are unverified
+    if [[ "$total" != "$declared" ]]; then
+      missing_corr=$(python3 - "$corr" <<'PYEOF'
+import json, re, subprocess, sys, glob
+src = subprocess.run(
+    ["grep", "-rhoE", '"q[0-9]+[a-z0-9_]*" -> \\(\\(',
+     *glob.glob("src/main/scala/graft/queries/*.scala")],
+    capture_output=True, text=True).stdout
+declared = set(re.findall(r'"(q[0-9]+[a-z0-9_]*)"', src))
+have = set(json.load(open(sys.argv[1])).keys())
+print(" ".join(sorted(declared - have)) or "(none missing - artifact has extras)")
+PYEOF
+)
+      echo "GATE: correctness total $total != declared $declared; unverified: $missing_corr"
+      fail=1
+    fi
   fi
 else
   echo "correctness artifact: MISSING"; [[ $gate -eq 1 ]] && fail=1
@@ -96,11 +113,26 @@ else
   echo "bench artifact: MISSING"; [[ $gate -eq 1 ]] && fail=1
 fi
 
+# the FIFTH count (VERDICT r12 #8): the gate takes the sbt test log as
+# arg 3 and verifies it, so declared/bench/correctness/COVERAGE *and*
+# tests are one atomic check — no count left on faith
 if [[ -n "$testlog" && -f "$testlog" ]]; then
-  grep -E "Tests: succeeded" "$testlog" | tail -1
+  tline=$(grep -E "Tests: succeeded" "$testlog" | tail -1 || true)
+  echo "test log: ${tline:-no 'Tests: succeeded' line found} ($testlog)"
+  if [[ $gate -eq 1 ]]; then
+    if [[ -z "$tline" ]] || ! echo "$tline" | grep -qE "failed 0\b" \
+       || ! grep -q "All tests passed" "$testlog"; then
+      echo "GATE: test log missing, has failures, or lacks 'All tests passed'"
+      fail=1
+    fi
+  fi
 else
   echo "test count: pass a 'sbt test' log as arg 3, or read the final" \
     "'Tests: succeeded N' line from the suite run"
+  if [[ $gate -eq 1 ]]; then
+    echo "GATE: gate mode requires the sbt test log as arg 3"
+    fail=1
+  fi
 fi
 
 if [[ $gate -eq 1 ]]; then
@@ -108,5 +140,5 @@ if [[ $gate -eq 1 ]]; then
     echo "GATE FAILED: counts diverge — refresh the stale artifact before the snapshot"
     exit 1
   fi
-  echo "GATE PASSED: declared == bench == all-green correctness, COVERAGE complete"
+  echo "GATE PASSED: declared == bench == all-green correctness == COVERAGE, tests green"
 fi

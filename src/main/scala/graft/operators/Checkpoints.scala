@@ -39,25 +39,52 @@ private[operators] object Checkpoints {
   /** TEST-ONLY chaos hook: invoked on the driver thread right after each
    * round's materialization, so a spec can force block eviction BETWEEN
    * fixpoint iterations (the executor-loss simulation local mode allows).
-   * ThreadLocal scopes WHEN the hook fires to the thread that set it — a
-   * fixpoint running on another thread never triggers it. The hook BODY a
-   * chaos test installs (a blanket block-manager sweep) still acts on the
-   * shared session, which is safe because sbt runs the forked suite JVM's
-   * test classes sequentially (`Test/testForkedParallel` is false — the
-   * standing assumption of every blanket-unpersist spec in this repo).
-   * Production never sets the hook. */
-  private[operators] val afterMaterialize: ThreadLocal[DataFrame => Unit] =
-    new ThreadLocal[DataFrame => Unit] {
-      override def initialValue: DataFrame => Unit = _ => ()
+   * Installing the hook forces EAGER per-round materialization (the chaos
+   * being simulated — losing a round's only block copy — requires the round
+   * to exist before the next one builds on it); production leaves the hook
+   * unset and rounds checkpoint lazily. ThreadLocal scopes WHEN the hook
+   * fires to the thread that set it — a fixpoint running on another thread
+   * never triggers it. The hook BODY a chaos test installs (a blanket
+   * block-manager sweep) still acts on the shared session, which is safe
+   * because sbt runs the forked suite JVM's test classes sequentially
+   * (`Test/testForkedParallel` is false — the standing assumption of every
+   * blanket-unpersist spec in this repo). */
+  private[operators] val afterMaterialize: ThreadLocal[Option[DataFrame => Unit]] =
+    new ThreadLocal[Option[DataFrame => Unit]] {
+      override def initialValue: Option[DataFrame => Unit] = None
     }
 
-  /** Materialize one iteration round: reliable `checkpoint()` when opted in,
-   * `localCheckpoint()` otherwise. Both are eager and truncate lineage. */
+  /** Mark one iteration round as a REUSE POINT. Three modes:
+   *
+   *   - default: `persist(MEMORY_AND_DISK)` — LAZY, so constructing an
+   *     unrolled-iteration plan (PlanDump, plan-shape specs, `explain`)
+   *     runs ZERO Spark jobs (VERDICT r12 #4; a non-eager `checkpoint`
+   *     would NOT deliver this — under AQE even `eager = false` executes
+   *     every intermediate query stage at RDD-creation time). The round
+   *     computes once at the first action and every later round reads the
+   *     cached InMemoryRelation. Lineage is KEPT, so an evicted round
+   *     RECOMPUTES instead of aborting — strictly better fault behavior
+   *     than a localCheckpoint block loss, at the price of logical plans
+   *     that nest previous rounds (fine for the fixed SMALL round counts —
+   *     ≤ ~5 — of the operators on this path; unbounded convergence loops
+   *     use [[Dedup]]'s own eager tracked checkpoints).
+   *   - `graft.iterative.reliableCheckpoint=true`: eager `checkpoint()` to
+   *     the checkpoint dir — round state survives executor loss; the
+   *     opt-in cluster posture, construction jobs accepted.
+   *   - chaos hook installed (tests only): eager `localCheckpoint()`, so
+   *     the hook can evict a round's only block copy BETWEEN rounds. */
   def iterative(df: DataFrame): DataFrame = {
-    val out =
-      if (reliableEnabled(df.sparkSession)) df.checkpoint()
-      else df.localCheckpoint()
-    afterMaterialize.get()(out)
-    out
+    val hook = afterMaterialize.get()
+    if (reliableEnabled(df.sparkSession)) {
+      val out = df.checkpoint()
+      hook.foreach(h => h(out))
+      out
+    } else if (hook.isDefined) {
+      val out = df.localCheckpoint()
+      hook.foreach(h => h(out))
+      out
+    } else {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 }

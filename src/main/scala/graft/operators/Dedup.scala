@@ -127,6 +127,57 @@ object Dedup {
   }
 
   /**
+   * Block-PAIR band keys for a bit-sampled hash (phash/simhash family) —
+   * the parameterized form of q90's banding, making the NEXT corpus decade
+   * a config change instead of a redesign (VERDICT r12 #7).
+   *
+   * Input: `(id, hash)` with `hash: array<long>` holding `blocks/8` words,
+   * 8 consecutive 8-bit blocks per word little-endian (block b lives at
+   * bits [8(b mod 8), 8(b mod 8)+8) of word b div 8; a 64-bit hash is
+   * `array(phash)`). Output: `(id, band, band_key)` — one row per
+   * UNORDERED block pair i < j, `band = i·blocks + j`, `band_key =
+   * 256·block_i + block_j` (16 bits → 65536 buckets per band), feeding
+   * [[bucketedPairs]].
+   *
+   * RECALL THEOREM (the pigeonhole argument, property-proven at both
+   * settings in BlockPairBandsSpec): a pair within Hamming distance
+   * `blocks − 2` damages at most `blocks − 2` blocks, leaving ≥ 2 blocks
+   * clean — and that pair of clean blocks is an identical `band_key` in an
+   * identical `band`, so every true pair collides in some bucket. Budgets:
+   * ham ≤ 6 of 64 at `blocks = 8`, ham ≤ 14 of 128 at `blocks = 16`.
+   *
+   * KEY-SPACE DOCTRINE (measured twice by the ScaleUp sweeps — q90 r11 at
+   * sf1.0, its 256-key successor at sf10): a FIXED key space fills
+   * linearly while in-bucket pairs grow quadratically, so each corpus
+   * decade needs ~2× the key BITS. `blocks = 8` gives C(8,2) = 28 bands ×
+   * 2^16 keys (measured exponent 0.44 at sf10); `blocks = 16` (a 128-bit
+   * hash) gives C(16,2) = 120 bands × 2^16 keys — the third-decade
+   * setting, now code, held by the same theorem.
+   */
+  def blockPairBands(hashes: DataFrame, blocks: Int): DataFrame = {
+    require(blocks == 8 || blocks == 16,
+      s"blockPairBands supports blocks = 8 (64-bit hash) or 16 (128-bit), got $blocks")
+    val words = blocks / 8
+    // the word-count contract is enforced IN PLAN (construction runs no
+    // job): a short hash array would silently band on missing blocks
+    val checked = when(size(col("hash")) === words, col("hash"))
+      .otherwise(raise_error(concat(
+        lit(s"blockPairBands: hash must carry $words long words for " +
+          s"$blocks blocks, got "), size(col("hash")).cast("string"),
+        lit(" (id "), col("id").cast("string"), lit(")")))
+        .cast("array<bigint>"))
+    hashes.select(col("id"), checked.as("hash"))
+      .select(col("id"), explode(expr(
+        s"""flatten(transform(sequence(0, ${blocks - 2}), i ->
+              transform(sequence(i + 1, ${blocks - 1}), j ->
+                struct(i * $blocks + j AS band,
+                  (shiftright(element_at(hash, cast(i div 8 as int) + 1), (i % 8) * 8) & 255) * 256 +
+                  (shiftright(element_at(hash, cast(j div 8 as int) + 1), (j % 8) * 8) & 255) AS band_key))))"""
+      )).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+  }
+
+  /**
    * INCREMENTAL near-dup candidates: pair each NEW doc against the EXISTING
    * corpus only — the daily-crawl posture. Both sides band identically, then
    * ONE equi-join on (band, band_key) with the new side as the (small) probe:
@@ -704,7 +755,7 @@ object Dedup {
   private def trackedCheckpoint(df: DataFrame): (DataFrame, Seq[Int]) = {
     if (Checkpoints.reliableEnabled(df.sparkSession)) {
       val out = df.checkpoint()
-      Checkpoints.afterMaterialize.get()(out)
+      Checkpoints.afterMaterialize.get().foreach(h => h(out))
       return (out, Seq.empty)
     }
     val out = df.localCheckpoint()
@@ -715,7 +766,7 @@ object Dedup {
     val ids = out.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
-    Checkpoints.afterMaterialize.get()(out)
+    Checkpoints.afterMaterialize.get().foreach(h => h(out))
     (out, ids)
   }
 

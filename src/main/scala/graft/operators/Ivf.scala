@@ -232,6 +232,82 @@ object Ivf {
     index.write.partitionBy("cell").mode("overwrite").parquet(path)
 
   /**
+   * The PQ index as the engine's FIFTH persisted serving artifact (VERDICT
+   * r12 #2), with the staged-swap discipline of every other artifact writer
+   * ([[CorpusOps.writeBucketedStaged]]): the (neighbor_id, code1..M, cell)
+   * rows land under `<table>__staging` first — the long, killable write,
+   * during which yesterday's index stays served — then swap in via two
+   * catalog operations. Partitioned by `cell`, so a probe's
+   * [[adcSearchFromTable]] scan reads ONLY the probed cells' files
+   * (partition pruning at the listing level — the corpus fraction scanned
+   * is nprobe/nlist by construction), and a day's
+   * [[appendPqIndexTable]] increment lands as new files inside its cells
+   * without rewriting the history.
+   */
+  def writePqIndexTable(index: DataFrame, table: String): Unit = {
+    val spark = index.sparkSession
+    CorpusOps.dropWithLocation(spark, s"${table}__staging")
+    index.write.format("parquet").partitionBy("cell")
+      .mode("overwrite").saveAsTable(s"${table}__staging")
+    CorpusOps.swapStaged(spark, table)
+    // unlike the (unpartitioned) bucketed artifacts, a PARTITIONED table
+    // carries per-partition locations in the catalog, and the swap's RENAME
+    // moves the directory without rewriting them — readers would silently
+    // list the stale staging path (empty) and an append would resurrect it.
+    // Re-sync the partition metadata to the renamed location.
+    spark.sql(s"MSCK REPAIR TABLE `$table`")
+  }
+
+  /**
+   * Daily-crawl INCREMENT against a persisted [[writePqIndexTable]]
+   * artifact — the q97/q139/q145 cycle for the ANN layer: new vectors
+   * encode against the FROZEN coarse centroids and codebooks (the models
+   * that built the index — re-training would silently re-key history; the
+   * periodic full rebuild is where codebooks refresh) and append as new
+   * files inside their cells. The existing corpus never re-encodes and
+   * never rewrites. Disjoint new ids are ENFORCED (one bounded semi-join
+   * probe, the incremental contract shared with
+   * [[Similarity.incrementalTfidfPairsFromIndex]]): a recycled id would
+   * serve two different vectors under one key with no error — refuse
+   * loudly instead.
+   */
+  def appendPqIndexTable(newVecs: DataFrame, table: String,
+                         coarse: Seq[Centroid], cb: Seq[(Long, Seq[Double])],
+                         splits: Seq[(Int, Int)]): Unit = {
+    val spark = newVecs.sparkSession
+    val enc = pqIndex(newVecs, coarse, cb, splits)
+    require(enc.select(col("neighbor_id"))
+        .join(spark.table(table), Seq("neighbor_id"), "left_semi").isEmpty,
+      s"appendPqIndexTable: new ids overlap index '$table' ids - the " +
+        "increment requires disjoint id spaces (re-key the crawl or " +
+        "rebuild the index)")
+    enc.write.format("parquet").mode("append").partitionBy("cell")
+      .saveAsTable(table)
+  }
+
+  /**
+   * [[adcSearch]] served from the persisted [[writePqIndexTable]] catalog
+   * artifact: the union of every query's probe cells (bounded by
+   * min(nlist, queries × nprobe) — driver-held, like the codebooks)
+   * becomes a static partition filter, so the scan lists and reads only
+   * the probed cells' files and the corpus side plans NO exchange — the
+   * candidate join broadcasts the query-side lookup tables and the final
+   * top-k is the bounded-heap `topk_by` whose partial aggregation carries
+   * ≤ queries×k rows per partition into the one output shuffle. Results
+   * are identical to the in-session [[adcSearch]] path (PersistedIndexSpec).
+   */
+  def adcSearchFromTable(spark: org.apache.spark.sql.SparkSession,
+                         table: String, queries: DataFrame,
+                         coarse: Seq[Centroid], cb: Seq[(Long, Seq[Double])],
+                         splits: Seq[(Int, Int)], nprobe: Int, k: Int): DataFrame = {
+    val probed = queries
+      .select(explode(probeCells(col("vec"), coarse, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0))
+    adcSearch(spark.table(table).where(col("cell").isin(probed: _*)),
+      queries, coarse, cb, splits, nprobe, k)
+  }
+
+  /**
    * [[adcSearch]] served from a persisted [[writePqIndex]] artifact: the
    * union of every query's probe cells (bounded by min(nlist, queries ×
    * nprobe) — driver-held, like the codebooks) becomes a STATIC partition

@@ -43,10 +43,20 @@ object TextEval {
    * (id, gram), output bounded by the input pair count. No windows, no
    * driver state; cost is linear in total token volume.
    */
+  /** The engine-shared whitespace-token contract for BOTH metrics: split
+   * on single spaces, then DROP empty tokens — so an empty (or
+   * whitespace-only) string has ZERO tokens and takes the gramless-NULL
+   * path, instead of `split`'s phantom single empty token scoring
+   * `cand_grams = 1` with precision 0 (and an '' gram that could
+   * spuriously clip against another phantom). Mirrored verbatim in the
+   * DuckDB oracle twins (`list_filter(string_split(..), x -> x <> '')`). */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), w => w =!= "")
+
   def rougeN(pairs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
     def grams(c: Column): Column = {
-      val w = split(c, " ")
+      val w = toks(c)
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => array_join(slice(w, i + 1, lit(n)), " ")))
@@ -105,18 +115,22 @@ object TextEval {
    * regardless of maxN, then the same equi clip join and per-(id, n)
    * rollups. Linear in token volume × maxN.
    */
+  /** All gram orders 1..maxN in one tagged array — the single-pass census
+   * feed shared by [[bleuPrecisions]] and [[corpusGenerationEval]]. */
+  private def gramsAllOrders(c: Column, maxN: Int): Column = {
+    val w = toks(c)
+    val emptyGrams = s"cast(array() as array<struct<n:int,g:string>>)"
+    flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+      when(size(w) >= nn,
+        transform(sequence(lit(0), size(w) - nn),
+          i => struct(nn.cast("int").as("n"),
+            array_join(slice(w, i + 1, nn), " ").as("g"))))
+        .otherwise(expr(emptyGrams))))
+  }
+
   def bleuPrecisions(pairs: DataFrame, maxN: Int = 4): DataFrame = {
     require(maxN >= 1, "maxN must be >= 1")
-    val emptyGrams = s"cast(array() as array<struct<n:int,g:string>>)"
-    def gramsAll(c: Column): Column = {
-      val w = split(c, " ")
-      flatten(transform(sequence(lit(1), lit(maxN)), nn =>
-        when(size(w) >= nn,
-          transform(sequence(lit(0), size(w) - nn),
-            i => struct(nn.cast("int").as("n"),
-              array_join(slice(w, i + 1, nn), " ").as("g"))))
-          .otherwise(expr(emptyGrams))))
-    }
+    def gramsAll(c: Column): Column = gramsAllOrders(c, maxN)
     val ref = pairs.select(col("id"), explode(gramsAll(col("reference"))).as("t"))
       .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
       .agg(count(lit(1)).as("cr"))
@@ -129,8 +143,8 @@ object TextEval {
     val cTot = cand.groupBy(col("id"), col("n"))
       .agg(sum(col("cc")).as("cand_grams"))
     pairs.select(col("id"),
-        size(split(col("reference"), " ")).cast("long").as("ref_len"),
-        size(split(col("candidate"), " ")).cast("long").as("cand_len"),
+        size(toks(col("reference"))).cast("long").as("ref_len"),
+        size(toks(col("candidate"))).cast("long").as("cand_len"),
         explode(sequence(lit(1), lit(maxN))).as("n"))
       .join(cTot, Seq("id", "n"), "left")
       .join(clip, Seq("id", "n"), "left")
@@ -143,5 +157,132 @@ object TextEval {
           expr("(1000 * overlap) div cand_grams")).as("precision_pm"),
         when(col("ref_len") > 0,
           expr("(1000 * cand_len) div ref_len")).as("brevity_pm"))
+  }
+
+  /**
+   * The brevity-penalty lookup grid: centi-quantized length ratio
+   * `q = (100·Σref_len) div Σcand_len` (only consulted when the corpus
+   * candidate is SHORTER than the reference, so q ≥ 100; clamped at 300 —
+   * beyond 3× deficit BP has decayed to its exp(−2) ≈ 135‰ floor and the
+   * corpus is degenerate anyway) → `bp_pm = ⌊1000·exp(1 − q/100)⌋`. The
+   * exp is DRIVER-evaluated once over this bounded 201-entry grid and
+   * embedded as plan literals (the q154 log-discount technique), so the
+   * engine itself computes no transcendental: the Spark plan and the
+   * DuckDB oracle consume the SAME integer table and the composite is
+   * engine-exact by construction. */
+  val brevityPenaltyGrid: Seq[(Long, Long)] =
+    (100L to 300L).map(q =>
+      q -> math.floor(1000.0 * math.exp(1.0 - q / 100.0)).toLong)
+
+  /**
+   * CORPUS-level generation scorecard — the pipeline-facing gate above the
+   * per-pair metrics of [[rougeN]]/[[bleuPrecisions]]: ONE row of
+   * micro-averaged ROUGE-1/ROUGE-2 and corpus BLEU-4 over the whole
+   * (reference, candidate) table. Micro-averaging and corpus BLEU pool the
+   * COUNTS first (Σ clipped overlap / Σ gram totals per order — Papineni's
+   * corpus definition), which is NOT the mean of per-sentence scores: one
+   * long pair outweighs many short ones, and a single zero-precision
+   * sentence does not zero the corpus (the classic trap, pinned with a
+   * hand fixture in TextEvalSpec).
+   *
+   * Engine-exactness of the composite, term by term:
+   *   - per-order precisions / ROUGE P·R·F1: ×1e3 integer floor division
+   *     over exact counts, as everywhere in this file;
+   *   - the geometric mean of p1..p4 (‰): an EXACT integer fourth root —
+   *     `⌊⁴√(p1·p2·p3·p4)⌋ = ⌊√⌊√(p1·p2·p3·p4)⌋⌋` (the nested-floor radical
+   *     identity); the product is ≤ 1e12 < 2^53 so it is exact in a double,
+   *     and IEEE-754 requires `sqrt` to be correctly rounded, so BOTH
+   *     engines floor the same double — no transcendental, no literal
+   *     table, bit-exact;
+   *   - the brevity penalty: [[brevityPenaltyGrid]] literals (see there);
+   *   - `bleu_pm = (bp_pm · gm_pm) div 1000`.
+   *
+   * NULL contract: `bleu_pm`/`gm_pm` are NULL when any order has a gramless
+   * candidate corpus-wide (p undefined — the un-smoothed definition; a
+   * DEFINED-but-zero precision yields gm = 0, not NULL); ROUGE P/R are NULL
+   * when the respective side has no grams at that order.
+   *
+   * Scale posture: the same one-tagged-census-per-side shape as
+   * [[bleuPrecisions]] (one shuffle per side for all four orders), but
+   * everything collapses to per-ORDER sums (≤ 4 rows) instead of per-pair
+   * rows, then one broadcast combine — output is 1 row, no windows, linear
+   * in token volume.
+   */
+  def corpusGenerationEval(pairs: DataFrame): DataFrame = {
+    val maxN = 4
+    val ref = pairs
+      .select(col("id"), explode(gramsAllOrders(col("reference"), maxN)).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("cr"))
+    val cand = pairs
+      .select(col("id"), explode(gramsAllOrders(col("candidate"), maxN)).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("cc"))
+    // corpus pools: clipped overlap still clips WITHIN each pair (the
+    // per-(id, n, g) equi-join), only the SUMS pool corpus-wide
+    val clip = ref.join(cand, Seq("id", "n", "g"))
+      .groupBy(col("n")).agg(sum(least(col("cr"), col("cc"))).as("ov"))
+    val rTot = ref.groupBy(col("n")).agg(sum(col("cr")).as("rt"))
+    val cTot = cand.groupBy(col("n")).agg(sum(col("cc")).as("ct"))
+    // pivot each ≤ maxN-row frame to ONE wide row (sum over an absent order
+    // is NULL = undefined, preserving the per-side NULL contract); combining
+    // three 1-row frames is then broadcast crosses, never a full-outer
+    // sort-merge join on the order key
+    def pivot1(df: DataFrame, v: String): DataFrame = {
+      val aggs = (1 to maxN).map(n =>
+        sum(when(col("n") === n, col(v))).as(s"$v$n"))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val flat = pivot1(clip, "ov")
+      .crossJoin(broadcast(pivot1(rTot, "rt")))
+      .crossJoin(broadcast(pivot1(cTot, "ct")))
+    val lens = pairs.select(
+        size(toks(col("reference"))).cast("long").as("rl"),
+        size(toks(col("candidate"))).cast("long").as("cl"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("rl")), lit(0L)).as("ref_tokens"),
+        coalesce(sum(col("cl")), lit(0L)).as("cand_tokens"))
+
+    def precPm(n: Int): Column =
+      when(col(s"ct$n").isNotNull && col(s"ct$n") > 0,
+        expr(s"(1000 * coalesce(ov$n, 0)) div ct$n"))
+    def recPm(n: Int): Column =
+      when(col(s"rt$n").isNotNull && col(s"rt$n") > 0,
+        expr(s"(1000 * coalesce(ov$n, 0)) div rt$n"))
+    def f1Pm(n: Int): Column =
+      when(col(s"rouge${n}_precision_pm").isNotNull &&
+           col(s"rouge${n}_recall_pm").isNotNull,
+        when(col(s"rouge${n}_precision_pm") + col(s"rouge${n}_recall_pm") > 0,
+          expr(s"(2 * rouge${n}_precision_pm * rouge${n}_recall_pm) div " +
+            s"(rouge${n}_precision_pm + rouge${n}_recall_pm)"))
+          .otherwise(lit(0L)))
+    val bpMap = typedLit(brevityPenaltyGrid.toMap)
+
+    lens.crossJoin(broadcast(flat))
+      .select(col("n_pairs") +: col("ref_tokens") +: col("cand_tokens") +:
+        ((1 to 2).flatMap(n => Seq(
+          precPm(n).as(s"rouge${n}_precision_pm"),
+          recPm(n).as(s"rouge${n}_recall_pm"))) ++
+         (1 to maxN).map(n => precPm(n).as(s"p${n}_pm"))): _*)
+      .withColumn("rouge1_f1_pm", f1Pm(1))
+      .withColumn("rouge2_f1_pm", f1Pm(2))
+      .withColumn("gm_pm",
+        when((1 to maxN).map(n => col(s"p${n}_pm").isNotNull).reduce(_ && _),
+          expr("cast(floor(sqrt(floor(sqrt(cast(" +
+            (1 to maxN).map(n => s"p${n}_pm").mkString(" * ") +
+            " as double))))) as bigint)")))
+      .withColumn("bp_pm",
+        when(col("cand_tokens") >= col("ref_tokens"), lit(1000L))
+          .otherwise(when(col("cand_tokens") > 0,
+            element_at(bpMap,
+              least(lit(300L), expr("(100 * ref_tokens) div cand_tokens"))))))
+      .withColumn("bleu_pm",
+        when(col("gm_pm").isNotNull && col("bp_pm").isNotNull,
+          expr("(bp_pm * gm_pm) div 1000")))
+      .select(col("n_pairs"), col("ref_tokens"), col("cand_tokens"),
+        col("rouge1_precision_pm"), col("rouge1_recall_pm"), col("rouge1_f1_pm"),
+        col("rouge2_precision_pm"), col("rouge2_recall_pm"), col("rouge2_f1_pm"),
+        col("p1_pm"), col("p2_pm"), col("p3_pm"), col("p4_pm"),
+        col("gm_pm"), col("bp_pm"), col("bleu_pm"))
   }
 }

@@ -44,7 +44,12 @@ object PipelineQueries {
   def benchCacheSeeds(s: SparkSession, d: String): Seq[(String, DataFrame)] = Seq(
     ("shingles_n2", docShingles(s, d, 2)),
     ("shingles_n2_mod3", docShingles(s, d, 2, col("doc_id") % 3 === 0)),
-    ("shingles_n5", docShingles(s, d, 5)))
+    ("shingles_n5", docShingles(s, d, 5)),
+    // q160/q161 rebuild the identical (reference, candidate) fixture; the
+    // per-word md5 dropout derivation is their dominant cost (VERDICT r12),
+    // and the lazy-persist builder lets the CacheManager substitute this
+    // one seeded copy into both plans
+    ("dropout_pairs", dropoutPairs(s, d)))
 
   /** Deterministic 5-annotator labeling of the documents table (the q59
    * in-query derivation pattern, so the DuckDB oracle rebuilds the SAME
@@ -84,9 +89,12 @@ object PipelineQueries {
 
   /** (id, reference, candidate) pairs for the generation-eval queries
    * (q160/q161): candidate = reference with every ~1/5th word dropped by a
-   * deterministic md5 roll (the q143 derived-data discipline). Checkpointed:
-   * the per-word md5 is the expensive part and every gram order re-reads
-   * the same pair table. Repartitioned first: the per-word md5 roll and
+   * deterministic md5 roll (the q143 derived-data discipline). A lazy
+   * `persist` reuse point (NOT a localCheckpoint — construction must run
+   * zero jobs, ConstructionJobsSpec): the per-word md5 is the expensive
+   * part and every gram order re-reads the same pair table; because the
+   * cache is keyed on the PLAN, q160 and q161 (and a seeded bench copy)
+   * share one materialization. Repartitioned first: the per-word md5 roll and
    * the downstream multi-order gram explosion are the heavy per-row work
    * of these queries, and a compact corpus can arrive as ONE scan
    * partition (sf0.1 is a single parquet file — measured 1-task, 8 s);
@@ -103,7 +111,7 @@ object PipelineQueries {
              CASE WHEN cast(conv(substring(md5(concat('drop', doc_id, ':', p)), 1, 4), 16, 10) as int) % 5 = 0
                   THEN NULL ELSE w END), x -> x IS NOT NULL), ' ')""")
         .as("candidate"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** embeddings → (id, vec) in double precision. */
   private def embVecs(s: SparkSession, d: String, pred: Column = lit(true)): DataFrame =
@@ -663,11 +671,13 @@ object PipelineQueries {
       // campaign reads to see how much "near-miss" structure the nominal
       // coefficient was hiding. Labels are ordered severities (0 < 1 < 2
       // by n_chars), so interval/ordinal are the honest coefficients here.
+      // the SHARED-census composition (VERDICT r12 #3): cell/kept/keptCell/
+      // classMass build once (lazy persist reuse points) and all three
+      // metric blocks derive from them — not three independent census runs
       val sparse = annotatedDocs(s, d).where(expr(
         "cast(conv(substring(md5(concat('skip', annotator, ':', item)), 1, 4), 16, 10) as int) % 6 != annotator"))
-      Seq("nominal", "interval", "ordinal")
-        .map(m => Annotations.krippendorffAlphaMetric(sparse, maxRaters = 5, m))
-        .reduce(_ unionByName _)
+      Annotations.krippendorffAlphaMetrics(sparse, maxRaters = 5,
+          Seq("nominal", "interval", "ordinal"))
         .orderBy(col("metric"))
     }),
 
@@ -699,6 +709,20 @@ object PipelineQueries {
       // token count exercise the NULL-precision contract corpus-wide.
       TextEval.bleuPrecisions(dropoutPairs(s, d), maxN = 4)
         .orderBy(col("n"), col("id"))),
+
+    "q163_corpus_generation_eval" -> ((s, d) =>
+      // the CORPUS-level gate above q160/q161 (VERDICT r12 #5): one row of
+      // micro-averaged ROUGE-1/2 F1 and corpus BLEU-4 over the same derived
+      // pairs — counts pool BEFORE the ratios (Σ clipped / Σ totals per
+      // order), which is NOT the mean of per-sentence scores; the
+      // hand-fixture proof of that trap is in TextEvalSpec. The composite
+      // is engine-exact end to end: integer fourth root for the geometric
+      // mean (nested floor-√, IEEE-correctly-rounded in both engines) and
+      // a driver-evaluated 201-entry brevity-penalty literal grid (the
+      // q154 transcendental technique). Same one-tagged-census-per-side
+      // plan as q161, collapsing to ≤4-row per-order sums + one broadcast
+      // combine — no windows, 1-row output.
+      TextEval.corpusGenerationEval(dropoutPairs(s, d))),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
@@ -1334,11 +1358,16 @@ object PipelineQueries {
       val toks = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id"), explode(T.tokens(col("text"))).as("term"))
         .localCheckpoint()
-      val half = (toks.agg(max(col("id"))).head.getLong(0) + 1) / 2
-      Similarity.writeTfidfPostingsIndex(toks.where(col("id") < half),
-        "q145_idx", maxDfDenom = 2)
-      Similarity.incrementalTfidfPairsFromIndex(toks.where(col("id") >= half),
-          "q145_idx", minCosPpm = 300000)
+      // split point as a scalar subquery over the checkpointed table (the
+      // q97 pattern: in-plan, no join node, evaluated at execution) — the
+      // only construction actions left are the documented artifact build +
+      // the checkpoint
+      toks.createOrReplaceTempView("q145_toks")
+      val halfSq = "(select (max(id) + 1) div 2 from q145_toks)"
+      Similarity.writeTfidfPostingsIndex(
+        toks.where(expr(s"id < $halfSq")), "q145_idx", maxDfDenom = 2)
+      Similarity.incrementalTfidfPairsFromIndex(
+          toks.where(expr(s"id >= $halfSq")), "q145_idx", minCosPpm = 300000)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2431,9 +2460,11 @@ object PipelineQueries {
       // space by 256: with ≤ 6 differing bits at most 6 of the 8 blocks are
       // damaged, so ≥ 2 blocks are clean and their PAIR is an identical
       // 16-bit key — every true pair still collides, exactly as the
-      // quadratic oracle demands. At the third decade, move to a 128-bit
-      // hash (16 blocks → pair keys of 16 of 65536) — same theorem, ham
-      // budget ≤ 14. Strictness: the base corpus has no accidental matches
+      // quadratic oracle demands. The third decade is CODE, not prose:
+      // Dedup.blockPairBands(blocks = 16) bands a 128-bit hash (two words)
+      // under the same theorem with ham budget ≤ 14 — property-proven at
+      // both settings in BlockPairBandsSpec, so the decade is a config
+      // change. Strictness: the base corpus has no accidental matches
       // at 6/64, so detection is non-vacuous by PLANTED twins (the q143
       // derived-snapshot discipline): every %5 image doc gains a copy with
       // its first character edited (id + 999999 — ≡ 0 mod 3, so the twin
@@ -2443,11 +2474,17 @@ object PipelineQueries {
       val base = Tables.documents(s, d)
       // the twin offset must clear every real id — a collision would fan
       // out the a/b hash joins on a duplicate doc_id and silently diverge
-      // from the oracle, so refuse loudly at the scale where it would start
-      require(base.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0) < 999999L,
-        "q90 twin offset 999999 collides with real doc_ids at this corpus " +
-          "size - raise the offset (and its oracle twin) together")
-      val corpus = base.select(col("doc_id"), col("text"))
+      // from the oracle. The guard is IN THE PLAN (VERDICT r12 #4 — plan
+      // construction runs no job): every base row flows through the guarded
+      // id, so the first action refuses loudly at the scale where the
+      // collision would start
+      val guardedId = when(col("doc_id") < 999999L, col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("q90 twin offset 999999 collides with real doc_id "),
+          col("doc_id").cast("string"),
+          lit(" at this corpus size - raise the offset (and its oracle " +
+            "twin) together"))).cast("long"))
+      val corpus = base.select(guardedId.as("doc_id"), col("text"))
         .unionByName(base
           .where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0 &&
             length(col("text")) > 0)
@@ -2456,11 +2493,9 @@ object PipelineQueries {
       val ph = graft.multimodal.Multimodal.imagePhash(
         graft.multimodal.Multimodal.synthesizeReal(corpus))
         .localCheckpoint()
-      val bands = ph.select(col("doc_id").as("id"), explode(expr(
-        "flatten(transform(sequence(0, 6), i -> transform(sequence(i + 1, 7), j -> " +
-          "struct(i * 8 + j AS band, " +
-          "(shiftright(phash, i * 8) & 255) * 256 + (shiftright(phash, j * 8) & 255) AS band_key))))")).as("bb"))
-        .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      val bands = Dedup.blockPairBands(
+        ph.select(col("doc_id").as("id"), array(col("phash")).as("hash")),
+        blocks = 8)
       Dedup.bucketedPairs(bands)
         .join(ph.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
         .join(ph.select(col("doc_id").as("b"), col("phash").as("pb")), "b")
@@ -2533,6 +2568,35 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q162_ivfpq_from_index" -> ((s, d) => {
+      // the ANN daily cycle served from the PERSISTED PQ index (VERDICT r12
+      // #2 — the fifth serving artifact): day 0 builds the cell-partitioned
+      // index from the even-id half with the staged-swap discipline
+      // (yesterday's index stays served through the build), day 1's odd-id
+      // crawl encodes against the FROZEN coarse centroids + codebooks and
+      // appends as new files inside its cells (history never re-encodes,
+      // disjoint ids enforced), and the probe reads ONLY the probed cells'
+      // files — partition pruning, no corpus-side exchange (PlanShapeSpec).
+      // Same deterministic train-free models as q98, so the DuckDB oracle
+      // rebuilds the identical index logically and the approximate
+      // distances hash-match; different probe set/params than q98 keep the
+      // two queries distinct.
+      val emb = embVecs(s, d)
+      val coarse = Ivf.selectCentroids(emb, col("id") % 64 === 0)
+      val cb = emb.where(col("id") < 16).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val splits = Seq((1, 32), (33, 32))
+      Ivf.writePqIndexTable(
+        Ivf.pqIndex(emb.where(col("id") % 2 === 0), coarse, cb, splits),
+        "q162_idx")
+      Ivf.appendPqIndexTable(emb.where(col("id") % 2 === 1), "q162_idx",
+        coarse, cb, splits)
+      Ivf.adcSearchFromTable(s, "q162_idx",
+          embVecs(s, d, col("vec_id") % 50 === 0), coarse, cb, splits,
+          nprobe = 2, k = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---------------------------------------------------------------- tokenizer / packing
     "q93_bpe_merges" -> ((s, d) =>
       // BPE tokenizer training: 8 merge rounds over the top-1000 word-
@@ -2585,14 +2649,21 @@ object PipelineQueries {
 
     "q97_incremental_neardup" -> ((s, d) => {
       // daily-crawl dedup: NEW docs (upper id half — the split point is a
-      // 1-row max aggregate, a driver-held scalar) against the EXISTING
-      // corpus (lower half) only — one banded equi-join, existing×existing
-      // pairs never materialize; exact Jaccard verify of candidates, same
-      // (36, 12) parameters whose recall q32's quadratic oracle proves
+      // 1-row max aggregate BROADCAST into both halves, in-plan rather than
+      // a driver head() so no extra job runs at construction) against the
+      // EXISTING corpus (lower half) only — one banded equi-join,
+      // existing×existing pairs never materialize; exact Jaccard verify of
+      // candidates, same (36, 12) parameters whose recall q32's quadratic
+      // oracle proves
       val all = docShingles(s, d, 2).localCheckpoint()
-      val half = (all.agg(max(col("id"))).head.getLong(0) + 1) / 2
-      val newDocs = all.where(col("id") >= half)
-      val oldDocs = all.where(col("id") < half)
+      // the split point is a SCALAR SUBQUERY over the checkpointed table —
+      // in-plan (construction runs no job; the 1-row max evaluates once at
+      // execution and ReuseSubquery shares it between both halves), and no
+      // join node, so the equi-key-only plan pin holds
+      all.createOrReplaceTempView("q97_shingles")
+      val halfSq = "(select (max(id) + 1) div 2 from q97_shingles)"
+      val newDocs = all.where(expr(s"id >= $halfSq"))
+      val oldDocs = all.where(expr(s"id < $halfSq"))
       Dedup.verifyJaccard(
           Dedup.incrementalCandidates(newDocs, oldDocs, k = 36, bands = 12), all, 0.8)
         .orderBy(col("a"), col("b"))
@@ -4110,8 +4181,10 @@ object PipelineQueries {
                      CASE WHEN CAST(concat('0x', substr(md5('drop' || CAST(id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INT) % 5 = 0
                           THEN NULL ELSE w[i] END), x -> x IS NOT NULL), ' ') AS candidate
                  FROM base),
-           pw AS (SELECT id, string_split(reference, ' ') AS wr,
-                    string_split(candidate, ' ') AS wc FROM p),
+           pw AS (SELECT id,
+                    list_filter(string_split(reference, ' '), x -> x <> '') AS wr,
+                    list_filter(string_split(candidate, ' '), x -> x <> '') AS wc
+                  FROM p),
            ${block(1)},
            ${block(2)}
          SELECT * FROM fin_1 UNION ALL SELECT * FROM fin_2
@@ -4150,8 +4223,10 @@ object PipelineQueries {
                      CASE WHEN CAST(concat('0x', substr(md5('drop' || CAST(id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INT) % 5 = 0
                           THEN NULL ELSE w[i] END), x -> x IS NOT NULL), ' ') AS candidate
                  FROM base),
-           pw AS (SELECT id, string_split(reference, ' ') AS wr,
-                    string_split(candidate, ' ') AS wc FROM p),
+           pw AS (SELECT id,
+                    list_filter(string_split(reference, ' '), x -> x <> '') AS wr,
+                    list_filter(string_split(candidate, ' '), x -> x <> '') AS wc
+                  FROM p),
            lens AS (SELECT id, CAST(len(wr) AS BIGINT) AS ref_len,
                       CAST(len(wc) AS BIGINT) AS cand_len FROM pw),
            ${block(1)},
@@ -4161,6 +4236,92 @@ object PipelineQueries {
          SELECT * FROM row_1 UNION ALL SELECT * FROM row_2
          UNION ALL SELECT * FROM row_3 UNION ALL SELECT * FROM row_4
          ORDER BY n, id"""
+    },
+
+    // Corpus pools of the same clipped censuses, then the engine-exact
+    // composite: integer fourth root via the nested floor-sqrt (IEEE sqrt
+    // is correctly rounded in both engines) and the SAME driver-computed
+    // brevity-penalty literal grid the Spark plan embeds.
+    "q163_corpus_generation_eval" -> {
+      def block(n: Int) = s"""
+           rf_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
+                       SELECT id, array_to_string(wr[i:i+$n-1], ' ') AS g
+                       FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
+                     GROUP BY 1, 2),
+           cn_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+                       SELECT id, array_to_string(wc[i:i+$n-1], ' ') AS g
+                       FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
+                     GROUP BY 1, 2),
+           s_$n AS (SELECT
+                      (SELECT CAST(sum(least(cr, cc)) AS BIGINT)
+                       FROM rf_$n JOIN cn_$n USING (id, g)) AS ov$n,
+                      (SELECT CAST(sum(cr) AS BIGINT) FROM rf_$n) AS rt$n,
+                      (SELECT CAST(sum(cc) AS BIGINT) FROM cn_$n) AS ct$n)"""
+      val bpValues = graft.operators.TextEval.brevityPenaltyGrid
+        .map { case (q, v) => s"($q, $v)" }.mkString(", ")
+      s"""WITH base AS (SELECT doc_id AS id, text,
+                          string_split(text, ' ') AS w FROM documents),
+           p AS (SELECT id, text AS reference,
+                   array_to_string(list_filter(list_transform(range(1, len(w) + 1), i ->
+                     CASE WHEN CAST(concat('0x', substr(md5('drop' || CAST(id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INT) % 5 = 0
+                          THEN NULL ELSE w[i] END), x -> x IS NOT NULL), ' ') AS candidate
+                 FROM base),
+           pw AS (SELECT id,
+                    list_filter(string_split(reference, ' '), x -> x <> '') AS wr,
+                    list_filter(string_split(candidate, ' '), x -> x <> '') AS wc
+                  FROM p),
+           lens AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(coalesce(sum(len(wr)), 0) AS BIGINT) AS ref_tokens,
+                      CAST(coalesce(sum(len(wc)), 0) AS BIGINT) AS cand_tokens
+                    FROM pw),
+           ${block(1)}, ${block(2)}, ${block(3)}, ${block(4)},
+           bpv AS (SELECT * FROM (VALUES $bpValues) AS t(q, v)),
+           m AS (SELECT * FROM lens, s_1, s_2, s_3, s_4),
+           r AS (SELECT n_pairs, ref_tokens, cand_tokens,
+                   CASE WHEN ct1 IS NOT NULL AND ct1 > 0
+                     THEN (1000 * coalesce(ov1, 0)) // ct1 END AS rouge1_precision_pm,
+                   CASE WHEN rt1 IS NOT NULL AND rt1 > 0
+                     THEN (1000 * coalesce(ov1, 0)) // rt1 END AS rouge1_recall_pm,
+                   CASE WHEN ct2 IS NOT NULL AND ct2 > 0
+                     THEN (1000 * coalesce(ov2, 0)) // ct2 END AS rouge2_precision_pm,
+                   CASE WHEN rt2 IS NOT NULL AND rt2 > 0
+                     THEN (1000 * coalesce(ov2, 0)) // rt2 END AS rouge2_recall_pm,
+                   CASE WHEN ct1 IS NOT NULL AND ct1 > 0
+                     THEN (1000 * coalesce(ov1, 0)) // ct1 END AS p1_pm,
+                   CASE WHEN ct2 IS NOT NULL AND ct2 > 0
+                     THEN (1000 * coalesce(ov2, 0)) // ct2 END AS p2_pm,
+                   CASE WHEN ct3 IS NOT NULL AND ct3 > 0
+                     THEN (1000 * coalesce(ov3, 0)) // ct3 END AS p3_pm,
+                   CASE WHEN ct4 IS NOT NULL AND ct4 > 0
+                     THEN (1000 * coalesce(ov4, 0)) // ct4 END AS p4_pm
+                 FROM m),
+           r2 AS (SELECT *,
+                    CASE WHEN rouge1_precision_pm IS NOT NULL AND rouge1_recall_pm IS NOT NULL
+                      THEN CASE WHEN rouge1_precision_pm + rouge1_recall_pm > 0
+                        THEN (2 * rouge1_precision_pm * rouge1_recall_pm)
+                               // (rouge1_precision_pm + rouge1_recall_pm)
+                        ELSE 0 END END AS rouge1_f1_pm,
+                    CASE WHEN rouge2_precision_pm IS NOT NULL AND rouge2_recall_pm IS NOT NULL
+                      THEN CASE WHEN rouge2_precision_pm + rouge2_recall_pm > 0
+                        THEN (2 * rouge2_precision_pm * rouge2_recall_pm)
+                               // (rouge2_precision_pm + rouge2_recall_pm)
+                        ELSE 0 END END AS rouge2_f1_pm,
+                    CASE WHEN p1_pm IS NOT NULL AND p2_pm IS NOT NULL
+                          AND p3_pm IS NOT NULL AND p4_pm IS NOT NULL
+                      THEN CAST(floor(sqrt(floor(sqrt(CAST(p1_pm * p2_pm * p3_pm * p4_pm
+                             AS DOUBLE))))) AS BIGINT) END AS gm_pm,
+                    CASE WHEN cand_tokens >= ref_tokens THEN CAST(1000 AS BIGINT)
+                         WHEN cand_tokens > 0 THEN
+                           (SELECT CAST(v AS BIGINT) FROM bpv
+                            WHERE q = least(300, (100 * ref_tokens) // cand_tokens)) END AS bp_pm
+                  FROM r)
+         SELECT n_pairs, ref_tokens, cand_tokens,
+                rouge1_precision_pm, rouge1_recall_pm, rouge1_f1_pm,
+                rouge2_precision_pm, rouge2_recall_pm, rouge2_f1_pm,
+                p1_pm, p2_pm, p3_pm, p4_pm, gm_pm, bp_pm,
+                CASE WHEN gm_pm IS NOT NULL AND bp_pm IS NOT NULL
+                  THEN (bp_pm * gm_pm) // 1000 END AS bleu_pm
+         FROM r2"""
     },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the
@@ -5593,6 +5754,56 @@ object PipelineQueries {
            SELECT query_id, neighbor_id, adc,
                   row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
            FROM scored) WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // The artifact path changes WHERE the codes live, not what they are:
+    // the same train-free models encode both the day-0 half and the day-1
+    // append, so the oracle rebuilds the logical index over all vectors
+    // and replays the q162 probe set (nprobe=2, k=4, vec_id % 50).
+    "q162_ivfpq_from_index" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         cb AS (SELECT vec_id AS cid, v AS cbv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, ccid AS cell FROM (
+             SELECT e.vec_id, c.ccid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.ccid ASC) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         c1 AS (SELECT vec_id, cid AS code1 FROM (
+                  SELECT e.vec_id, cb.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                                            ORDER BY ${duckD2("e.v[1:32]", "cb.cbv[1:32]")}, cb.cid) AS rn
+                  FROM e CROSS JOIN cb) WHERE rn = 1),
+         c2 AS (SELECT vec_id, cid AS code2 FROM (
+                  SELECT e.vec_id, cb.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                                            ORDER BY ${duckD2("e.v[33:64]", "cb.cbv[33:64]")}, cb.cid) AS rn
+                  FROM e CROSS JOIN cb) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, ccid AS cell FROM (
+             SELECT q.vec_id AS query_id, c.ccid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.ccid ASC) AS rn
+             FROM e q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) WHERE rn <= 2),
+         l1 AS (SELECT q.vec_id AS query_id, cb.cid,
+                       ${duckD2("q.v[1:32]", "cb.cbv[1:32]")} AS ld
+                FROM e q CROSS JOIN cb WHERE q.vec_id % 50 = 0),
+         l2 AS (SELECT q.vec_id AS query_id, cb.cid,
+                       ${duckD2("q.v[33:64]", "cb.cbv[33:64]")} AS ld
+                FROM e q CROSS JOIN cb WHERE q.vec_id % 50 = 0),
+         scored AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id, l1.ld + l2.ld AS adc
+           FROM assigned a JOIN probes p USING (cell)
+           JOIN c1 ON c1.vec_id = a.vec_id
+           JOIN c2 ON c2.vec_id = a.vec_id
+           JOIN l1 ON l1.query_id = p.query_id AND l1.cid = c1.code1
+           JOIN l2 ON l2.query_id = p.query_id AND l2.cid = c2.code2
+           WHERE a.vec_id != p.query_id)
+         SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc FROM (
+           SELECT query_id, neighbor_id, adc,
+                  row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+           FROM scored) WHERE rank <= 4
          ORDER BY query_id, rank""",
 
     // The SAME 8 BPE rounds, loop-unrolled: per round, pair counts from the

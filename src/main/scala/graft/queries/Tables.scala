@@ -2,10 +2,32 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Table loader for the driver-generated parquet star schema (TESTDATA.md). */
+/** Table loader for the driver-generated parquet star schema (TESTDATA.md).
+ *
+ * Schemas are INFERRED ONCE per (session, path) and cached: a bare
+ * `spark.read.parquet` runs a footer-reading Spark job on every call, so a
+ * round of plan constructions (Bench passes, Verify, plan-shape specs) was
+ * paying one job per table PER QUERY just to rediscover a schema that never
+ * changes — and plan construction must run zero jobs (ConstructionJobsSpec,
+ * VERDICT r12 #4). At production scale the same cache is what keeps a
+ * 100k-file table from re-listing footers for each of hundreds of daily
+ * queries. The cache is per SparkSession (keyed on the session too, so a
+ * restarted session re-infers) and parquet is self-describing — a REWRITTEN
+ * table with a new schema needs a new session or an explicit
+ * [[invalidateSchemaCache]]. */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.sql.types.StructType]()
+
+  def invalidateSchemaCache(): Unit = schemaCache.clear()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

@@ -276,11 +276,15 @@ class AnnotationsSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1, 2L, true)), s"got ${got(3L)}")
   }
 
-  test("dawidSkene: a >5-rater item fails fast at call time, not mid-EM") {
+  test("dawidSkene: a >5-rater item raises the domain contract, not an opaque overflow") {
+    // the guard moved IN THE PLAN (r12 #4): construction runs no census
+    // job, and the first action raises the domain message — `when`
+    // short-circuits the product branch, so the raw ANSI overflow can
+    // never fire first
     val rows = (0 until 6).map(a => (1L, a, 0))
-    val e = intercept[IllegalArgumentException] {
-      Annotations.dawidSkene(ann(rows: _*), nClasses = 3, rounds = 1)
-    }
+    val df = Annotations.dawidSkene(ann(rows: _*), nClasses = 3, rounds = 1)
+    df.queryExecution.analyzed // plan construction alone must not throw
+    val e = intercept[Exception] { df.collect() }
     assert(e.getMessage.contains("6 annotations"), e.getMessage)
   }
 
@@ -293,6 +297,24 @@ class AnnotationsSpec extends SparkSpec {
       Option(r(0).getAs[Any]("d_o_ppm")).map(_.asInstanceOf[Long]),
       r(0).getLong(4),
       Option(r(0).getAs[Any]("alpha_pm")).map(_.asInstanceOf[Long]))
+  }
+
+  test("krippendorffAlphaMetric: interval/ordinal reject non-integral label columns at call time") {
+    // string labels would make cast('long') distances NULL (terms silently
+    // dropped from D_o/D_e) and ordinal BETWEEN compare lexicographically
+    // ('10' < '2') — the schema check fails fast instead (ADVICE r12)
+    import spark.implicits._
+    val strAnn = Seq((1L, 0, "2"), (1L, 1, "10")).toDF("item", "annotator", "label")
+    for (m <- Seq("interval", "ordinal")) {
+      val e = intercept[IllegalArgumentException] {
+        Annotations.krippendorffAlphaMetric(strAnn, maxRaters = 5, metric = m)
+      }
+      assert(e.getMessage.contains("integral"), e.getMessage)
+    }
+    // nominal treats labels as opaque equality classes — strings are fine
+    val nom = Annotations.krippendorffAlphaMetric(strAnn, maxRaters = 5,
+      metric = "nominal").collect()
+    assert(nom.length == 1 && nom(0).getString(0) == "nominal")
   }
 
   test("krippendorffAlphaMetric: hand-computed nominal/interval/ordinal on the same campaign") {

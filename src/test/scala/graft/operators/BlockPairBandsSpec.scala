@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * The block-pair banding recall THEOREM, property-proven at BOTH settings
+ * (VERDICT r12 #7 — the third decade as code): for `blocks` 8-bit blocks, a
+ * pair within Hamming distance `blocks − 2` damages at most `blocks − 2`
+ * blocks, leaving ≥ 2 clean — and that clean pair is an identical
+ * `(band, band_key)` bucket, so every true pair collides. The test is
+ * corpus-free: random hashes with a random ≤-budget bit-flip set, the exact
+ * pigeonhole adversary (no corpus data could be stronger than arbitrary
+ * flips), evaluated through the REAL Spark expression in one batch per
+ * setting.
+ */
+class BlockPairBandsSpec extends SparkSpec {
+
+  /** Deterministic sampler (scalatestplus isn't in the offline cache). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** (original words, damaged words, nFlips) for a given block count. */
+  private def caseGen(blocks: Int): Gen[(Seq[Long], Seq[Long], Int)] = {
+    val words = blocks / 8
+    val bits = blocks * 8
+    for {
+      ws <- Gen.listOfN(words, Gen.choose(Long.MinValue, Long.MaxValue))
+      h <- Gen.choose(0, blocks - 2) // the full budget, 0 included
+      flips <- Gen.pick(h, 0 until bits)
+    } yield {
+      val damaged = ws.toArray
+      flips.foreach(p => damaged(p / 64) ^= (1L << (p % 64)))
+      (ws, damaged.toSeq, h)
+    }
+  }
+
+  private def collide(blocks: Int): Unit = {
+    import spark.implicits._
+    val cases = samples(caseGen(blocks), 120)
+    val rows = cases.zipWithIndex.flatMap { case ((orig, dam, _), i) =>
+      Seq((i.toLong * 2, orig), (i.toLong * 2 + 1, dam))
+    }.toDF("id", "hash")
+    val keys = Dedup.blockPairBands(rows, blocks)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet
+      }
+    val nBands = blocks * (blocks - 1) / 2
+    cases.indices.foreach { i =>
+      val a = keys(i.toLong * 2); val b = keys(i.toLong * 2 + 1)
+      assert(a.map(_._1).size == nBands && b.map(_._1).size == nBands,
+        s"case $i: expected $nBands distinct bands per id")
+      val h = cases(i)._3
+      assert((a intersect b).nonEmpty,
+        s"case $i (blocks=$blocks, ham=$h): no shared (band, band_key) — " +
+          "the pigeonhole recall theorem is violated")
+    }
+  }
+
+  test("blocks = 8: every pair within ham 6 of 64 shares a band bucket") {
+    collide(8)
+  }
+
+  test("blocks = 16: every pair within ham 14 of 128 shares a band bucket") {
+    collide(16)
+  }
+
+  test("blocks = 8 reproduces q90's inline banding exactly") {
+    import spark.implicits._
+    // the refactor must not move a single bucket: compare against the
+    // original single-long formula on random hashes
+    val hs = samples(Gen.choose(Long.MinValue, Long.MaxValue), 64)
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = hs.toDF("id", "phash")
+    val legacy = df.select(col("id"), explode(expr(
+      "flatten(transform(sequence(0, 6), i -> transform(sequence(i + 1, 7), j -> " +
+        "struct(i * 8 + j AS band, " +
+        "(shiftright(phash, i * 8) & 255) * 256 + (shiftright(phash, j * 8) & 255) AS band_key))))")).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val nu = Dedup.blockPairBands(
+      df.select(col("id"), array(col("phash")).as("hash")), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(nu == legacy, "parameterized banding diverged from q90's inline formula")
+  }
+
+  test("the in-plan word-count guard raises on a malformed hash array") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1L, 2L))).toDF("id", "hash") // 2 words, blocks = 8
+    val ex = intercept[Exception] {
+      Dedup.blockPairBands(bad, 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("blockPairBands")),
+      s"expected the domain message, got: $ex")
+  }
+}

@@ -76,9 +76,12 @@ class IterativeCheckpointSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val expectedComp = toMap(Dedup.componentsStar(chain))
     val expectedPr = toMap(Graph.pageRankInt(edges, iterations = 5))
-    Checkpoints.afterMaterialize.set(_ =>
+    // installing the hook forces EAGER per-round materialization (the
+    // production default is lazy — there the chaos window this test models
+    // sits inside the first action instead)
+    Checkpoints.afterMaterialize.set(Some(_ =>
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true)))
+        .foreach(_.unpersist(blocking = true))))
     try {
       val (gotComp, gotPr) = withReliable {
         (toMap(Dedup.componentsStar(chain)),

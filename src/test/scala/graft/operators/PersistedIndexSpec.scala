@@ -111,6 +111,45 @@ class PersistedIndexSpec extends SparkSpec {
       s"scan read unprobed partitions: ${files.mkString(", ")}")
   }
 
+  test("staged PQ index table: incremental append against frozen models serves identically; id overlap refused") {
+    // the q162 daily cycle (VERDICT r12 #2): day 0 writes the even-id half
+    // through the staged swap, day 1's odd-id crawl appends — encoded
+    // against the FROZEN centroids/codebooks — and the served search must
+    // equal the one-shot in-session index over ALL vectors (same models →
+    // same codes, the append changes where codes live, never what they are)
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
+    val coarse = Ivf.selectCentroids(corpus, col("id") % 64 === 0)
+    val cb = corpus.where(col("id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val splits = Seq((1, 32), (33, 32))
+    Ivf.writePqIndexTable(
+      Ivf.pqIndex(corpus.where(col("id") % 2 === 0), coarse, cb, splits),
+      "pqidx_spec")
+    Ivf.appendPqIndexTable(corpus.where(col("id") % 2 === 1), "pqidx_spec",
+      coarse, cb, splits)
+    // the swap left no staging residue
+    assert(!spark.catalog.tableExists("pqidx_spec__staging"),
+      "staged table must be renamed away by the swap")
+
+    val queries = corpus.where(col("id") % 100 === 0)
+    val served = Ivf.adcSearchFromTable(spark, "pqidx_spec", queries,
+        coarse, cb, splits, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inSession = Ivf.adcSearch(
+        Ivf.pqIndex(corpus, coarse, cb, splits), queries, coarse, cb, splits, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served.nonEmpty && served == inSession,
+      "append-built artifact diverged from the one-shot in-session index")
+
+    // a recycled id would serve two vectors under one key — refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.appendPqIndexTable(corpus.where(col("id") % 2 === 1), "pqidx_spec",
+        coarse, cb, splits)
+    }
+    assert(ex.getMessage.contains("disjoint id spaces"), ex.getMessage)
+  }
+
   private def allToks = Tables.documents(spark, sf)
     .select(col("doc_id").as("id"), explode(T.tokens(col("text"))).as("term"))
 

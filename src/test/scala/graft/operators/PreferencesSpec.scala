@@ -132,6 +132,26 @@ class PreferencesSpec extends SparkSpec {
     assert(shut(7)._3 >= 1L && shut(4)._3 > shut(7)._3, s"got $shut")
   }
 
+  test("bradleyTerry: self-duels and out-of-range winners raise the domain contract") {
+    // both guards live IN THE PLAN (construction runs no job), so the
+    // failure surfaces at the first action with the domain message — never
+    // a silently-poisoned census (a self-duel would inflate games; a bad
+    // winner would count as a model_hi win)
+    val self = intercept[Exception] {
+      Preferences.bradleyTerry(duels((1L, 2, 2, 2))).collect()
+    }
+    assert(self.getMessage.contains("self-duel"), self.getMessage)
+    val bad = intercept[Exception] {
+      Preferences.bradleyTerry(duels((1L, 0, 1, 0), (2L, 0, 1, 7))).collect()
+    }
+    assert(bad.getMessage.contains("neither model_a"), bad.getMessage)
+    // (no construction-laziness assertion here: over a LocalRelation the
+    // optimizer's ConvertToLocalRelation evaluates projections eagerly at
+    // persist() time, so the raise fires during construction — the
+    // zero-job construction property is pinned on the real parquet-backed
+    // queries in ConstructionJobsSpec)
+  }
+
   test("bradleyTerry fuzz: operator matches the independent integer-MM replica") {
     val rnd = new scala.util.Random(11_58)
     for (trial <- 0 until 3) {

@@ -52,6 +52,30 @@ class TextEvalSpec extends SparkSpec {
     assert(noCand(1L) == ((0L, Some(1L), None, Some(0L), None, None)), s"got $noCand")
   }
 
+  test("rougeN: an empty or whitespace-only side has ZERO tokens — the gramless-NULL path, no phantom '' gram") {
+    // `split("", " ")` alone would yield one empty token (cand_grams = 1,
+    // precision 0, and an '' gram that could clip against another phantom);
+    // the token contract filters empties, so an empty CANDIDATE is gramless:
+    // precision/f1 NULL, recall still 0 (defined — ADVICE r12)
+    val empty = rougeOf(1, (1L, "a b", ""))
+    assert(empty(1L) == ((0L, Some(2L), None, Some(0L), None, None)), s"got $empty")
+    // both sides empty: everything NULL except the 0 overlap
+    val both = rougeOf(1, (1L, "", ""))
+    assert(both(1L) == ((0L, None, None, None, None, None)), s"got $both")
+    // double spaces produce no phantom tokens either: "a  b" ≡ "a b"
+    val dbl = rougeOf(2, (1L, "a  b", "a b"))
+    assert(dbl(1L) == ((1L, Some(1L), Some(1L), Some(1000L), Some(1000L), Some(1000L))),
+      s"got $dbl")
+    // and bleuPrecisions shares the contract: empty candidate → cand_len 0,
+    // every order gramless-NULL
+    val b = TextEval.bleuPrecisions(pairs((1L, "a b", "")), maxN = 2)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), Option(r.getAs[Any]("cand_grams")), r.getLong(4), r.getLong(5),
+          Option(r.getAs[Any]("precision_pm"))))).toMap
+    assert(b(1) == ((0L, None, 2L, 0L, None)) && b(2) == ((0L, None, 2L, 0L, None)),
+      s"got $b")
+  }
+
   test("bleuPrecisions: the classic clipped-repetition example, NULL above the token count") {
     // ref "a b a", cand "a a a" — Papineni's degenerate-repetition case:
     // n=1 clipped overlap = min(3, 2) = 2 of 3 candidate grams → 666‰
@@ -79,12 +103,75 @@ class TextEvalSpec extends SparkSpec {
     assert(bleu == rouge, s"clip divergence between the two operators:\n$bleu\n$rouge")
   }
 
+  private def corpusRow(rows: (Long, String, String)*) =
+    TextEval.corpusGenerationEval(pairs(rows: _*)).collect().head
+
+  test("corpusGenerationEval: counts pool BEFORE ratios — corpus BLEU is NOT the mean of sentence BLEUs") {
+    // pair 1 is perfect, pair 2 has zero bigram overlap (sentence BLEU 0).
+    // Mean of sentence BLEUs = (1000 + 0)/2 = 500‰. The corpus pools:
+    //   ov1 = 5+2 = 7, ct1 = 5+4 = 9 → p1 = 777   rt1 = 9 → R1 = 777
+    //   ov2 = 4+0 = 4, ct2 = 4+3 = 7 → p2 = 571   rt2 = 7 → R2 = 571
+    //   ov3 = 3+0 = 3, ct3 = 3+2 = 5 → p3 = 600
+    //   ov4 = 2+0 = 2, ct4 = 2+1 = 3 → p4 = 666
+    //   gm = ⌊⁴√(777·571·600·666)⌋ = ⌊⁴√177_289_333_200⌋ = 648
+    //   lens 9 vs 9 → bp = 1000 → bleu = 648 ≠ 500 — the classic trap.
+    val r = corpusRow(
+      (1L, "a b c d e", "a b c d e"),
+      (2L, "x y z w", "x q z v"))
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 2L)
+    assert(r.getLong(r.fieldIndex("p1_pm")) == 777L, s"p1: $r")
+    assert(r.getLong(r.fieldIndex("p2_pm")) == 571L, s"p2: $r")
+    assert(r.getLong(r.fieldIndex("p3_pm")) == 600L, s"p3: $r")
+    assert(r.getLong(r.fieldIndex("p4_pm")) == 666L, s"p4: $r")
+    assert(r.getLong(r.fieldIndex("gm_pm")) == 648L, s"gm: $r")
+    assert(r.getLong(r.fieldIndex("bp_pm")) == 1000L, s"bp: $r")
+    assert(r.getLong(r.fieldIndex("bleu_pm")) == 648L, s"bleu: $r")
+    // micro ROUGE pools the same way: P = R = 7000 div 9 = 777 at n=1
+    assert(r.getLong(r.fieldIndex("rouge1_precision_pm")) == 777L &&
+      r.getLong(r.fieldIndex("rouge1_recall_pm")) == 777L &&
+      r.getLong(r.fieldIndex("rouge1_f1_pm")) == 777L, s"rouge1: $r")
+    assert(r.getLong(r.fieldIndex("rouge2_f1_pm")) == 571L, s"rouge2: $r")
+  }
+
+  test("corpusGenerationEval: the brevity penalty reads the driver-evaluated literal grid") {
+    // a perfect-prefix candidate at half the reference length: every
+    // precision 1000 → gm 1000; q = (100·8) div 4 = 200 → bp = ⌊1000·e⁻¹⌋
+    // = 367 → bleu 367
+    val r = corpusRow((1L, "a b c d e f g h", "a b c d"))
+    assert(r.getLong(r.fieldIndex("gm_pm")) == 1000L, s"gm: $r")
+    assert(r.getLong(r.fieldIndex("bp_pm")) == 367L, s"bp: $r")
+    assert(r.getLong(r.fieldIndex("bleu_pm")) == 367L, s"bleu: $r")
+    assert(TextEval.brevityPenaltyGrid.toMap.apply(200L) == 367L)
+    // the grid is exactly the documented ⌊1000·exp(1 − q/100)⌋ over 100..300
+    assert(TextEval.brevityPenaltyGrid.size == 201 &&
+      TextEval.brevityPenaltyGrid.head == ((100L, 1000L)) &&
+      TextEval.brevityPenaltyGrid.last == ((300L, 135L)))
+  }
+
+  test("corpusGenerationEval: NULL composite when an order is corpus-wide gramless; zero-precision stays 0, not NULL") {
+    // no candidate reaches 4 tokens → ct4 NULL → p4/gm/bleu NULL (the
+    // un-smoothed definition), while ROUGE-1/2 remain defined
+    val r = corpusRow((1L, "a b c d", "a b c"), (2L, "x y z", "x y"))
+    assert(r.isNullAt(r.fieldIndex("p4_pm")) && r.isNullAt(r.fieldIndex("gm_pm")) &&
+      r.isNullAt(r.fieldIndex("bleu_pm")), s"expected NULL composite: $r")
+    assert(!r.isNullAt(r.fieldIndex("rouge1_f1_pm")) &&
+      !r.isNullAt(r.fieldIndex("rouge2_f1_pm")), s"rouge must stay defined: $r")
+    // DEFINED-but-zero precision zeroes the geometric mean instead:
+    // 4-token candidate with zero order-2+ overlap → p2 = 0 → gm = 0, bleu 0
+    val z = corpusRow((1L, "a b c d", "a c b d"))
+    assert(z.getLong(z.fieldIndex("p2_pm")) == 0L &&
+      z.getLong(z.fieldIndex("gm_pm")) == 0L &&
+      z.getLong(z.fieldIndex("bleu_pm")) == 0L, s"got $z")
+  }
+
   test("rougeN fuzz: operator matches an independent sliding-window replica") {
     val rnd = new scala.util.Random(11_60)
     def doc() = Seq.fill(rnd.nextInt(12))("abcde".charAt(rnd.nextInt(5)).toString)
       .mkString(" ")
     def gramCounts(s: String, n: Int): Map[Seq[String], Long] = {
-      val w = s.split(" ", -1).toSeq
+      // the engine-shared token contract: split, then drop empty tokens —
+      // an empty doc() has ZERO tokens, not one phantom ''
+      val w = s.split(" ", -1).toSeq.filter(_.nonEmpty)
       if (w.size < n) Map.empty
       else w.sliding(n).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
     }

@@ -227,6 +227,29 @@ class PlanShapeSpec extends SparkSpec {
       "the probe join must broadcast the query side (anti-vacuousness check)")
   }
 
+  test("IVF-PQ served from the persisted table: partition-pruned scan, no corpus-side exchange") {
+    // q162 reads the catalog artifact: the probed cells must land as
+    // PartitionFilters on the index scan (pruning at the listing level),
+    // the probe join must broadcast the query side, and nothing above the
+    // scan may exchange the corpus before the bounded-heap top-k collapse
+    assertNever("q162_ivfpq_from_index",
+      "BroadcastNestedLoopJoin", "CartesianProduct", "Window", "SortMergeJoin")
+    val p = planOf("q162_ivfpq_from_index")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe join must broadcast the query side")
+    assert(p.contains("q162_idx"), "the scan must read the persisted table")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).nonEmpty,
+      "probed cells must prune partitions at the index scan")
+  }
+
+  test("corpus generation scorecard: per-order census sums + one broadcast combine, no window") {
+    // q163 pools the q161-shaped censuses to ≤4-row per-order sums; the
+    // only non-equi combine is the deliberate 1-row broadcast cross (the
+    // bm25 summary pattern), so ban windows and sort-merge joins
+    assertNever("q163_corpus_generation_eval", "Window", "SortMergeJoin",
+      "CartesianProduct")
+  }
+
   test("changelog compaction folds map-side — no window over the log") {
     // latest-wins is ONE max(struct) aggregation: a hot key's history
     // partially aggregates inside each task before the key exchange
