@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Preferences, Retrieval, Similarity, Skew, TextEval}
+import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Mixtures, Packing, Preferences, Retrieval, Similarity, Skew, TextEval}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -723,6 +723,49 @@ object PipelineQueries {
       // plan as q161, collapsing to ≤4-row per-order sums + one broadcast
       // combine — no windows, 1-row output.
       TextEval.corpusGenerationEval(dropoutPairs(s, d))),
+
+    "q164_sequence_packing" -> ((s, d) =>
+      // concat-and-chunk packing — the doc-SPLITTING convention, complement
+      // of q94's next-fit (which never splits a doc and wastes each bin's
+      // tail): token streams concatenate in doc_id order and cut into
+      // 256-token training sequences; output is each document's placement
+      // (global offset, first/last chunk, span). The global prefix sum is
+      // the TWO-LEVEL construction — per-bucket totals (bounded summary,
+      // the only unpartitioned window) + intra-bucket windows partitioned
+      // by range-contiguous doc_id div 1000 buckets, parallel across the
+      // cluster — never a single-partition window over the corpus. The
+      // oracle uses the naive global window (exact integer addition
+      // reassociates) and matches bit-for-bit.
+      Packing.packingPlan(Tables.documents(s, d), chunkTokens = 256,
+          bucketSpan = 1000L)
+        .orderBy(col("doc_id"))),
+
+    "q165_packing_report" -> ((s, d) =>
+      // the one-row packing-efficiency gate over q164's placement: total
+      // tokens, chunk count, tail padding (the only padding this packing
+      // produces), boundary-crossing docs (attention-mask fragmentation)
+      // and mean docs per training sequence — the numbers that decide
+      // whether chunk size / ordering need retuning before a run. Collapses
+      // the placement table in ONE aggregate; all integer floor division.
+      Packing.packingReport(
+        Packing.packingPlan(Tables.documents(s, d), chunkTokens = 256,
+          bucketSpan = 1000L),
+        chunkTokens = 256)),
+
+    "q166_domain_mixture" -> ((s, d) =>
+      // temperature-scaled domain mixture at ARBITRARY τ — the
+      // generalization of q123, whose exact-IEEE-sqrt trick pins τ to 0.5
+      // (sqrt is the only power IEEE requires correctly rounded): shares
+      // quantize to permille first, so ⌊1e6·(s/1000)^τ⌋ has a BOUNDED
+      // 1001-value domain and is DRIVER-evaluated once into plan literals
+      // (the q154/q163 grid discipline) — any τ is now a config value, and
+      // both engines consume the same integer table. Per source: natural
+      // token share (‰) → grid weight → normalized mixture weight and the
+      // ×1e6 up/down-sampling ratio vs natural (the column q123 lacks).
+      // One #sources-row census + broadcast 1-row combines; zero corpus
+      // joins, zero windows.
+      Mixtures.domainMixture(Tables.documents(s, d), tauTenths = 7)
+        .orderBy(col("source"))),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
@@ -4322,6 +4365,91 @@ object PipelineQueries {
                 CASE WHEN gm_pm IS NOT NULL AND bp_pm IS NOT NULL
                   THEN (bp_pm * gm_pm) // 1000 END AS bleu_pm
          FROM r2"""
+    },
+
+    // The naive single global window (exact integer addition reassociates,
+    // so the engine's two-level prefix sum matches it bit-for-bit). Same
+    // empty-dropping whitespace token contract on both sides.
+    "q164_sequence_packing" ->
+      """WITH tok AS (SELECT doc_id,
+                  CAST(coalesce(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')), 0) AS BIGINT) AS n_tok
+                FROM documents),
+         cum AS (SELECT doc_id, n_tok,
+                  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+                 FROM tok)
+         SELECT doc_id, n_tok, start_off,
+                CASE WHEN n_tok > 0 THEN start_off // 256 END AS first_chunk,
+                CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 256 END AS last_chunk,
+                CASE WHEN n_tok > 0
+                  THEN (start_off + n_tok - 1) // 256 - start_off // 256 + 1
+                  ELSE CAST(0 AS BIGINT) END AS n_chunks
+         FROM cum ORDER BY doc_id""",
+
+    // Same placement CTE collapsed to the one-row report; all integer
+    // floor division, NULL ratios on a degenerate (zero-token) corpus.
+    "q165_packing_report" ->
+      """WITH tok AS (SELECT doc_id,
+                  CAST(coalesce(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')), 0) AS BIGINT) AS n_tok
+                FROM documents),
+         cum AS (SELECT doc_id, n_tok,
+                  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+                 FROM tok),
+         pl AS (SELECT n_tok,
+                  CASE WHEN n_tok > 0
+                    THEN (start_off + n_tok - 1) // 256 - start_off // 256 + 1
+                    ELSE CAST(0 AS BIGINT) END AS n_chunks
+                FROM cum),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_crossing,
+                 CAST(sum(n_chunks) AS BIGINT) AS chunk_incidences
+               FROM pl)
+         SELECT n_docs, total_tokens, docs_crossing,
+                (total_tokens + 255) // 256 AS n_chunks,
+                ((total_tokens + 255) // 256) * 256 - total_tokens AS tail_pad,
+                CASE WHEN n_docs > 0
+                  THEN (1000 * docs_crossing) // n_docs END AS crossing_pm,
+                CASE WHEN total_tokens > 0
+                  THEN (1000000 * chunk_incidences) // ((total_tokens + 255) // 256)
+                  END AS mean_docs_per_chunk_fp
+         FROM a""",
+
+    // The SAME Scala-generated ⌊1e6·(s/1000)^0.7⌋ grid as a VALUES table
+    // (the q163 brevity-grid idiom) — the only transcendental is evaluated
+    // once on the driver, so both engines do pure integer arithmetic.
+    "q166_domain_mixture" -> {
+      val gridValues = graft.operators.Mixtures.temperatureGrid(7)
+        .map { case (s, v) => s"($s, $v)" }.mkString(", ")
+      s"""WITH grid AS (SELECT CAST(s AS BIGINT) AS s, CAST(v AS BIGINT) AS v
+                        FROM (VALUES $gridValues) AS t(s, v)),
+          ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps),
+          sh AS (SELECT source, n_docs, n_tokens,
+                   CASE WHEN total_tokens > 0
+                     THEN (1000 * n_tokens) // total_tokens
+                     ELSE CAST(0 AS BIGINT) END AS share_pm
+                 FROM ps, tot),
+          tw AS (SELECT sh.*, (SELECT v FROM grid WHERE s = share_pm) AS temp_wt
+                 FROM sh),
+          ws AS (SELECT CAST(sum(temp_wt) AS BIGINT) AS wt_sum FROM tw),
+          mx AS (SELECT tw.*,
+                   CASE WHEN wt_sum > 0
+                     THEN (1000 * temp_wt) // wt_sum END AS mix_pm
+                 FROM tw, ws)
+          SELECT source, n_docs, n_tokens, share_pm, temp_wt, mix_pm,
+                 CASE WHEN share_pm > 0
+                   THEN (1000000 * mix_pm) // share_pm END AS upsample_fp
+          FROM mx ORDER BY source"""
     },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests
     // and token coordinates are bit-identical. DuckDB keeps the

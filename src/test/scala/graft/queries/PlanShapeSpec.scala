@@ -242,6 +242,31 @@ class PlanShapeSpec extends SparkSpec {
       "probed cells must prune partitions at the index scan")
   }
 
+  test("sequence packing: corpus windows are bucket-partitioned, bucket offsets broadcast") {
+    // the q164 scale claim: the ONLY unpartitioned window runs over the
+    // bounded bucket-summary aggregate; every corpus-row window is
+    // partitioned by bucket (parallel), and bucket offsets reach the corpus
+    // side by broadcast — never a sort-merge join or cartesian
+    for (q <- Seq("q164_sequence_packing", "q165_packing_report")) {
+      assertNever(q, "SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
+      val p = planOf(q)
+      assert(p.contains("windowspecdefinition(bucket"),
+        s"$q: the corpus-side prefix sum must be partitioned by bucket")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: bucket offsets must join by broadcast")
+    }
+  }
+
+  test("domain mixture: one bounded census, broadcast combines, no window") {
+    // q166 collapses documents to a #sources-row census; the grid lookup is
+    // plan literals and the two 1-row combines are deliberate broadcast
+    // crosses (the bm25 pattern) — windows and sort-merge joins are banned
+    assertNever("q166_domain_mixture", "Window", "SortMergeJoin")
+    val p = planOf("q166_domain_mixture")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "the source census aggregate must appear (anti-vacuousness check)")
+  }
+
   test("corpus generation scorecard: per-order census sums + one broadcast combine, no window") {
     // q163 pools the q161-shaped censuses to ≤4-row per-order sums; the
     // only non-equi combine is the deliberate 1-row broadcast cross (the
