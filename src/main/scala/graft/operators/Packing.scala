@@ -55,10 +55,19 @@ object Packing {
    * @param bucketSpan width of the doc_id ranges forming the outer prefix-sum
    *                   level; the bucket-summary window (the only
    *                   single-partition step) sees max(doc_id)/bucketSpan rows.
+   * @param baseOffset token offset the stream starts at — what makes packing
+   *                   INCREMENTAL under daily-crawl arrival: a new day's docs
+   *                   (ids above every prior id) pack with `baseOffset` = the
+   *                   accumulated token total, and the appended placements
+   *                   equal the full-corpus recompute without touching a
+   *                   prior day's rows (the prefix sum needs only the running
+   *                   total, a 1-row state).
    */
-  def packingPlan(docs: DataFrame, chunkTokens: Int, bucketSpan: Long): DataFrame = {
+  def packingPlan(docs: DataFrame, chunkTokens: Int, bucketSpan: Long,
+                  baseOffset: Long = 0L): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive (got $chunkTokens)")
     require(bucketSpan > 0, s"bucketSpan must be positive (got $bucketSpan)")
+    require(baseOffset >= 0L, s"baseOffset must be non-negative (got $baseOffset)")
 
     val tok = docs.select(
       col("doc_id"),
@@ -84,7 +93,8 @@ object Packing {
     val placed = tok
       .join(broadcast(bucketOff), "bucket")
       .select(col("doc_id"), col("n_tok"),
-        (col("boff") + coalesce(sum(col("n_tok")).over(intra), lit(0L)))
+        (lit(baseOffset) + col("boff") +
+          coalesce(sum(col("n_tok")).over(intra), lit(0L)))
           .as("start_off"))
 
     val c = lit(chunkTokens.toLong)

@@ -113,6 +113,13 @@ object ScaleUp {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "localdata/sf1.0"
     val k = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset — a THIRD-decade corpus
+    // (k=1000) is only affordable for the tables the candidate-generation
+    // family reads (documents, embeddings); replicating 600M lineitem rows
+    // nobody queries would spend the disk budget on ballast
+    val tables: Set[String] = if (args.length > 3) args(3).split(",").toSet
+      else Set("nation", "region", "documents", "embeddings", "events",
+        "orders", "lineitem", "customer", "part", "supplier")
     require(k >= 1, s"replication factor must be >= 1 (got $k)")
     // A cipher or embedding-transform collision between two replicas would
     // plant exact cross-replica twins — precisely the degenerate duplication
@@ -136,21 +143,23 @@ object ScaleUp {
     }
 
     // dims copy unscaled
-    for (t <- Seq("nation", "region")) write(t, src(t))
+    for (t <- Seq("nation", "region") if tables(t)) write(t, src(t))
 
-    // key strides come from the SOURCE tables, computed once
-    val docStride = maxKey(src("documents"), "doc_id")
-    val vecStride = maxKey(src("embeddings"), "vec_id")
-    val evStride = maxKey(src("events"), "event_id")
-    val userStride = maxKey(src("events"), "user_id")
-    val ordStride = maxKey(src("orders"), "o_orderkey")
-    val custStride = maxKey(src("customer"), "c_custkey")
-    val partStride = maxKey(src("part"), "p_partkey")
-    val suppStride = maxKey(src("supplier"), "s_suppkey")
+    // key strides come from the SOURCE tables, computed once — lazily, so a
+    // table-subset run never scans tables it won't write
+    lazy val docStride = maxKey(src("documents"), "doc_id")
+    lazy val vecStride = maxKey(src("embeddings"), "vec_id")
+    lazy val evStride = maxKey(src("events"), "event_id")
+    lazy val userStride = maxKey(src("events"), "user_id")
+    lazy val ordStride = maxKey(src("orders"), "o_orderkey")
+    lazy val custStride = maxKey(src("customer"), "c_custkey")
+    lazy val partStride = maxKey(src("part"), "p_partkey")
+    lazy val suppStride = maxKey(src("supplier"), "s_suppkey")
 
     /** K replicas of `table`, each transformed by `f(replica, df)`. */
     def replicate(table: String)(f: (Int, DataFrame) => DataFrame): Unit =
-      write(table, (0 until k).map(r => f(r, src(table))).reduce(_ unionByName _))
+      if (tables(table))
+        write(table, (0 until k).map(r => f(r, src(table))).reduce(_ unionByName _))
 
     replicate("documents") { (r, d) =>
       val (lo, up) = perm(r)
@@ -163,14 +172,16 @@ object ScaleUp {
     // constant across replicas — computed once, not one scan per replica;
     // embedding-transform distinctness needs the dim, so it is asserted
     // here (the cipher check above runs before the session exists)
-    val embDim = src("embeddings").select(size(col("embedding"))).head().getInt(0)
-    require((0 until k).map(embTransformKey(_, embDim)).distinct.size == k,
-      s"signed-rotation collision within $k replicas at dim $embDim (max " +
-        s"distinct transforms: $embDim * 2^${math.min(embDim, 63)}) - " +
-        "reduce k or widen the embedding")
-    replicate("embeddings") { (r, d) =>
-      d.select((col("vec_id") + lit(r * vecStride)).as("vec_id"),
-        signedRotate(col("embedding"), r, embDim).as("embedding"), col("label"))
+    if (tables("embeddings")) {
+      val embDim = src("embeddings").select(size(col("embedding"))).head().getInt(0)
+      require((0 until k).map(embTransformKey(_, embDim)).distinct.size == k,
+        s"signed-rotation collision within $k replicas at dim $embDim (max " +
+          s"distinct transforms: $embDim * 2^${math.min(embDim, 63)}) - " +
+          "reduce k or widen the embedding")
+      replicate("embeddings") { (r, d) =>
+        d.select((col("vec_id") + lit(r * vecStride)).as("vec_id"),
+          signedRotate(col("embedding"), r, embDim).as("embedding"), col("label"))
+      }
     }
 
     replicate("events") { (r, d) =>

@@ -802,4 +802,54 @@ class SessionizeSpec extends SparkSpec {
       s"closed-corpus refresh != batch scorecard:\n$lastScore\n$batchScore")
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
+
+  test("streaming sequence packing appends placements equal to the batch pack") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // daily-crawl packing: each day's docs (ids above every prior id — the
+    // crawl-arrival contract) pack against the RUNNING token total only (a
+    // 1-row state), never re-reading prior days. The appended placements
+    // must equal the one-shot batch packingPlan over the closed corpus —
+    // packing is incremental because the prefix sum needs nothing but
+    // baseOffset. Chunk size 8 with uneven day totals forces day boundaries
+    // to land mid-chunk, so the baseOffset arithmetic is genuinely
+    // exercised (day 2's first doc must continue day 1's half-open chunk).
+    val inDir = Files.createTempDirectory("graft-pack-in").toFile
+    val ckDir = Files.createTempDirectory("graft-pack-ck").toFile
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5)), (2L, words(6)),          // day 0: 11 tokens
+      (10L, words(3)), (11L, words(9)),        // day 1: 12 tokens (starts mid-chunk 1)
+      (20L, words(1)), (21L, words(4))         // day 2: 5 tokens
+    ).toDF("doc_id", "text")
+    (0 until 3).foreach(c => docs.where(expr("doc_id div 10") === c)
+      .coalesce(1).write.parquet(s"$inDir/day=$c"))
+    var tokTotal = 0L
+    var placements: org.apache.spark.sql.DataFrame = null
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/day=*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val placed = Packing
+            .packingPlan(b, chunkTokens = 8, bucketSpan = 4L, baseOffset = tokTotal)
+            .localCheckpoint()
+          placements = if (placements == null) placed
+                       else placements.unionByName(placed).localCheckpoint()
+          tokTotal += placed.agg(sum(col("n_tok"))).collect()(0).getLong(0)
+          batches += 1
+        }
+      }
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(batches >= 3, s"need >= 3 micro-batches, got $batches")
+    val got = placements.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = Packing.packingPlan(docs, chunkTokens = 8, bucketSpan = 4L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want, s"streamed placements != batch pack:\n$got\n$want")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }
