@@ -113,6 +113,32 @@ else
   echo "bench artifact: MISSING"; [[ $gate -eq 1 ]] && fail=1
 fi
 
+# scaling artifacts must be VALID (VERDICT r13 #1): the r13 snapshot
+# committed a crashed sf1.0 sweep (complete:false, 80/166, 7 errors) with
+# no adjudication. Every bench_scaling_*.json in the repo must be a
+# complete, error-free run — a crashed sweep gets renamed to
+# *.json.crashed (kept for the record, excluded from evidence) and re-run.
+scaling_bad=$(python3 - <<'PYEOF'
+import glob, json
+bad = []
+for f in sorted(glob.glob("bench_scaling_*.json")):
+    try:
+        d = json.load(open(f))
+    except Exception as e:
+        bad.append(f"{f}(unparseable)")
+        continue
+    if d.get("complete") is not True or d.get("errors"):
+        bad.append(f"{f}(complete={d.get('complete')},errors={len(d.get('errors', {}))})")
+print(" ".join(bad))
+PYEOF
+)
+if [[ -n "$scaling_bad" ]]; then
+  echo "scaling artifacts INVALID: $scaling_bad"
+  [[ $gate -eq 1 ]] && fail=1
+else
+  echo "scaling artifacts: all complete, zero errors"
+fi
+
 # the FIFTH count (VERDICT r12 #8): the gate takes the sbt test log as
 # arg 3 and verifies it, so declared/bench/correctness/COVERAGE *and*
 # tests are one atomic check — no count left on faith

@@ -222,9 +222,10 @@ object Annotations {
    * d_e_ppm, alpha_pm); for several metrics over one campaign use
    * [[krippendorffAlphaMetrics]], which shares the censuses across the
    * metric blocks. Same scale posture as [[fleissKappa]]: censuses →
-   * driver-sized summaries combined by broadcast cross joins; the only
-   * corpus-sized joins are equi on `item` (the within-item pair expansion,
-   * bounded labels² fanout). The distance table itself is classes² rows.
+   * driver-sized summaries combined by broadcast cross joins; the
+   * within-item pair expansion is a bounded array lambda over each item's
+   * ≤ classes-entry label census — NO corpus-sized join anywhere. The
+   * distance table itself is classes² rows.
    */
   def krippendorffAlphaMetric(ann: DataFrame, maxRaters: Int,
                               metric: String): DataFrame =
@@ -232,14 +233,34 @@ object Annotations {
 
   /**
    * Every requested metric over ONE set of campaign censuses — the
-   * shared-census composition (VERDICT r12 #3): `cell`/`kept`/`keptCell`/
-   * `classMass` build once as LAZY `persist` reuse points (cached at the
-   * first action, substituted into each metric block's plan — and
-   * construction still runs zero Spark jobs, ConstructionJobsSpec), so a
-   * three-metric report pays the corpus-sized censuses once, not three
-   * times. Per metric only the classes²-row distance table and the two
-   * driver-sized D_o/D_e sums differ. Output: one row per metric, in the
-   * given order, with [[krippendorffAlphaMetric]]'s exact columns/values.
+   * shared-census composition (VERDICT r12 #3), restructured twice by
+   * measurement:
+   *
+   *   - r13 shared the CORPUS-SIZED censuses (`cell`/`kept`/`keptCell`) as
+   *     lazy `persist(MEMORY_AND_DISK)` reuse points: that REGRESSED q159
+   *     (3.03 → 4.10 s at sf0.1 — materializing corpus-sized frames costs
+   *     more than it saves) and its storage pressure is the prime suspect
+   *     in the r13 sf1.0 sweep crash (VERDICT r13 #1/#2).
+   *   - Plain logical sharing (no persist, hope for physical exchange
+   *     reuse) is WORSE still (5.3 s measured): each metric block inlines
+   *     the census subtrees at every reference, the unioned plan balloons
+   *     to ~420 exchanges / ~96 corpus scans, and reuse only catches a
+   *     tenth of them — the cost is plan size, not data.
+   *
+   * The shape that survives measurement: fold the corpus ONCE per bounded
+   * summary and persist ONLY the summaries. `perItem` collapses the
+   * campaign to one row per item (the ≤classes-entry label census as an
+   * array + the rating count m — a two-level groupBy, never a self-join);
+   * from it derive the three METRIC-INDEPENDENT summaries every block
+   * reads: `pairMass` (classes² rows — the within-item unordered-pair mass
+   * Σ (W div (m−1))·2·t_c·t_k, which is D_o's whole corpus dependence),
+   * `classMass` (classes rows), and 1-row `stats`. Those persist as
+   * tracked lazy reuse points ([[Checkpoints.reusePoint]] — released by
+   * `Checkpoints.release`, deduped across repeated calls, ≤ classes²+
+   * classes+1 rows of storage, construction still runs zero Spark jobs).
+   * Per metric only the classes²-row distance table and two tiny
+   * broadcast-joined sums remain. Output: one row per metric, in the given
+   * order, with [[krippendorffAlphaMetric]]'s exact columns/values.
    */
   def krippendorffAlphaMetrics(ann: DataFrame, maxRaters: Int,
                                metrics: Seq[String]): DataFrame = {
@@ -267,28 +288,47 @@ object Annotations {
     }
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val w = (1 until maxRaters).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
-    def shared(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cell = shared(ann.groupBy(col("item"), col("label"))
-      .agg(count(lit(1)).as("t")))
-    val items = cell.groupBy(col("item")).agg(sum(col("t")).as("m"))
-    val kept = shared(items.where(col("m") >= 2 && col("m") <= maxRaters))
-    val keptCell = shared(cell.join(kept.select(col("item")), Seq("item")))
-    val classMass = shared(keptCell.groupBy(col("label"))
-      .agg(sum(col("t")).as("nc")))
-    val tot = kept.agg(count(lit(1)).as("n_items"),
-      coalesce(sum(col("m")), lit(0L)).as("n"))
-    val dropped = items.agg(coalesce(
-      sum(when(col("m") < 2 || col("m") > maxRaters, 1L).otherwise(0L)),
-      lit(0L)).as("n_dropped"))
+    // ONE corpus fold per summary: item×label counts, then one row per item
+    // carrying its bounded label census (≤ classes entries) and rating count
+    val perItem = ann.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("item"))
+      .agg(collect_list(struct(col("label").as("l"), col("t").as("t")))
+        .as("lst"),
+        sum(col("t")).as("m"))
+    val keptCond = col("m") >= 2 && col("m") <= maxRaters
+    val keptItems = perItem.where(keptCond)
+
+    // the three bounded, metric-independent summaries — the only persisted
+    // (tracked, releasable) frames; everything corpus-sized stays one-pass
+    val stats = Checkpoints.reusePoint(perItem.agg(
+      coalesce(sum(when(keptCond, 1L).otherwise(0L)), lit(0L)).as("n_items"),
+      coalesce(sum(when(keptCond, col("m")).otherwise(0L)), lit(0L)).as("n"),
+      coalesce(sum(when(keptCond, 0L).otherwise(1L)), lit(0L)).as("n_dropped")))
+
+    // within-item unordered label pairs from the per-item array — a lambda
+    // expansion over ≤ classes²/2 combinations, never a corpus self-join
+    val pairMass = Checkpoints.reusePoint(keptItems
+      .select(col("m"), explode(expr(
+        "filter(flatten(transform(lst, x -> transform(lst, y -> " +
+          "struct(x.l AS c, y.l AS k, x.t AS tc, y.t AS tk)))), " +
+          "p -> p.c < p.k)")).as("p"))
+      .groupBy(col("p.c").as("c"), col("p.k").as("k"))
+      .agg(sum(expr(s"($w div (m - 1)) * 2 * p.tc * p.tk")).as("s")))
+
+    val classMass = Checkpoints.reusePoint(keptItems
+      .select(explode(col("lst")).as("x"))
+      .groupBy(col("x.l").as("label"))
+      .agg(sum(col("x.t")).as("nc")))
 
     def block(metric: String): DataFrame = {
       // class-pair distances over OBSERVED classes (c < k): e per metric,
       // then the ‰-of-max quantization and the square
       // classMass is classes-row bounded by contract — broadcast the
-      // inequality-join sides EXPLICITLY (the cached census carries no size
-      // stats, and an unhinted c<k join degrades to a CartesianProduct)
+      // inequality-join sides EXPLICITLY (the census aggregate carries no
+      // usable size stats, and an unhinted c<k join degrades to a
+      // CartesianProduct)
       val base = classMass.select(col("label").as("c"), col("nc").as("nc_c"))
         .join(broadcast(classMass.select(col("label").as("k"), col("nc").as("nc_k"))),
           col("c") < col("k"))
@@ -313,25 +353,18 @@ object Annotations {
             .otherwise(lit(0L)).as("eq"))
         .select(col("c"), col("k"), (col("eq") * col("eq")).as("d"))
 
-      // D_o: within-item unordered label pairs (equi self-join on item,
-      // labels² fanout) against the broadcast distance table
-      val doNum = keptCell.select(col("item"), col("label").as("c"), col("t").as("tc"))
-        .join(keptCell.select(col("item"), col("label").as("k"), col("t").as("tk")),
-          Seq("item"))
-        .where(col("c") < col("k"))
+      // D_o: the metric-independent pair mass (classes² cached rows — the
+      // corpus already folded into it) against the broadcast distance table
+      val doNum = pairMass
         .join(broadcast(dq), Seq("c", "k"))
-        .groupBy(col("item"))
-        .agg(sum(lit(2L) * col("tc") * col("tk") * col("d")).as("ddis"))
-        .join(kept, Seq("item"))
-        .select(expr(s"($w div (m - 1)) * ddis").as("contrib"))
-        .agg(coalesce(sum(col("contrib")), lit(0L)).as("do_num"))
+        .agg(coalesce(sum(col("s") * col("d")), lit(0L)).as("do_num"))
 
       // D_e from ‰ margins with the n(n−1) small-sample denominators
       val deAgg = classMass.select(col("label").as("c"), col("nc").as("nc_c"))
         .join(broadcast(classMass.select(col("label").as("k"), col("nc").as("nc_k"))),
           col("c") < col("k"))
         .join(broadcast(dq), Seq("c", "k"))
-        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(stats.select(col("n"))))
         .select(when(col("n") > 1,
           (expr("(1000 * nc_c) div n") * expr("(1000 * nc_k) div (n - 1)") +
             expr("(1000 * nc_k) div n") * expr("(1000 * nc_c) div (n - 1)")) *
@@ -339,7 +372,7 @@ object Annotations {
         .agg(coalesce(sum(col("term")), lit(0L)).as("de_sum"))
         .select(expr("de_sum div 1000000").as("de_raw"))
 
-      tot.crossJoin(broadcast(dropped))
+      stats
         .crossJoin(broadcast(doNum)).crossJoin(broadcast(deAgg))
         .select(lit(metric).as("metric"), col("n_items"), col("n_dropped"),
           when(col("n") > 0, expr(s"do_num div ($w * n)")).as("d_o_ppm"),

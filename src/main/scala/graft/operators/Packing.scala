@@ -113,32 +113,52 @@ object Packing {
    * One-row packing-efficiency report over a [[packingPlan]] placement
    * table — the numbers a training-infra gate reads before a run:
    *
-   *   - `total_tokens`, `n_chunks` = ⌈total/chunkTokens⌉, and `tail_pad`
-   *     (the ONLY padding concat-and-chunk produces — its whole point);
+   *   - `total_tokens`, `n_chunks`, and `tail_pad` (the ONLY padding
+   *     concat-and-chunk produces — its whole point);
    *   - `docs_crossing` / `crossing_pm`: documents split across a chunk
    *     boundary (attention-mask fragmentation — the packing trade-off);
    *   - `mean_docs_per_chunk_fp` (×1e6): Σ per-doc chunk incidences over
    *     n_chunks — how many documents a training sequence mixes on average.
    *
-   * All integer floor division; a corpus with zero tokens reports NULL
-   * fragmentation ratios rather than dividing by zero.
+   * Chunk counts derive from the placement OFFSETS, not Σ n_tok: n_chunks
+   * is the number of chunk indices the slice's token span touches
+   * (⌈max_end/C⌉ − ⌊min_off/C⌋ over the nonzero-token rows) and tail_pad
+   * the padding after the span's last token — so the report is correct for
+   * an INCREMENTAL placement slice built with `baseOffset > 0` (a single
+   * day's append), where a Σ n_tok-based count would pretend the stream
+   * starts at chunk 0 (ADVICE r13). Over a full-stream placement from
+   * offset 0 the two formulations agree exactly (min_off = 0,
+   * max_end = Σ n_tok), so the DuckDB oracle twin is unchanged in value.
+   *
+   * All integer floor division; a corpus with zero tokens reports 0
+   * chunks/pad and NULL fragmentation ratios rather than dividing by zero.
    */
   def packingReport(placement: DataFrame, chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive (got $chunkTokens)")
+    val c = chunkTokens.toLong
     placement.agg(
       count(lit(1)).as("n_docs"),
-      sum(col("n_tok")).as("total_tokens"),
+      coalesce(sum(col("n_tok")), lit(0L)).as("total_tokens"),
       sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("docs_crossing"),
-      sum(col("n_chunks")).as("chunk_incidences")
+      sum(col("n_chunks")).as("chunk_incidences"),
+      min(when(col("n_tok") > 0, col("start_off"))).as("min_off"),
+      max(when(col("n_tok") > 0, col("start_off") + col("n_tok"))).as("max_end")
     ).select(
       col("n_docs"), col("total_tokens"), col("docs_crossing"),
-      expr(s"(total_tokens + ${chunkTokens - 1}) div $chunkTokens").as("n_chunks"),
-      expr(s"((total_tokens + ${chunkTokens - 1}) div $chunkTokens) * $chunkTokens - total_tokens")
-        .as("tail_pad"),
+      expr(
+        s"""CASE WHEN total_tokens > 0
+            THEN (max_end + ${c - 1}) div $c - min_off div $c
+            ELSE CAST(0 AS BIGINT) END""").as("n_chunks"),
+      expr(
+        s"""CASE WHEN total_tokens > 0
+            THEN ((max_end + ${c - 1}) div $c) * $c - max_end
+            ELSE CAST(0 AS BIGINT) END""").as("tail_pad"),
       expr("CASE WHEN n_docs > 0 THEN (1000 * docs_crossing) div n_docs END")
         .as("crossing_pm"),
-      expr(s"""CASE WHEN total_tokens > 0
-               THEN (1000000 * chunk_incidences) div ((total_tokens + ${chunkTokens - 1}) div $chunkTokens)
-               END""").as("mean_docs_per_chunk_fp"))
+      expr(
+        s"""CASE WHEN total_tokens > 0
+            THEN (1000000 * chunk_incidences) div
+                 ((max_end + ${c - 1}) div $c - min_off div $c)
+            END""").as("mean_docs_per_chunk_fp"))
   }
 }

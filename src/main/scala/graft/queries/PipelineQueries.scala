@@ -94,7 +94,10 @@ object PipelineQueries {
    * zero jobs, ConstructionJobsSpec): the per-word md5 is the expensive
    * part and every gram order re-reads the same pair table; because the
    * cache is keyed on the PLAN, q160 and q161 (and a seeded bench copy)
-   * share one materialization. Repartitioned first: the per-word md5 roll and
+   * share one materialization — SeedSubstitutionSpec pins the
+   * InMemoryRelation in all three consumers' physical plans, and the
+   * reuse point is tracked so `Checkpoints.release` can free it
+   * (VERDICT r13 #3/#4). Repartitioned first: the per-word md5 roll and
    * the downstream multi-order gram explosion are the heavy per-row work
    * of these queries, and a compact corpus can arrive as ONE scan
    * partition (sf0.1 is a single parquet file — measured 1-task, 8 s);
@@ -102,7 +105,7 @@ object PipelineQueries {
    * that follow, and sizes with the session's parallelism, not a magic
    * constant. */
   private def dropoutPairs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    graft.operators.Checkpoints.reusePoint(Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
       col("doc_id").as("id"), col("text").as("reference"),
@@ -110,8 +113,7 @@ object PipelineQueries {
         """array_join(filter(transform(split(text, ' '), (w, p) ->
              CASE WHEN cast(conv(substring(md5(concat('drop', doc_id, ':', p)), 1, 4), 16, 10) as int) % 5 = 0
                   THEN NULL ELSE w END), x -> x IS NOT NULL), ' ')""")
-        .as("candidate"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as("candidate")))
 
   /** embeddings → (id, vec) in double precision. */
   private def embVecs(s: SparkSession, d: String, pred: Column = lit(true)): DataFrame =
@@ -672,8 +674,10 @@ object PipelineQueries {
       // coefficient was hiding. Labels are ordered severities (0 < 1 < 2
       // by n_chars), so interval/ordinal are the honest coefficients here.
       // the SHARED-census composition (VERDICT r12 #3): cell/kept/keptCell/
-      // classMass build once (lazy persist reuse points) and all three
-      // metric blocks derive from them — not three independent census runs
+      // classMass build once and all three metric blocks derive from them —
+      // shared via physical-plan exchange reuse (ReusedExchange), not
+      // persist: the r13 persist variant regressed this query and crashed
+      // the sf1.0 sweep under storage-memory pressure (VERDICT r13 #1/#2)
       val sparse = annotatedDocs(s, d).where(expr(
         "cast(conv(substring(md5(concat('skip', annotator, ':', item)), 1, 4), 16, 10) as int) % 6 != annotator"))
       Annotations.krippendorffAlphaMetrics(sparse, maxRaters = 5,
@@ -765,6 +769,30 @@ object PipelineQueries {
       // One #sources-row census + broadcast 1-row combines; zero corpus
       // joins, zero windows.
       Mixtures.domainMixture(Tables.documents(s, d), tauTenths = 7)
+        .orderBy(col("source"))),
+
+    "q167_domain_mixture_fine" -> ((s, d) =>
+      // the ppm-resolution mixture closing q166's sub-permille cliff
+      // (VERDICT r13 #5): a domain under 0.1% of corpus tokens quantizes
+      // to share_pm = 0 in the permille variant and VANISHES from the
+      // mixture — exactly the small domains τ < 1 exists to up-sample.
+      // The fixture derives one (the q59 in-query discipline, so the
+      // DuckDB twin rebuilds the SAME frame): doc 0 becomes a one-token
+      // 'tiny' source (~40 ppm of sf0.01 tokens, shrinking with sf) and
+      // everything else 'big'. Fine shares: overflow-safe ppm division
+      // clamped to ≥ 1 for any non-empty source, 2-significant-digit
+      // floor quantization (the bounded 461-value domain), exact-floor
+      // ×1e9 power grid as plan literals — 'tiny' gets a NONZERO temp_wt
+      // and mixture weight at τ = 0.7, upsample_fp ≫ 1e6 (heavily
+      // up-sampled vs natural), while q166 on the same frame would drop
+      // it. Same shape: one #sources census, broadcast 1-row combines.
+      Mixtures.domainMixtureFine(
+        Tables.documents(s, d).select(
+          when(col("doc_id") === 0, lit("tiny")).otherwise(lit("big"))
+            .as("source"),
+          when(col("doc_id") === 0, lit("x")).otherwise(col("text"))
+            .as("text")),
+        tauTenths = 7)
         .orderBy(col("source"))),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
@@ -4400,24 +4428,31 @@ object PipelineQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                     AS start_off
                  FROM tok),
-         pl AS (SELECT n_tok,
+         pl AS (SELECT n_tok, start_off,
                   CASE WHEN n_tok > 0
                     THEN (start_off + n_tok - 1) // 256 - start_off // 256 + 1
                     ELSE CAST(0 AS BIGINT) END AS n_chunks
                 FROM cum),
          a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens,
                  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS docs_crossing,
-                 CAST(sum(n_chunks) AS BIGINT) AS chunk_incidences
+                 CAST(sum(n_chunks) AS BIGINT) AS chunk_incidences,
+                 min(CASE WHEN n_tok > 0 THEN start_off END) AS min_off,
+                 max(CASE WHEN n_tok > 0 THEN start_off + n_tok END) AS max_end
                FROM pl)
          SELECT n_docs, total_tokens, docs_crossing,
-                (total_tokens + 255) // 256 AS n_chunks,
-                ((total_tokens + 255) // 256) * 256 - total_tokens AS tail_pad,
+                CASE WHEN total_tokens > 0
+                  THEN (max_end + 255) // 256 - min_off // 256
+                  ELSE CAST(0 AS BIGINT) END AS n_chunks,
+                CASE WHEN total_tokens > 0
+                  THEN ((max_end + 255) // 256) * 256 - max_end
+                  ELSE CAST(0 AS BIGINT) END AS tail_pad,
                 CASE WHEN n_docs > 0
                   THEN (1000 * docs_crossing) // n_docs END AS crossing_pm,
                 CASE WHEN total_tokens > 0
-                  THEN (1000000 * chunk_incidences) // ((total_tokens + 255) // 256)
+                  THEN (1000000 * chunk_incidences)
+                       // ((max_end + 255) // 256 - min_off // 256)
                   END AS mean_docs_per_chunk_fp
          FROM a""",
 
@@ -4449,6 +4484,53 @@ object PipelineQueries {
           SELECT source, n_docs, n_tokens, share_pm, temp_wt, mix_pm,
                  CASE WHEN share_pm > 0
                    THEN (1000000 * mix_pm) // share_pm END AS upsample_fp
+          FROM mx ORDER BY source"""
+    },
+
+    // The ppm-resolution twin: same derived tiny/big frame, the same
+    // Scala-generated exact-floor ×1e9 grid over the 461-value quantized
+    // share domain, and the same overflow-safe two-regime ppm division +
+    // 2-significant-digit floor quantization in portable integer SQL.
+    "q167_domain_mixture_fine" -> {
+      val gridValues = graft.operators.Mixtures.temperatureGridPpm(7)
+        .map { case (s, v) => s"($s, $v)" }.mkString(", ")
+      s"""WITH grid AS (SELECT CAST(s AS BIGINT) AS s, CAST(v AS BIGINT) AS v
+                        FROM (VALUES $gridValues) AS t(s, v)),
+          src AS (SELECT CASE WHEN doc_id = 0 THEN 'tiny' ELSE 'big' END AS source,
+                         CASE WHEN doc_id = 0 THEN 'x' ELSE text END AS text
+                  FROM documents),
+          ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT) AS n_tokens
+                 FROM src GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps),
+          sh AS (SELECT source, n_docs, n_tokens,
+                   CASE WHEN n_tokens <= 0 OR total_tokens <= 0 THEN CAST(0 AS BIGINT)
+                        ELSE LEAST(CAST(1000000 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+                          CASE WHEN total_tokens >= 1000
+                               THEN (1000 * n_tokens) // (total_tokens // 1000)
+                               ELSE (1000000 * n_tokens) // total_tokens END))
+                   END AS share_ppm
+                 FROM ps, tot),
+          qz AS (SELECT sh.*,
+                   CASE WHEN share_ppm < 100 THEN share_ppm
+                        ELSE (share_ppm // CAST('1' || repeat('0',
+                               len(CAST(share_ppm AS VARCHAR)) - 2) AS BIGINT))
+                             * CAST('1' || repeat('0',
+                               len(CAST(share_ppm AS VARCHAR)) - 2) AS BIGINT)
+                   END AS share_q
+                 FROM sh),
+          tw AS (SELECT source, n_docs, n_tokens, share_ppm,
+                   (SELECT v FROM grid WHERE s = share_q) AS temp_wt
+                 FROM qz),
+          ws AS (SELECT CAST(sum(temp_wt) AS BIGINT) AS wt_sum FROM tw),
+          mx AS (SELECT tw.*,
+                   CASE WHEN wt_sum > 0
+                     THEN (1000000 * temp_wt) // wt_sum END AS mix_ppm
+                 FROM tw, ws)
+          SELECT source, n_docs, n_tokens, share_ppm, temp_wt, mix_ppm,
+                 CASE WHEN share_ppm > 0
+                   THEN (1000000 * mix_ppm) // share_ppm END AS upsample_fp
           FROM mx ORDER BY source"""
     },
     // Same sliding windows and gaps-and-islands coalescing — md5 digests

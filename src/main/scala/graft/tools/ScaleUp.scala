@@ -117,9 +117,19 @@ object ScaleUp {
     // (k=1000) is only affordable for the tables the candidate-generation
     // family reads (documents, embeddings); replicating 600M lineitem rows
     // nobody queries would spend the disk budget on ballast
-    val tables: Set[String] = if (args.length > 3) args(3).split(",").toSet
-      else Set("nation", "region", "documents", "embeddings", "events",
-        "orders", "lineitem", "customer", "part", "supplier")
+    val knownTables = Set("nation", "region", "documents", "embeddings",
+      "events", "orders", "lineitem", "customer", "part", "supplier")
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else knownTables
+    // fail FAST on a typo ('document', 'embedding') — a silently-skipped
+    // table yields an incomplete corpus that only errors at query time
+    // (ADVICE r13)
+    val unknown = tables -- knownTables
+    require(unknown.isEmpty,
+      s"unknown table(s) ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"known: ${knownTables.toSeq.sorted.mkString(", ")}")
+    require(tables.nonEmpty, "table subset must be non-empty")
     require(k >= 1, s"replication factor must be >= 1 (got $k)")
     // A cipher or embedding-transform collision between two replicas would
     // plant exact cross-replica twins — precisely the degenerate duplication

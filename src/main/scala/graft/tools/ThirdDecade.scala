@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/**
+ * Third-decade candidate-generation probe (VERDICT r13 next-round #6): the
+ * q90 image-phash near-dup pipeline, parameterized by `blocks`, runnable at
+ * ANY corpus scale — the first PREDICTIVE test of the key-bits-per-decade
+ * doctrine (`blocks = 8` measured exponent 0.44 at the second decade;
+ * doctrine says it degrades at the third while `blocks = 16` holds).
+ *
+ * Identical shape to q90 (synthesize REAL image payloads for the %3 docs,
+ * decode, perceptual-hash, plant a ham ≤ 4 twin for every %15 doc, band via
+ * [[Dedup.blockPairBands]], pair via the guarded [[Dedup.bucketedPairs]],
+ * verify at the pigeonhole budget), with two scale knobs q90 pins:
+ *
+ *   - `blocks` 8 → the 64-bit aHash; 16 → the 128-bit aHash+dHash
+ *     (`Multimodal.imagePhash128`), verify budget `blocks − 2`;
+ *   - the twin offset is 100_000_000 (q90's 999999 collides above sf10) —
+ *     same in-plan guard, raised ceiling.
+ *
+ * Prints ONE JSON line: docs, hashed images, candidate pairs, verified
+ * pairs, planted-twin recall (must be 1000‰ — the pigeonhole THEOREM says
+ * every ham ≤ budget pair collides; a miss means the banding is broken, so
+ * the probe double-checks correctness while it measures), and seconds for
+ * the timed candidates+verify phase (hashing is checkpointed untimed, as in
+ * q90 where the checkpoint cost is part of the measured query — here the
+ * DECADE question is about the banded join, so the phases are reported
+ * separately: hash_sec and pair_sec).
+ *
+ * Usage: runMain graft.tools.ThirdDecade <sfDir> <blocks> [runs]
+ */
+object ThirdDecade {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val blocks = args(1).toInt
+    val runs = if (args.length > 2) args(2).toInt else 2
+    require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
+    val budget = blocks - 2
+    val offset = 100000000L
+
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val guardedId = when(col("doc_id") < offset, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit(s"twin offset $offset collides with real doc_id "),
+        col("doc_id").cast("string"))).cast("long"))
+    val corpus = base.select(guardedId.as("doc_id"), col("text"))
+      .unionByName(base
+        .where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0 &&
+          length(col("text")) > 0)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+
+    def hashes(): DataFrame = {
+      val media = graft.multimodal.Multimodal.synthesizeReal(corpus)
+      if (blocks == 8)
+        graft.multimodal.Multimodal.imagePhash(media)
+          .select(col("doc_id"), array(col("phash")).as("hash"))
+      else
+        graft.multimodal.Multimodal.imagePhash128(media)
+          .select(col("doc_id"), col("phash").as("hash"))
+    }
+
+    def ham(a: String, b: String): org.apache.spark.sql.Column =
+      (0 until blocks / 8).map(i =>
+        expr(s"bit_count(element_at($a, ${i + 1}) ^ element_at($b, ${i + 1}))")
+          .cast("long")).reduce(_ + _)
+
+    var hashSec = Double.MaxValue
+    var pairSec = Double.MaxValue
+    var nDocs = 0L; var nHashed = 0L; var nCand = 0L; var nVerified = 0L
+    var recallPm = -1L
+    for (_ <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val ph = hashes().localCheckpoint()
+      nHashed = ph.count()
+      hashSec = math.min(hashSec, (System.nanoTime() - t0) / 1e9)
+
+      val t1 = System.nanoTime()
+      val bands = Dedup.blockPairBands(
+        ph.select(col("doc_id").as("id"), col("hash")), blocks)
+      val pairs = Dedup.bucketedPairs(bands).localCheckpoint()
+      nCand = pairs.count()
+      val verified = pairs
+        .join(ph.select(col("doc_id").as("a"), col("hash").as("ha")), "a")
+        .join(ph.select(col("doc_id").as("b"), col("hash").as("hb")), "b")
+        .where(ham("ha", "hb") <= budget)
+        .localCheckpoint()
+      nVerified = verified.count()
+      pairSec = math.min(pairSec, (System.nanoTime() - t1) / 1e9)
+
+      // pigeonhole recall over the planted twins: every (id, id+offset)
+      // twin within the budget must be among the verified pairs
+      val planted = ph.select(col("doc_id").as("a"), col("hash").as("ha"))
+        .join(ph.select((col("doc_id") - offset).as("a"), col("hash").as("hb")),
+          "a")
+        .where(ham("ha", "hb") <= budget)
+      val nPlanted = planted.count()
+      val nFound = planted.select(col("a"), (col("a") + offset).as("b"))
+        .join(verified, Seq("a", "b"), "left_semi").count()
+      recallPm = if (nPlanted == 0) -1L else 1000L * nFound / nPlanted
+      nDocs = corpus.count()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    println(s"""{"tool":"third_decade","sf":"$sfDir","blocks":$blocks,""" +
+      s""""docs":$nDocs,"hashed":$nHashed,"candidates":$nCand,""" +
+      s""""verified":$nVerified,"twin_recall_pm":$recallPm,""" +
+      s""""hash_sec":$hashSec,"pair_sec":$pairSec,"runs":$runs}""")
+    spark.stop()
+  }
+}

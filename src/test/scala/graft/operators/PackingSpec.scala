@@ -105,4 +105,33 @@ class PackingSpec extends SparkSpec {
       sum(col("n_tok")).as("tot")).collect()(0)
     assert(row.getLong(0) == row.getLong(1))
   }
+
+  test("packingReport: correct over an incremental baseOffset slice (ADVICE r13)") {
+    // day-2 slice: starts at accumulated offset 26 with C=10 — tokens span
+    // [26, 26+17=43): chunks 2..4 → n_chunks 3 (a Σ n_tok-based count would
+    // claim ⌈17/10⌉ = 2 and tail_pad 3); tail_pad = 50−43 = 7
+    val slice = Packing.packingPlan(
+      docs((100L, words(9)), (101L, words(8))),
+      chunkTokens = 10, bucketSpan = 100L, baseOffset = 26L)
+    val rep = Packing.packingReport(slice, chunkTokens = 10).collect()(0)
+    assert(rep.getLong(rep.fieldIndex("total_tokens")) == 17L)
+    assert(rep.getLong(rep.fieldIndex("n_chunks")) == 3L,
+      "the slice touches chunks 2,3,4 — counts derive from offsets, not Σ n_tok")
+    assert(rep.getLong(rep.fieldIndex("tail_pad")) == 7L)
+    // doc 100 spans [26,35) → chunks 2-3 (crosses); doc 101 [35,43) →
+    // chunks 3-4 (crosses) → crossing_pm 1000, incidences 4 →
+    // mean = 4e6 div 3
+    assert(rep.getLong(rep.fieldIndex("crossing_pm")) == 1000L)
+    assert(rep.getLong(rep.fieldIndex("mean_docs_per_chunk_fp")) == 4000000L / 3L)
+  }
+
+  test("packingReport: full-stream offset-derived counts equal the Σ n_tok formulation") {
+    // the oracle-compat guarantee: from offset 0 the two formulations agree
+    val d = docs((1 to 25).map(i => (i.toLong, words((i * 3) % 11))): _*)
+    val plan = Packing.packingPlan(d, chunkTokens = 7, bucketSpan = 6L)
+    val rep = Packing.packingReport(plan, chunkTokens = 7).collect()(0)
+    val tot = rep.getLong(rep.fieldIndex("total_tokens"))
+    assert(rep.getLong(rep.fieldIndex("n_chunks")) == (tot + 6) / 7)
+    assert(rep.getLong(rep.fieldIndex("tail_pad")) == ((tot + 6) / 7) * 7 - tot)
+  }
 }

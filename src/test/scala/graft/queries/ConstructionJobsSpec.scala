@@ -29,9 +29,11 @@ import graft.SparkEntry
  *   - persisted-artifact builds (index writes whose build cost is part of
  *     the measured query by design).
  *
- * The assertion is EXACT set equality, so a new construction-time action
- * anywhere in the 161 builders — or a stale allowlist entry after a
- * laziness fix — fails this spec, not a future judge pass.
+ * The assertion is EXACT set equality over EVERY declared builder (the
+ * spec iterates the live `SparkEntry.queries`, so the count is never
+ * stale), so a new construction-time action anywhere — or a stale
+ * allowlist entry after a laziness fix — fails this spec, not a future
+ * judge pass.
  */
 class ConstructionJobsSpec extends SparkSpec {
 

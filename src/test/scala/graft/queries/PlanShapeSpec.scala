@@ -110,11 +110,13 @@ class PlanShapeSpec extends SparkSpec {
   test("EM and distance-alpha plans: broadcast grids, equi-only corpus joins, no windows") {
     // q156: per-round census joins are equi on item; θ/π grids join
     // BROADCAST (annotators × classes² rows); the argmax is max(struct),
-    // never a window. q159: the within-item pair expansion is an equi
-    // self-join on item (labels² fanout); the distance table and the
-    // driver-sized summaries are broadcast.
+    // never a window. q159: the within-item pair expansion is a bounded
+    // array lambda over each item's label census — NO corpus join of any
+    // kind survives in the plan; the metric blocks read the cached bounded
+    // summaries (pairMass/classMass/stats) through broadcast joins only.
     assertNever("q156_dawid_skene", "Window", "CartesianProduct")
-    assertNever("q159_krippendorff_distance", "Window", "CartesianProduct")
+    assertNever("q159_krippendorff_distance",
+      "Window", "CartesianProduct", "SortMergeJoin")
   }
 
   test("ROUGE censuses locate on (id, gram) equi-keys — no window, no cross product") {
@@ -250,8 +252,22 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("q164_sequence_packing", "q165_packing_report")) {
       assertNever(q, "SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
       val p = planOf(q)
-      assert(p.contains("windowspecdefinition(bucket"),
-        s"$q: the corpus-side prefix sum must be partitioned by bucket")
+      // the PARTITIONED signature explicitly — partition column `bucket`
+      // followed by the `doc_id` order column inside one spec. A bare
+      // "windowspecdefinition(bucket" also matches the orderBy-only
+      // bucket-summary window, which made the old check vacuous (ADVICE
+      // r13): it would pass even with a global single-partition corpus
+      // window.
+      assert("windowspecdefinition\\(bucket#\\d+L?, doc_id#\\d+".r
+          .findFirstIn(p).nonEmpty,
+        s"$q: the corpus-side prefix sum must be a window PARTITIONED by " +
+          "bucket and ORDERED by doc_id")
+      // and the corpus-row window must never appear orderBy-only: an
+      // unpartitioned `over (order by doc_id)` is the naive global prefix
+      // sum — correct, and dead at scale (it is the ORACLE's formulation)
+      assert(!p.contains("windowspecdefinition(doc_id"),
+        s"$q: found an unpartitioned doc_id-ordered window — the " +
+          "single-partition corpus prefix sum the two-level construction exists to avoid")
       assert(p.contains("BroadcastHashJoin"),
         s"$q: bucket offsets must join by broadcast")
     }
@@ -261,10 +277,12 @@ class PlanShapeSpec extends SparkSpec {
     // q166 collapses documents to a #sources-row census; the grid lookup is
     // plan literals and the two 1-row combines are deliberate broadcast
     // crosses (the bm25 pattern) — windows and sort-merge joins are banned
-    assertNever("q166_domain_mixture", "Window", "SortMergeJoin")
-    val p = planOf("q166_domain_mixture")
-    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
-      "the source census aggregate must appear (anti-vacuousness check)")
+    for (q <- Seq("q166_domain_mixture", "q167_domain_mixture_fine")) {
+      assertNever(q, "Window", "SortMergeJoin")
+      val p = planOf(q)
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q: the source census aggregate must appear (anti-vacuousness check)")
+    }
   }
 
   test("corpus generation scorecard: per-order census sums + one broadcast combine, no window") {
