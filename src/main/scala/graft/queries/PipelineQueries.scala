@@ -1152,16 +1152,26 @@ object PipelineQueries {
     }),
 
     "q127_knn_classify" -> ((s, d) => {
-      // kNN majority-vote auto-labeling: 10% of the embedding corpus plays
-      // the unlabeled pool, each point takes the majority label of its 5
-      // nearest labeled neighbors (ties → smallest label), scored against
-      // the held-out gold label. Search is the broadcast-queries corpus
-      // scan + bounded-heap top-k (q35); the vote is a map-side-combined
-      // argmax per query — no window anywhere.
+      // kNN majority-vote auto-labeling: an ABSOLUTELY bounded sample of the
+      // id%10==7 slice plays the unlabeled pool (256 ids by the q57/q120
+      // hash60 bottom-k draw — the r14 sf10 sweep caught the original
+      // whole-slice pool going quadratic: 10% of corpus × corpus is N²/10,
+      // and the run died at this query under the 8g heap), each point takes
+      // the majority label of its 5 nearest labeled neighbors (ties →
+      // smallest label), scored against the held-out gold label. Search is
+      // the broadcast-queries corpus scan + bounded-heap top-k (q35); the
+      // vote is a map-side-combined argmax per query — no window anywhere.
+      // This is the auto-labeling QUALITY gate; labeling every unlabeled
+      // point at corpus scale batches through the q162 persisted IVF index.
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"),
         V.asDouble(col("embedding")).as("vec"), col("label"))
       val pool = emb.where(col("id") % 10 =!= 7)
-      val held = emb.where(col("id") % 10 === 7)
+      val held = emb.where(col("id") % 10 === 7).join(
+        CorpusOps.sampleStratifiedBounded(
+          Tables.embeddings(s, d).where(col("vec_id") % 10 === 7),
+          col("vec_id"), lit(1), quota = 256, salt = "q127")
+          .select(col("id")),
+        "id")
       Similarity.knnClassify(pool, held.select(col("id"), col("vec")), k = 5)
         .join(held.select(col("id").as("query_id"), col("label").as("true_label")),
           "query_id")
@@ -1187,15 +1197,25 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("hh"), col("vbucket"))),
 
     "q129_semantic_decontaminate" -> ((s, d) => {
-      // embedding-space decontamination: vec_id % 10 == 0 plays the held-out
-      // benchmark, the rest the training corpus; every training vector whose
-      // cosine to ANY benchmark vector reaches 0.3 is flagged with its best
-      // match — the paraphrase-leakage gate the n-gram decontaminate (q44/
-      // q114) cannot catch. Benchmark side broadcast, corpus scanned once,
-      // filter BEFORE the argmax agg so only hits shuffle.
+      // embedding-space decontamination: an ABSOLUTELY bounded 256-vector
+      // sample of the vec_id % 10 == 0 slice plays the held-out benchmark
+      // (the q57/q120 hash60 bottom-k draw), the rest the training corpus;
+      // every training vector whose cosine to ANY benchmark vector reaches
+      // 0.3 is flagged with its best match — the paraphrase-leakage gate the
+      // n-gram decontaminate (q44/q114) cannot catch. A REAL benchmark is
+      // fixed-size by nature; the original corpus-fraction fixture made the
+      // broadcast side scale WITH the corpus (N²/10 — caught by the r14 sf10
+      // sweep), which no production decontamination pass does. Benchmark
+      // side broadcast, corpus scanned once, filter BEFORE the argmax agg so
+      // only hits shuffle.
       Similarity.semanticContamination(
           corpus = embVecs(s, d, col("vec_id") % 10 =!= 0),
-          evalSet = embVecs(s, d, col("vec_id") % 10 === 0),
+          evalSet = embVecs(s, d).join(
+            CorpusOps.sampleStratifiedBounded(
+              Tables.embeddings(s, d).where(col("vec_id") % 10 === 0),
+              col("vec_id"), lit(1), quota = 256, salt = "q129")
+              .select(col("id")),
+            "id"),
           threshold = 0.3)
         .orderBy(col("id"))
     }),
@@ -2987,14 +3007,27 @@ object PipelineQueries {
     }),
 
     "q110_hard_negatives" -> ((s, d) => {
-      // hard-negative mining for contrastive training: per query, the top-5
+      // hard-negative mining for contrastive training: per anchor, the top-5
       // most-similar embeddings with a DIFFERENT label (high-similarity
       // wrong-class rows are the negatives that carry gradient). q35's
       // broadcast brute-force scan with the label inequality folded into the
-      // join predicate — same-class rows never reach the scorer.
+      // join predicate — same-class rows never reach the scorer. The anchor
+      // set is ABSOLUTELY bounded (256 ids by the q57/q120 hash60 bottom-k
+      // draw), NOT a corpus fraction: the r14 sf10 sweep caught the original
+      // `id % 50` anchors going quadratic — anchors × corpus both scale, 453 s
+      // at sf10 and 100× per decade — exactly the q120 lesson ("a gate must
+      // stay runnable on the production corpus"). This query is the mining
+      // QUALITY gate; mining negatives for every anchor at corpus scale
+      // batches through the persisted IVF index (q162's artifact) instead of
+      // any brute-force scan.
       val e = Tables.embeddings(s, d).select(col("vec_id").as("id"),
         V.asDouble(col("embedding")).as("vec"), col("label"))
-      Similarity.hardNegatives(e, e.where(col("id") % 50 === 0), k = 5)
+      val anchors = e.join(
+        CorpusOps.sampleStratifiedBounded(Tables.embeddings(s, d),
+          col("vec_id"), lit(1), quota = 256, salt = "q110")
+          .select(col("id")),
+        "id")
+      Similarity.hardNegatives(e, anchors, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -4919,7 +4952,9 @@ object PipelineQueries {
     // majority vote re-derived relationally (votes DESC, label ASC).
     "q127_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-         q AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 = 7),
+         q AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 = 7
+               ORDER BY ${duckHash60("'q127:' || CAST(vec_id AS VARCHAR)")}, vec_id
+               LIMIT 256),
          c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 <> 7),
          nn AS (SELECT query_id, label FROM (
              SELECT q.vec_id AS query_id, c.label,
@@ -4955,7 +4990,9 @@ object PipelineQueries {
     // (cos DESC, eval_id ASC — the max(struct(cos, -eval_id)) tie rule).
     "q129_semantic_decontaminate" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         ev AS (SELECT vec_id AS eval_id, v AS evec FROM e WHERE vec_id % 10 = 0),
+         ev AS (SELECT vec_id AS eval_id, v AS evec FROM e WHERE vec_id % 10 = 0
+                ORDER BY ${duckHash60("'q129:' || CAST(vec_id AS VARCHAR)")}, vec_id
+                LIMIT 256),
          tr AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
          hits AS (SELECT id, eval_id, cos FROM (
              SELECT tr.id, ev.eval_id, ${duckCos("tr.v", "ev.evec")} AS cos
@@ -6303,8 +6340,9 @@ object PipelineQueries {
     // rounding, same (cos DESC, neighbor ASC) rank order.
     "q110_hard_negatives" ->
       s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-              q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                    FROM embeddings WHERE vec_id % 50 = 0),
+              q AS (SELECT vec_id, label, v FROM c
+                    ORDER BY ${duckHash60("'q110:' || CAST(vec_id AS VARCHAR)")}, vec_id
+                    LIMIT 256),
               scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ${duckCos("c.v", "q.v")} AS cos
