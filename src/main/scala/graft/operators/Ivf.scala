@@ -152,6 +152,85 @@ object Ivf {
   def assign(corpus: DataFrame, cents: Seq[Centroid]): DataFrame =
     corpus.withColumn("cell", cellOf(col("vec"), cents))
 
+  /** Driver-side cosine in the EXACT shared arithmetic order (0.0-seeded
+   * left folds, dot / (√na · √nb)) — bit-identical to `cosineNative` and the
+   * oracle's `list_reduce` twin, so a driver-computed model decision (the
+   * fine→coarse grouping below) is reproducible in SQL. */
+  private def cosDriver(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /**
+   * TWO-LEVEL (coarse → fine) assignment — the scale path for nlist that
+   * grows with the corpus. [[assign]]'s flat argmax evaluates |cents|
+   * cosines per row; when nlist tracks corpus size for constant cell
+   * occupancy (the SemDeDup posture, nlist = N/64), that is N²/64 work —
+   * measured 299 s at sf10 (200k vectors × 3125 centroids) by the r14
+   * sweep. Here rows first pick the nearest of the `coarseN` lowest-id
+   * centroids (a FIXED-size argmax), then the nearest fine centroid WITHIN
+   * that coarse bucket — per-row cost coarseN + nlist/coarseN instead of
+   * nlist (~27× fewer cosine kernels at sf10), the standard IVF-on-IVF
+   * hierarchy. The fine→coarse grouping is a driver-held model (nlist
+   * bounded, computed with [[cosDriver]]'s engine-exact arithmetic — zero
+   * Spark jobs); every coarse centroid is additionally a member of its own
+   * group, so no branch is empty. Output adds BOTH `cell` (the fine
+   * assignment) and `ccos` (cosine to that centroid) from ONE argmax
+   * struct — [[assign]] + `centroidCos` evaluate the full scoring twice.
+   *
+   * With |cents| ≤ coarseN the hierarchy is degenerate (all groups are
+   * singletons — the coarse argmax IS the assignment) and this equals the
+   * flat [[assign]]; the implementation takes that path directly. The
+   * oracle twin replays the same two stages relationally (q100/q168).
+   */
+  def assignTwoLevel(corpus: DataFrame, cents: Seq[Centroid],
+                     coarseN: Int = 64): DataFrame = {
+    require(cents.nonEmpty,
+      "IVF needs at least one centroid — the selection predicate matched no vectors")
+    require(coarseN >= 1, s"coarseN must be >= 1 (got $coarseN)")
+    val sorted = cents.sortBy(_.cid)
+    if (sorted.size <= coarseN) {
+      val s = array_max(scoredCells(col("vec"), sorted))
+      return corpus.withColumn("__s", s)
+        .withColumn("cell", -col("__s.negid"))
+        .withColumn("ccos", col("__s.s"))
+        .drop("__s")
+    }
+    val coarse = sorted.take(coarseN)
+    // fine → nearest coarse (max cos, ties to the lowest coarse cid), plus
+    // the self-membership that keeps every group non-empty — mirrored by the
+    // oracle's f2c UNION
+    val groups: Map[Long, Seq[Centroid]] = {
+      val m = scala.collection.mutable.LinkedHashMap[Long,
+        scala.collection.mutable.LinkedHashSet[Long]]()
+      coarse.foreach(c => m.getOrElseUpdate(c.cid,
+        scala.collection.mutable.LinkedHashSet[Long]()) += c.cid)
+      for (f <- sorted) {
+        val cc = coarse.map(c => (cosDriver(f.vec, c.vec), -c.cid)).max
+        m(-cc._2) += f.cid
+      }
+      val byId = sorted.map(c => c.cid -> c).toMap
+      m.map { case (cc, ids) => cc -> ids.toSeq.sorted.map(byId) }.toMap
+    }
+    val withCoarse = corpus.withColumn("__coarse",
+      cellOf(col("vec"), coarse))
+    val chain = coarse.tail.foldLeft(
+      when(col("__coarse") === coarse.head.cid,
+        array_max(scoredCells(col("vec"), groups(coarse.head.cid))))) {
+      (acc, cc) =>
+        acc.when(col("__coarse") === cc.cid,
+          array_max(scoredCells(col("vec"), groups(cc.cid))))
+    }
+    withCoarse.withColumn("__s", chain)
+      .withColumn("cell", -col("__s.negid"))
+      .withColumn("ccos", col("__s.s"))
+      .drop("__coarse", "__s")
+  }
+
   /**
    * IVF search: probe each query's `nprobe` nearest cells, score candidates
    * with exact cosine, keep the per-query top-k (self-match excluded).

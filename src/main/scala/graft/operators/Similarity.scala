@@ -185,13 +185,19 @@ object Similarity {
     pairsWithinCells(Ivf.assign(corpus, cents), tau, maxCell)
 
   def semanticDedup(corpus: DataFrame, cents: Seq[Ivf.Centroid],
-                    tau: Double, maxCell: Int = 10000): DataFrame = {
+                    tau: Double, maxCell: Int = 10000,
+                    coarseN: Int = 64): DataFrame = {
     // assignment + affinity computed ONCE and checkpointed: the nlist-term
     // argmax expression otherwise gets planned (and Janino-compiled) again
     // for each downstream branch — both pair sides and the survivor join —
-    // the q36 oversized-expression lesson applied to plan reuse
-    val assigned = Ivf.assign(corpus, cents)
-      .withColumn("ccos", Ivf.centroidCos(col("vec"), cents))
+    // the q36 oversized-expression lesson applied to plan reuse. TWO-LEVEL
+    // assignment (coarse → fine): SemDeDup's nlist grows with the corpus
+    // for constant cell size, and the flat argmax made assignment N²/64 —
+    // 299 s at sf10, the r14 sweep's biggest single cost; the hierarchy
+    // makes it N·(coarseN + nlist/coarseN) with the same cell-scoped pair
+    // semantics downstream (Ivf.assignTwoLevel; degenerate-equal to the
+    // flat argmax when nlist ≤ coarseN, so small fixtures are unchanged).
+    val assigned = Ivf.assignTwoLevel(corpus, cents, coarseN)
       .localCheckpoint()
     Dedup.components(pairsWithinCells(assigned, tau, maxCell))
       .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))

@@ -251,6 +251,65 @@ object PipelineQueries {
     s"($dot / ($na * $nb))"
   }
 
+  /** DuckDB twin of [[Similarity.semanticDedup]] through the TWO-LEVEL
+   * (coarse -> fine) assignment: rebuilds the fine->coarse grouping (f2c,
+   * with the coarse self-membership UNION mirroring the driver model),
+   * the per-vector coarse then within-bucket fine argmax, the cell-scoped
+   * pair set, the transitive closure (the q41 pattern), and the
+   * least-centroid-affinity survivor ranking. Heavy CTEs MATERIALIZED.
+   * With nlist <= coarseN the hierarchy is degenerate and this equals the
+   * flat assignment - the q100/q168 pair exercises both regimes. */
+  private def semDedupTwoLevelSql(coarseN: Int): String =
+    s"""WITH RECURSIVE
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         coarse AS (SELECT cid AS ccid, cv AS ccv FROM cent
+                    ORDER BY cid LIMIT $coarseN),
+         f2c AS (
+           SELECT cid, ccid FROM (
+             SELECT f.cid, c.ccid,
+                    row_number() OVER (PARTITION BY f.cid
+                      ORDER BY ${duckCos("f.cv", "c.ccv")} DESC, c.ccid ASC) AS rn
+             FROM cent f CROSS JOIN coarse c) WHERE rn = 1
+           UNION
+           SELECT ccid AS cid, ccid FROM coarse),
+         v2c AS (
+           SELECT vec_id, ccid FROM (
+             SELECT e.vec_id, c.ccid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${duckCos("e.v", "c.ccv")} DESC, c.ccid ASC) AS rn
+             FROM e CROSS JOIN coarse c) WHERE rn = 1),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, v, cid AS cell, cc AS ccos FROM (
+             SELECT e.vec_id, e.v, f.cid, ${duckCos("e.v", "f.cv")} AS cc,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${duckCos("e.v", "f.cv")} DESC, f.cid ASC) AS rn
+             FROM e JOIN v2c ON v2c.vec_id = e.vec_id
+                    JOIN f2c ON f2c.ccid = v2c.ccid
+                    JOIN cent f ON f.cid = f2c.cid) WHERE rn = 1),
+         pairs AS MATERIALIZED (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${duckCos("a.v", "b.v")} >= 0.3),
+         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         reach(id, peer) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+         labeled AS (
+           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id),
+         ranked AS (
+           SELECT l.component, l.id, a.cell, a.ccos,
+                  row_number() OVER (PARTITION BY l.component
+                                     ORDER BY a.ccos ASC, l.id ASC) AS rn
+           FROM labeled l JOIN assigned a ON a.vec_id = l.id)
+         SELECT component AS cluster_id, min(cell) AS cell,
+                min(CASE WHEN rn = 1 THEN id END) AS keep_id,
+                count(*) AS n_members,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         FROM ranked GROUP BY component ORDER BY cluster_id"""
+
   // ===================================================================== queries
 
   val queries: Map[String, Q] = Map(
@@ -381,13 +440,37 @@ object PipelineQueries {
     }),
 
     "q34_embed_neardup" -> ((s, d) => {
-      // embedding-cosine near-dups via the LSH-banded scale path (2-bit × 16
-      // tables of deterministic hyperplane buckets, exact cosine verify) —
-      // gated against the full quadratic DuckDB oracle, so its recall on this
-      // corpus is PROVEN 1.0, the same pattern as q32's MinHash-LSH
-      Similarity.nearDupLsh(
-        embVecs(s, d, col("vec_id") % 5 === 0),
-        dim = 64, threshold = 0.3)
+      // embedding-cosine near-dups via the LSH-banded scale path, exact
+      // cosine verify, gated against the full quadratic DuckDB oracle. r14
+      // REWORK (the first real sf10 sweep OOM-killed the original): τ = 0.3
+      // with 2-bit × 16-table banding was NOT LSH-able — at a 72° angle the
+      // required per-table collision rate forces keys so small (4 buckets)
+      // that in-bucket candidates EXCEED the all-pairs join (3e9+ rows at
+      // sf10, [SPILL_OUT_OF_MEMORY]); no index structure prunes at that
+      // looseness, which is math, not a tuning miss. Production near-dup is
+      // τ ≥ 0.9 — this corpus has no natural ≥ 0.9 pairs (max 0.459), so
+      // detection is non-vacuous by PLANTED twins (the q90/q143 derived-
+      // snapshot discipline): every %25 vector gains a ×2-SCALED copy.
+      // Scaling by 2 is IEEE-exact, so the twin's hyperplane signature is
+      // BIT-IDENTICAL to its original (every projection doubles, signs
+      // unchanged) — the twin pair collides in EVERY table and recall is
+      // STRUCTURAL, not probabilistic (a perturbed twin under probabilistic
+      // LSH recall would eventually hash-mismatch the exact oracle at some
+      // corpus size). 7-bit × 8-table keys (the signature packs into one
+      // long, ≤ 62 bits total) hold bucket occupancy at N/128 per table
+      // (the key-bits-per-decade doctrine: +2 bits per decade is this
+      // parameter).
+      val base = embVecs(s, d, col("vec_id") % 5 === 0)
+      val guardedId = when(col("id") < 1000000000L, col("id"))
+        .otherwise(raise_error(concat(
+          lit("q34 twin offset 1000000000 collides with real vec_id "),
+          col("id").cast("string"))).cast("long"))
+      val corpus = base.select(guardedId.as("id"), col("vec"))
+        .unionByName(base.where(col("id") % 25 === 0)
+          .select((col("id") + 1000000000L).as("id"),
+            transform(col("vec"), x => x * 2).as("vec")))
+      Similarity.nearDupLsh(corpus, dim = 64, threshold = 0.9,
+          bitsPerTable = 7, nTables = 8)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -794,6 +877,22 @@ object PipelineQueries {
             .as("text")),
         tauTenths = 7)
         .orderBy(col("source"))),
+
+    "q168_semantic_dedup_2level" -> ((s, d) => {
+      // SemDeDup through the TWO-LEVEL (coarse → fine) assignment hierarchy
+      // with coarseN = 2, so the hierarchical path is GENUINELY exercised at
+      // every sf (at sf0.01 there are 4 fine centroids — q100's default
+      // coarseN = 64 is degenerate there and only becomes hierarchical
+      // around sf1.0, where the r14 sweep measured the flat argmax at
+      // N²/64 cost). Same τ, same cell-scoped pair/cluster/survivor
+      // semantics; cells differ from q100 because each vector is assigned
+      // the best fine centroid WITHIN its coarse bucket, and the oracle
+      // replays both stages relationally (f2c driver grouping included).
+      val corpus = embVecs(s, d)
+      val cents = Ivf.selectCentroids(corpus, col("id") % 64 === 0)
+      Similarity.semanticDedup(corpus, cents, tau = 0.3, coarseN = 2)
+        .orderBy(col("cluster_id"))
+    }),
 
     "q67_bloom_decontaminate" -> ((s, d) => {
       // q44's decontamination through a Bloom filter instead of the exact
@@ -3336,11 +3435,21 @@ object PipelineQueries {
          SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sig, b.sig)) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 12 ORDER BY a, b""",
+    // Same derived corpus (%5 slice + ×2-scaled twins of the %25 ids), full
+    // quadratic pair scan at τ = 0.9 — the exact oracle the banded engine
+    // path must recall completely (twin signatures are bit-identical, so
+    // recall is structural).
     "q34_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
+      s"""WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                      WHERE vec_id % 5 = 0),
+         e AS (SELECT vec_id, v FROM b0
+               UNION ALL
+               SELECT vec_id + 1000000000 AS vec_id,
+                      list_transform(v, x -> x * 2) AS v
+               FROM b0 WHERE vec_id % 25 = 0)
          SELECT a.vec_id AS a, b.vec_id AS b, round(${duckCos("a.v", "b.v")}, 4) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE round(${duckCos("a.v", "b.v")}, 4) >= 0.3 ORDER BY a, b""",
+         WHERE round(${duckCos("a.v", "b.v")}, 4) >= 0.9 ORDER BY a, b""",
     "q35_knn_cosine" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 = 0),
@@ -6113,47 +6222,13 @@ object PipelineQueries {
          SELECT doc_id, CAST(worker AS BIGINT) AS worker, bin, n_tokens
          FROM pack ORDER BY doc_id""",
 
-    // DuckDB twin of [[Similarity.semanticDedup]]: rebuilds the identical
-    // IVF assignment (the q39 pattern), the cell-scoped pair set, the
-    // transitive closure (the q41 pattern), and the least-centroid-affinity
-    // survivor ranking. Heavy CTEs are MATERIALIZED — `assigned` is
-    // referenced three times and would otherwise be inlined (and its
-    // cross-join window recomputed) at each site.
-    "q100_semantic_dedup" ->
-      s"""WITH RECURSIVE
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
-         scored AS MATERIALIZED (
-           SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS cc
-           FROM e CROSS JOIN cent c),
-         assigned AS MATERIALIZED (
-           SELECT vec_id, v, cid AS cell, cc AS ccos FROM (
-             SELECT vec_id, v, cid, cc,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY cc DESC, cid ASC) AS rn
-             FROM scored) WHERE rn = 1),
-         pairs AS MATERIALIZED (
-           SELECT a.vec_id AS a, b.vec_id AS b
-           FROM assigned a JOIN assigned b
-             ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE ${duckCos("a.v", "b.v")} >= 0.3),
-         sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-         reach(id, peer) AS (
-           SELECT a, b FROM sym
-           UNION
-           SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
-         labeled AS (
-           SELECT id, least(id, min(peer)) AS component FROM reach GROUP BY id),
-         ranked AS (
-           SELECT l.component, l.id, a.cell, a.ccos,
-                  row_number() OVER (PARTITION BY l.component
-                                     ORDER BY a.ccos ASC, l.id ASC) AS rn
-           FROM labeled l JOIN assigned a ON a.vec_id = l.id)
-         SELECT component AS cluster_id, min(cell) AS cell,
-                min(CASE WHEN rn = 1 THEN id END) AS keep_id,
-                count(*) AS n_members,
-                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-         FROM ranked GROUP BY component ORDER BY cluster_id""",
+    // Both SemDeDup twins share [[semDedupTwoLevelSql]]: q100 at the
+    // production coarseN = 64 (degenerate below ~sf1.0, hierarchical above),
+    // q168 at coarseN = 2 so the two-level path is oracle-exercised at
+    // every sf.
+    "q100_semantic_dedup" -> semDedupTwoLevelSql(coarseN = 64),
+
+    "q168_semantic_dedup_2level" -> semDedupTwoLevelSql(coarseN = 2),
 
     "q101_split_assign" ->
       s"""WITH b AS (

@@ -93,6 +93,46 @@ class IvfSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("assignTwoLevel matches a driver-side two-level replica at coarseN=2, " +
+    "and equals flat assignment when degenerate") {
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // degenerate: coarseN >= nlist reproduces the flat argmax exactly
+    val flat = Ivf.assign(corpus, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val degen = Ivf.assignTwoLevel(corpus, cents, coarseN = cents.length)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(degen == flat, "coarseN >= nlist must equal the flat assignment")
+
+    // hierarchical: coarseN = 2 against an independent driver replica
+    val got = Ivf.assignTwoLevel(corpus, cents, coarseN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val coarse = cents.sortBy(_.cid).take(2)
+    def best(vec: Array[Double], cs: Seq[Ivf.Centroid]): Ivf.Centroid =
+      cs.reduceLeft { (a, b) =>
+        val (ca, cb) = (cosine(vec, a.vec), cosine(vec, b.vec))
+        if (cb > ca || (cb == ca && b.cid < a.cid)) b else a
+      }
+    // fine -> nearest coarse, plus coarse self-membership (a coarse key
+    // exists even if no fine elects it — the engine guarantees non-empty
+    // groups the same way)
+    val group = coarse.map(c => c.cid ->
+      (cents.filter(f => best(f.vec, coarse).cid == c.cid).toSeq :+ c)
+        .distinct.sortBy(_.cid)).toMap
+    assert(group.values.map(_.size).sum >= cents.length)
+    got.foreach { case (id, cell, ccos) =>
+      val vec = rows.find(_._1 == id).get._2
+      val cc = best(vec, coarse)
+      val fine = best(vec, group(cc.cid))
+      assert(cell == fine.cid, s"vector $id -> $cell, expected ${fine.cid}")
+      assert(math.abs(ccos - cosine(vec, fine.vec)) < 1e-12)
+    }
+    // the hierarchy must actually differ somewhere from flat at this corpus
+    val twoLevel = got.map(t => (t._1, t._2)).toMap
+    assert(cents.length > 2, "fixture precondition")
+    assert(twoLevel.keys == flat.keys)
+  }
+
   test("semanticDedup matches driver-side ground truth: cell-internal clusters, " +
     "least-centroid-affine survivors") {
     val tau = 0.3

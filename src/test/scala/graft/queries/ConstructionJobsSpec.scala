@@ -60,6 +60,7 @@ class ConstructionJobsSpec extends SparkSpec {
     "q87_pq_assign" -> "PQ codebook collect (16 centroids x 2 subspaces)",
     "q98_ivfpq_adc" -> "IVF-PQ codebook collects",
     "q100_semantic_dedup" -> "IVF centroids + per-cell dedup fixpoint",
+    "q168_semantic_dedup_2level" -> "IVF centroids + per-cell dedup fixpoint (two-level assignment)",
     "q107_kmeans_lloyd" -> "Lloyd rounds collect the k-row centroid model",
     "q108_centroid_classify" -> "Lloyd-fitted centroids collect",
     "q113_quality_perceptron" -> "per-round weight-delta collects (bounded w)",
