@@ -22,7 +22,7 @@ cp bench_scaling_r14_full_sf0.1.json bench_local_r14.json
 for sf in sf1.0 sf10; do
   echo "=== phase2: q100fix targeted at $sf ==="
   SPARK_GRAFT_SF_DIR="$PWD/localdata/$sf" \
-  SPARK_GRAFT_BENCH_ONLY=q100,q168 \
+  SPARK_GRAFT_BENCH_ONLY=q100,q168,q34 \
   SPARK_GRAFT_BENCH_RUNS=2 SPARK_GRAFT_BENCH_BUDGET=1800 \
   SPARK_GRAFT_BENCH_OUT="bench_scaling_r14_q100fix_$sf.json" \
     sbt -batch "runMain graft.Bench" 2>&1 | tail -2

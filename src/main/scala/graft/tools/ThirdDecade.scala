@@ -41,7 +41,11 @@ object ThirdDecade {
     val runs = if (args.length > 2) args(2).toInt else 2
     require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
     val budget = blocks - 2
-    val offset = 100000000L
+    // ≡ 0 mod 3 so a twin of an image doc synthesizes as an image too (the
+    // q90 offset rule — the first r14 runs used 1e8 ≡ 1 mod 3 and planted
+    // ZERO image twins, reported as twin_recall_pm = -1), and above every
+    // real doc_id through sf100 (5M)
+    val offset = 99999999L
 
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
