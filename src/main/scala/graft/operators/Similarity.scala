@@ -685,14 +685,16 @@ object Similarity {
     val banded = signed.select(col("id"),
       expr(s"posexplode(transform(sequence(0, ${nTables - 1}), " +
         s"t -> shiftright(sig, t * $bitsPerTable) & ${mask}L))"))
-      .withColumnRenamed("pos", "table")
-      .withColumnRenamed("col", "bucket")
-    val a = banded.select(col("id").as("a"), col("table"), col("bucket"))
-    val b = banded.select(col("id").as("b"), col("table"), col("bucket"))
-    val candidates = a.join(b, Seq("table", "bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    // candidate enumeration through the GUARDED bucketedPairs (the q90
+    // discipline): clustered embeddings concentrate hyperplane signatures,
+    // and a raw bucket self-join goes quadratic in the hot buckets — the
+    // r14 sf10 measurement of exactly that was 423 s (and the pre-rework
+    // variant OOM'd). Buckets over maxBucket degrade to star pairs
+    // (id vs bucket minimum) — O(bucket) with connectivity preserved, the
+    // documented dedup-clustering contract shared with q90's image bands.
+    val candidates = Dedup.bucketedPairs(banded)
     candidates
       .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
       .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
