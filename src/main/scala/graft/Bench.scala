@@ -38,6 +38,24 @@ object Bench {
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Real (non-sentinel) timings only — a query that errored holds -1.0 in
+   * `best` and must not count as measured (the r14 sf10 partial recorded
+   * `measured:167/167, complete:true` over 62 sentinels; the gate's
+   * scaling-artifact check trusts these fields, so they must be honest). */
+  def measuredCount(best: collection.Map[String, Double]): Int =
+    best.values.count(_ >= 0)
+
+  /** An artifact is complete ONLY when every query holds a real timing and
+   * no error is outstanding. A transient failure superseded by a later
+   * successful pass does not block completeness (its error entry and
+   * sentinel are both replaced); an unresolved error or an unvisited query
+   * does. `claimed` (the end-of-run flush) can only ever lower this. */
+  def artifactComplete(claimed: Boolean, names: Seq[String],
+                       best: collection.Map[String, Double],
+                       errors: collection.Map[String, String]): Boolean =
+    claimed && errors.isEmpty &&
+      names.forall(n => best.get(n).exists(_ >= 0))
+
   def main(args: Array[String]): Unit = {
     val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,21 +78,22 @@ object Bench {
 
     def elapsed: Double = (System.nanoTime() - jvmStart) / 1e9
 
-    def renderJson(complete: Boolean): String = {
+    def renderJson(claimed: Boolean): String = {
       val qs = names.flatMap(n => best.get(n).map(v => s"\"" + n + "\":" + v))
         .mkString("{", ",", "}")
       val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
       val total = names.flatMap(best.get).filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"passes_done":$passesDone,"measured":${best.size},"of":${names.size},"complete":$complete,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      val complete = artifactComplete(claimed, names, best, errors)
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"passes_done":$passesDone,"measured":${measuredCount(best)},"of":${names.size},"complete":$complete,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
 
     // Atomic rewrite-in-place: write a sibling tmp file then move over the
     // target, so a kill mid-write can never leave a truncated artifact.
-    def flush(complete: Boolean): Unit = {
+    def flush(claimed: Boolean): Unit = {
       val target = Paths.get(outPath)
       val tmp = Paths.get(outPath + ".tmp")
-      Files.write(tmp, (renderJson(complete) + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp, (renderJson(claimed) + "\n").getBytes(StandardCharsets.UTF_8))
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       catch { case _: Throwable =>
@@ -82,7 +101,7 @@ object Bench {
       }
     }
 
-    flush(complete = false) // artifact exists before the first query runs
+    flush(claimed = false) // artifact exists before the first query runs
 
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -160,13 +179,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!sharedIds.contains(id)) rdd.unpersist(blocking = false) }
-      flush(complete = false)
+      flush(claimed = false)
     }
 
     // Pass 1: coverage first — every query exactly once, regardless of budget.
     for (name <- names) timeQuery(name)
     passesDone = 1
-    flush(complete = false)
+    flush(claimed = false)
     // Passes 2..runs: refine minima only while wall-clock budget remains.
     // passes_done counts only passes that visited EVERY query — a pass the
     // budget cut short must not overstate the refinement coverage.
@@ -174,11 +193,11 @@ object Bench {
       var visited = 0
       for (name <- names if elapsed < budgetSec) { timeQuery(name); visited += 1 }
       if (visited == names.size) passesDone += 1
-      flush(complete = false)
+      flush(claimed = false)
     }
 
-    flush(complete = true)
-    println(renderJson(complete = true))
+    flush(claimed = true)
+    println(renderJson(claimed = true))
     // FINAL stdout line: a compact total-only summary. The full per-query line
     // above is ~3 KB and gets head-truncated by tail-capture harnesses; this
     // one stays parseable no matter how few trailing bytes survive.
