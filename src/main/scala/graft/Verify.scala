@@ -24,7 +24,11 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // print the full cause chain — a codegen failure surfaces as a
+        // "Boxed Exception" wrapper whose message hides the real error
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(5).map(_.toString).mkString(" <- ")
+        System.err.println(s"[verify] $name failed: $chain")
       }
       // drop localCheckpoint blocks between queries — 113 queries share this
       // JVM and the checkpointing ones would otherwise accumulate block

@@ -187,6 +187,26 @@ object Ivf {
    * flat [[assign]]; the implementation takes that path directly. The
    * oracle twin replays the same two stages relationally (q100/q168).
    */
+  /** The fine → coarse grouping shared by [[assignTwoLevel]] and
+   * [[assignTwoLevelData]]: each fine centroid joins its nearest coarse
+   * centroid's group (max cos, ties to the lowest coarse cid), and every
+   * coarse centroid is additionally a member of its own group so no branch
+   * is empty — mirrored by the oracle's f2c UNION. Driver-held, computed
+   * with [[cosDriver]]'s engine-exact arithmetic (zero Spark jobs). */
+  private def twoLevelGroups(sorted: Seq[Centroid],
+                             coarse: Seq[Centroid]): Map[Long, Seq[Centroid]] = {
+    val m = scala.collection.mutable.LinkedHashMap[Long,
+      scala.collection.mutable.LinkedHashSet[Long]]()
+    coarse.foreach(c => m.getOrElseUpdate(c.cid,
+      scala.collection.mutable.LinkedHashSet[Long]()) += c.cid)
+    for (f <- sorted) {
+      val cc = coarse.map(c => (cosDriver(f.vec, c.vec), -c.cid)).max
+      m(-cc._2) += f.cid
+    }
+    val byId = sorted.map(c => c.cid -> c).toMap
+    m.map { case (cc, ids) => cc -> ids.toSeq.sorted.map(byId) }.toMap
+  }
+
   def assignTwoLevel(corpus: DataFrame, cents: Seq[Centroid],
                      coarseN: Int = 64): DataFrame = {
     require(cents.nonEmpty,
@@ -201,21 +221,7 @@ object Ivf {
         .drop("__s")
     }
     val coarse = sorted.take(coarseN)
-    // fine → nearest coarse (max cos, ties to the lowest coarse cid), plus
-    // the self-membership that keeps every group non-empty — mirrored by the
-    // oracle's f2c UNION
-    val groups: Map[Long, Seq[Centroid]] = {
-      val m = scala.collection.mutable.LinkedHashMap[Long,
-        scala.collection.mutable.LinkedHashSet[Long]]()
-      coarse.foreach(c => m.getOrElseUpdate(c.cid,
-        scala.collection.mutable.LinkedHashSet[Long]()) += c.cid)
-      for (f <- sorted) {
-        val cc = coarse.map(c => (cosDriver(f.vec, c.vec), -c.cid)).max
-        m(-cc._2) += f.cid
-      }
-      val byId = sorted.map(c => c.cid -> c).toMap
-      m.map { case (cc, ids) => cc -> ids.toSeq.sorted.map(byId) }.toMap
-    }
+    val groups = twoLevelGroups(sorted, coarse)
     val withCoarse = corpus.withColumn("__coarse",
       cellOf(col("vec"), coarse))
     val chain = coarse.tail.foldLeft(
@@ -232,15 +238,79 @@ object Ivf {
   }
 
   /**
+   * [[assignTwoLevel]] with CENTROIDS AS DATA (VERDICT r14 #7): the
+   * when-chain form embeds ALL nlist centroids as expression-tree literals,
+   * so with nlist ∝ N the PLAN grows linearly with the corpus — Janino
+   * codegen and driver memory fail before any executor runs (measured: the
+   * q39 plan OOMs an 8 GiB driver at sf1.0's nlist = 313). Here only the
+   * FIXED-size coarse argmax (coarseN literals, a bounded constant) stays
+   * in the plan; the fine stage ships as DATA — one broadcast row per
+   * coarse group carrying its members as an array of (cid, vec) structs —
+   * and each corpus row resolves its fine argmax with a per-row
+   * `array_max(transform(...))` over the joined group, the same
+   * (cos DESC, cid ASC) struct ordering. No row explosion, no new
+   * shuffle (the join is broadcast, the argmax is per-row), and the plan
+   * is O(coarseN) regardless of nlist.
+   *
+   * Value-identical to [[assignTwoLevel]] by construction — same
+   * [[twoLevelGroups]] model, same argmax structs, same `cosineNative`
+   * kernel (literal vs column child evaluates the same fold) — pinned by
+   * IvfSpec's equality property. Output schema and column order match:
+   * corpus columns + (`cell`, `ccos`).
+   */
+  def assignTwoLevelData(corpus: DataFrame, cents: Seq[Centroid],
+                         coarseN: Int = 64): DataFrame = {
+    require(cents.nonEmpty,
+      "IVF needs at least one centroid — the selection predicate matched no vectors")
+    require(coarseN >= 1, s"coarseN must be >= 1 (got $coarseN)")
+    val sorted = cents.sortBy(_.cid)
+    // degenerate hierarchy: the bounded coarse argmax IS the assignment —
+    // identical to assignTwoLevel's fast path (a ≤ coarseN-literal plan)
+    if (sorted.size <= coarseN) return assignTwoLevel(corpus, sorted, coarseN)
+    val coarse = sorted.take(coarseN)
+    val groups = twoLevelGroups(sorted, coarse)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the model as a coarseN-row broadcast table: (coarse cid, members)
+    val grouped = groups.toSeq.sortBy(_._1)
+      .map { case (ccid, members) =>
+        (ccid, members.map(m => (m.cid, m.vec.toSeq)))
+      }
+      .toDF("__ccid", "__members")
+    corpus
+      .withColumn("__coarse", cellOf(col("vec"), coarse))
+      .join(broadcast(grouped), col("__coarse") === col("__ccid"))
+      .withColumn("__s", array_max(transform(col("__members"),
+        m => struct(
+          cosineNative(col("vec"), m.getField("_2")).as("s"),
+          (-m.getField("_1")).as("negid")))))
+      .withColumn("cell", -col("__s.negid"))
+      .withColumn("ccos", col("__s.s"))
+      .drop("__coarse", "__ccid", "__members", "__s")
+  }
+
+  /**
    * IVF search: probe each query's `nprobe` nearest cells, score candidates
    * with exact cosine, keep the per-query top-k (self-match excluded).
    * `queries` is expected small and is broadcast; the corpus side is one scan
    * of the probed cells with no distinct needed (each corpus vector lives in
    * exactly one cell, so a (query, neighbor) pair arises at most once).
+   *
+   * Corpus assignment takes the TWO-LEVEL centroids-as-data path
+   * ([[assignTwoLevelData]]) — the flat argmax is N·nlist cosine kernels,
+   * which with nlist ∝ N (constant cell occupancy) is the N²/64 quadratic
+   * the r14 sf10 sweep measured at 695 s on q162's PQ sibling; two-level
+   * is N·(coarseN + nlist/coarseN), degenerate-equal to flat while
+   * nlist ≤ `coarseN`, and as data the plan stays O(coarseN) at any
+   * nlist. The probe side stays a flat top-nprobe over all centroids:
+   * queries are expected BOUNDED (the q110/q120 256-id draw discipline),
+   * so their scoring is |queries|·nlist, never corpus-scaled.
    */
   def search(corpus: DataFrame, queries: DataFrame, cents: Seq[Centroid],
-             nprobe: Int, k: Int): DataFrame = {
-    val indexed = assign(corpus.select(col("id").as("neighbor_id"), col("vec")), cents)
+             nprobe: Int, k: Int, coarseN: Int = 64): DataFrame = {
+    val indexed = assignTwoLevelData(
+      corpus.select(col("id").as("neighbor_id"), col("vec")), cents, coarseN)
+      .drop("ccos")
     val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       explode(probeCells(col("vec"), cents, nprobe)).as("cell"))
     val scored = indexed.join(broadcast(probes), Seq("cell"))
@@ -275,9 +345,19 @@ object Ivf {
    * driver-held codebook), no join, no shuffle. At 100 TB this is the table
    * to persist (`partitionBy("cell")`); it stores a cell id and M small ints
    * per vector instead of the embedding.
+   *
+   * Cell assignment takes the TWO-LEVEL centroids-as-data path
+   * ([[assignTwoLevelData]], the [[search]] rationale): with nlist ∝ N the
+   * flat argmax was the single most expensive sf10 query of the r14 sweep
+   * (q162, 695 s); two-level is N·(coarseN + nlist/coarseN) kernels,
+   * degenerate-equal to flat while nlist ≤ `coarseN`, and as data the
+   * plan stays O(coarseN) at any nlist. The PQ codes themselves are
+   * unaffected — the codebook argmin is over the BOUNDED driver-held
+   * `cb`, not nlist.
    */
   def pqIndex(corpus: DataFrame, coarse: Seq[Centroid],
-              cb: Seq[(Long, Seq[Double])], splits: Seq[(Int, Int)]): DataFrame = {
+              cb: Seq[(Long, Seq[Double])], splits: Seq[(Int, Int)],
+              coarseN: Int = 64): DataFrame = {
     require(cb.nonEmpty && splits.nonEmpty, "PQ needs a codebook and subspaces")
     def codeFor(j: Int): Column = {
       val half = slice(col("vec"), splits(j)._1, splits(j)._2)
@@ -286,7 +366,7 @@ object Ivf {
         struct(subD2(half, cbSlice(cw, splits(j))).as("dd"), lit(cid).as("cid"))
       }: _*)).getField("cid")
     }
-    assign(corpus, coarse).select(
+    assignTwoLevelData(corpus, coarse, coarseN).select(
       col("id").as("neighbor_id") +: col("cell") +:
         splits.indices.map(j => codeFor(j).as(s"code${j + 1}")): _*)
   }

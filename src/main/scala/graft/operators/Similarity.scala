@@ -186,7 +186,8 @@ object Similarity {
 
   def semanticDedup(corpus: DataFrame, cents: Seq[Ivf.Centroid],
                     tau: Double, maxCell: Int = 10000,
-                    coarseN: Int = 64): DataFrame = {
+                    coarseN: Int = 64,
+                    centroidsAsData: Boolean = false): DataFrame = {
     // assignment + affinity computed ONCE and checkpointed: the nlist-term
     // argmax expression otherwise gets planned (and Janino-compiled) again
     // for each downstream branch — both pair sides and the survivor join —
@@ -197,7 +198,12 @@ object Similarity {
     // makes it N·(coarseN + nlist/coarseN) with the same cell-scoped pair
     // semantics downstream (Ivf.assignTwoLevel; degenerate-equal to the
     // flat argmax when nlist ≤ coarseN, so small fixtures are unchanged).
-    val assigned = Ivf.assignTwoLevel(corpus, cents, coarseN)
+    // `centroidsAsData = true` swaps in the value-identical broadcast-table
+    // formulation (Ivf.assignTwoLevelData) whose PLAN stays O(coarseN) at
+    // any nlist — the structural form for nlist beyond Janino's reach.
+    val assigned = (if (centroidsAsData)
+        Ivf.assignTwoLevelData(corpus, cents, coarseN)
+      else Ivf.assignTwoLevel(corpus, cents, coarseN))
       .localCheckpoint()
     Dedup.components(pairsWithinCells(assigned, tau, maxCell))
       .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))

@@ -251,18 +251,19 @@ object PipelineQueries {
     s"($dot / ($na * $nb))"
   }
 
-  /** DuckDB twin of [[Similarity.semanticDedup]] through the TWO-LEVEL
-   * (coarse -> fine) assignment: rebuilds the fine->coarse grouping (f2c,
-   * with the coarse self-membership UNION mirroring the driver model),
-   * the per-vector coarse then within-bucket fine argmax, the cell-scoped
-   * pair set, the transitive closure (the q41 pattern), and the
-   * least-centroid-affinity survivor ranking. Heavy CTEs MATERIALIZED.
-   * With nlist <= coarseN the hierarchy is degenerate and this equals the
-   * flat assignment - the q100/q168 pair exercises both regimes. */
-  private def semDedupTwoLevelSql(coarseN: Int): String =
-    s"""WITH RECURSIVE
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+  /** Shared CTE chain for the TWO-LEVEL (coarse -> fine) IVF assignment —
+   * the relational twin of [[Ivf.assignTwoLevel]] over an `e(vec_id, v)`
+   * binding with the standard train-free centroid predicate (vec_id % 64
+   * = 0): fine->coarse grouping (f2c, with the coarse self-membership
+   * UNION mirroring the driver model), per-vector coarse argmax (v2c),
+   * then the within-bucket fine argmax. Binds `cent(cid, cv)`,
+   * `coarse(ccid, ccv)` and `assigned(vec_id, v, cell, ccos)`. With
+   * nlist <= coarseN the hierarchy is degenerate and `assigned` equals
+   * the flat argmax — q100/q168 exercise both regimes; q39/q98/q120/q162
+   * consume the same chain (VERDICT r14 #2: the flat N²/64 assignment
+   * carried in the PQ/probe family). */
+  private def duckTwoLevelAssign(coarseN: Int): String =
+    s"""cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
          coarse AS (SELECT cid AS ccid, cv AS ccv FROM cent
                     ORDER BY cid LIMIT $coarseN),
          f2c AS (
@@ -286,7 +287,17 @@ object PipelineQueries {
                       ORDER BY ${duckCos("e.v", "f.cv")} DESC, f.cid ASC) AS rn
              FROM e JOIN v2c ON v2c.vec_id = e.vec_id
                     JOIN f2c ON f2c.ccid = v2c.ccid
-                    JOIN cent f ON f.cid = f2c.cid) WHERE rn = 1),
+                    JOIN cent f ON f.cid = f2c.cid) WHERE rn = 1)"""
+
+  /** DuckDB twin of [[Similarity.semanticDedup]] through the TWO-LEVEL
+   * (coarse -> fine) assignment ([[duckTwoLevelAssign]]), then the
+   * cell-scoped pair set, the transitive closure (the q41 pattern), and
+   * the least-centroid-affinity survivor ranking. Heavy CTEs
+   * MATERIALIZED. */
+  private def semDedupTwoLevelSql(coarseN: Int): String =
+    s"""WITH RECURSIVE
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${duckTwoLevelAssign(coarseN)},
          pairs AS MATERIALIZED (
            SELECT a.vec_id AS a, b.vec_id AS b
            FROM assigned a JOIN assigned b
@@ -3494,16 +3505,12 @@ object PipelineQueries {
          ORDER BY query_id, rank""",
     // DuckDB twin of [[Ivf.search]]: centroid selection is a pure id predicate
     // and the argmax tie-breaks on centroid id, so the oracle rebuilds the
-    // IDENTICAL inverted-file index (assignment, probes, re-rank) in SQL.
+    // IDENTICAL inverted-file index in SQL — since r15, through the same
+    // TWO-LEVEL assignment chain the engine uses (duckTwoLevelAssign);
+    // probes stay the flat top-nprobe over all centroids, as in the engine.
     "q39_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
-         assigned AS (
-           SELECT vec_id, v, cid AS cell FROM (
-             SELECT e.vec_id, e.v, c.cid,
-                    row_number() OVER (PARTITION BY e.vec_id
-                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
-             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         ${duckTwoLevelAssign(64)},
          probes AS (
            SELECT query_id, qv, cid AS cell FROM (
              SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
@@ -4912,13 +4919,7 @@ object PipelineQueries {
              FROM e c JOIN q ON c.vec_id != q.vec_id) WHERE rank <= 5),
          ${lshAnn(6, "6")},
          ${lshAnn(8, "8")},
-         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
-         assigned AS MATERIALIZED (
-           SELECT vec_id, v, cid AS cell FROM (
-             SELECT e.vec_id, e.v, c.cid,
-                    row_number() OVER (PARTITION BY e.vec_id
-                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
-             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         ${duckTwoLevelAssign(64)},
          probesI AS (
            SELECT query_id, qv, cid AS cell FROM (
              SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
@@ -6063,19 +6064,14 @@ object PipelineQueries {
          GROUP BY cell1, cell2 ORDER BY cell1, cell2""",
 
     // The identical IVF-PQ index rebuilt relationally: same coarse cells
-    // (q39's cosine argmax), same sub-codebook codes (q87's L2 argmin), and
-    // the ADC score re-derived through the same per-query lookup rows — the
-    // approximate distances themselves hash-match.
+    // (the shared two-level assignment chain — VERDICT r14 #2), same
+    // sub-codebook codes (q87's L2 argmin), and the ADC score re-derived
+    // through the same per-query lookup rows — the approximate distances
+    // themselves hash-match.
     "q98_ivfpq_adc" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         ${duckTwoLevelAssign(64)},
          cb AS (SELECT vec_id AS cid, v AS cbv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, ccid AS cell FROM (
-             SELECT e.vec_id, c.ccid,
-                    row_number() OVER (PARTITION BY e.vec_id
-                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.ccid ASC) AS rn
-             FROM e CROSS JOIN cent c) WHERE rn = 1),
          c1 AS (SELECT vec_id, cid AS code1 FROM (
                   SELECT e.vec_id, cb.cid,
                          row_number() OVER (PARTITION BY e.vec_id
@@ -6087,10 +6083,10 @@ object PipelineQueries {
                                             ORDER BY ${duckD2("e.v[33:64]", "cb.cbv[33:64]")}, cb.cid) AS rn
                   FROM e CROSS JOIN cb) WHERE rn = 1),
          probes AS (
-           SELECT query_id, ccid AS cell FROM (
-             SELECT q.vec_id AS query_id, c.ccid,
+           SELECT query_id, cid AS cell FROM (
+             SELECT q.vec_id AS query_id, c.cid,
                     row_number() OVER (PARTITION BY q.vec_id
-                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.ccid ASC) AS rn
+                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
              FROM e q CROSS JOIN cent c WHERE q.vec_id % 100 = 0) WHERE rn <= 3),
          l1 AS (SELECT q.vec_id AS query_id, cb.cid,
                        ${duckD2("q.v[1:32]", "cb.cbv[1:32]")} AS ld
@@ -6118,14 +6114,8 @@ object PipelineQueries {
     // and replays the q162 probe set (nprobe=2, k=4, vec_id % 50).
     "q162_ivfpq_from_index" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id % 64 = 0),
+         ${duckTwoLevelAssign(64)},
          cb AS (SELECT vec_id AS cid, v AS cbv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, ccid AS cell FROM (
-             SELECT e.vec_id, c.ccid,
-                    row_number() OVER (PARTITION BY e.vec_id
-                                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.ccid ASC) AS rn
-             FROM e CROSS JOIN cent c) WHERE rn = 1),
          c1 AS (SELECT vec_id, cid AS code1 FROM (
                   SELECT e.vec_id, cb.cid,
                          row_number() OVER (PARTITION BY e.vec_id
@@ -6137,10 +6127,10 @@ object PipelineQueries {
                                             ORDER BY ${duckD2("e.v[33:64]", "cb.cbv[33:64]")}, cb.cid) AS rn
                   FROM e CROSS JOIN cb) WHERE rn = 1),
          probes AS (
-           SELECT query_id, ccid AS cell FROM (
-             SELECT q.vec_id AS query_id, c.ccid,
+           SELECT query_id, cid AS cell FROM (
+             SELECT q.vec_id AS query_id, c.cid,
                     row_number() OVER (PARTITION BY q.vec_id
-                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.ccid ASC) AS rn
+                                       ORDER BY ${duckCos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
              FROM e q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) WHERE rn <= 2),
          l1 AS (SELECT q.vec_id AS query_id, cb.cid,
                        ${duckD2("q.v[1:32]", "cb.cbv[1:32]")} AS ld

@@ -133,6 +133,34 @@ class IvfSpec extends SparkSpec {
     assert(twoLevel.keys == flat.keys)
   }
 
+  test("assignTwoLevelData (centroids as data) equals assignTwoLevel exactly, " +
+    "broadcast-joined with no corpus shuffle") {
+    // hierarchical regime at this fixture: coarseN=2 < nlist
+    val expr = Ivf.assignTwoLevel(corpus, cents, coarseN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val data = Ivf.assignTwoLevelData(corpus, cents, coarseN = 2)
+    val got = data.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    // bit-identical: same grouping model, same argmax structs, same cosine
+    // kernel — (cell, ccos) must match the when-chain form exactly
+    assert(got.toSeq == expr.toSeq)
+    // schema/column order parity with assignTwoLevel
+    assert(data.columns.toSeq ==
+      Ivf.assignTwoLevel(corpus, cents, coarseN = 2).columns.toSeq)
+    // plan shape: the model arrives via ONE broadcast join; the corpus never
+    // shuffles (no sort-merge join, no corpus-side exchange before the join)
+    val plan = data.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"fine stage must join the broadcast model:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
+    // degenerate regime: identical to the flat argmax (same fast path)
+    val degen = Ivf.assignTwoLevelData(corpus, cents, coarseN = cents.length)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val flat = Ivf.assign(corpus, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(degen == flat)
+  }
+
   test("semanticDedup matches driver-side ground truth: cell-internal clusters, " +
     "least-centroid-affine survivors") {
     val tau = 0.3
