@@ -120,6 +120,20 @@ object PipelineQueries {
     Tables.embeddings(s, d).where(pred)
       .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
 
+  /** ABSOLUTELY bounded 256-vector query set (the q57/q110/q120 hash60
+   * bottom-k draw, one map-side `mink_by`): the r14 sf10 sweep caught
+   * `vec_id % k` query sets going quadratic — queries × corpus both scale
+   * with N (q148 measured 77× per decade; q110's original 453 s at sf10) —
+   * the q120 lesson: a gate must stay runnable on the production corpus.
+   * The oracle twin is `ORDER BY hash60('salt:'||vec_id), vec_id LIMIT
+   * 256` ([[duckBoundedQ]]). */
+  private def boundedQueryVecs(s: SparkSession, d: String, salt: String): DataFrame =
+    embVecs(s, d).join(
+      CorpusOps.sampleStratifiedBounded(Tables.embeddings(s, d),
+        col("vec_id"), lit(1), quota = 256, salt = salt)
+        .select(col("id")),
+      "id")
+
   /** documents → one row per bigram occurrence, in document order:
    * (doc_id, pos, w1, w2). Narrow (array transform + posexplode). */
   private def docBigrams(s: SparkSession, d: String): DataFrame =
@@ -218,6 +232,12 @@ object PipelineQueries {
   /** DuckDB twin of [[T.hash60]] / [[T.seededHash]]. */
   private def duckHash60(e: String): String =
     s"cast(concat('0x', substr(md5($e), 1, 15)) as bigint)"
+
+  /** DuckDB twin of [[boundedQueryVecs]] over a `(vec_id, v)` CTE binding. */
+  private def duckBoundedQ(salt: String, from: String): String =
+    s"""SELECT vec_id, v FROM $from
+        ORDER BY ${duckHash60(s"'$salt:' || CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT 256"""
 
   /** DuckDB twin of the Jaccard-on-distinct-shingles expression, rounded. */
   private val duckJac =
@@ -488,10 +508,13 @@ object PipelineQueries {
     // ---------------------------------------------------------------- similarity search
     "q35_knn_cosine" -> ((s, d) => {
       // exact brute-force top-10 cosine neighbors for the query subset —
-      // broadcast the queries, scan the corpus once, per-query window top-k
+      // broadcast the queries, scan the corpus once, per-query window top-k.
+      // The query set is ABSOLUTELY bounded (256 ids by the hash60 bottom-k
+      // draw) — the r14 sf10 sweep caught the original `% 100` corpus
+      // fraction at 22× per decade (queries × corpus both scale with N)
       Similarity.knnBruteForce(
         corpus = embVecs(s, d),
-        queries = embVecs(s, d, col("vec_id") % 100 === 0),
+        queries = boundedQueryVecs(s, d, "q35"),
         k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -501,9 +524,10 @@ object PipelineQueries {
       // multi-probe, exact re-rank inside candidates. The signature is pure
       // md5 parity, so the DuckDB oracle below reproduces the SAME approximate
       // index — recall vs q35 is additionally asserted in SimilaritySpec.
+      // Bounded 256-id query set (the q35 rationale; was 13× per decade)
       Similarity.annLsh(
         corpus = embVecs(s, d),
-        queries = embVecs(s, d, col("vec_id") % 100 === 0),
+        queries = boundedQueryVecs(s, d, "q36"),
         dim = 64, nBits = 8, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -622,10 +646,11 @@ object PipelineQueries {
       // rank under the truncated metric (NULL = lost) and the top-10
       // overlap. Both passes are the q35 machinery (queries broadcast,
       // corpus scanned shuffle-free, bounded-heap top-k); the audit joins
-      // touch only the Q×k checkpointed results.
+      // touch only the Q×k checkpointed results. Bounded 256-id query set
+      // (the q35 rationale; was the worst carrier at 77× per decade)
       Similarity.truncationRecall(
         corpus = embVecs(s, d),
-        queries = embVecs(s, d, col("vec_id") % 100 === 0),
+        queries = boundedQueryVecs(s, d, "q148"),
         dim = 16, k = 10)
         .orderBy(col("query_id"))),
 
@@ -686,7 +711,8 @@ object PipelineQueries {
       Retrieval.labelRetrievalMetrics(
         run = Similarity.knnBruteForce(
           corpus = embVecs(s, d),
-          queries = embVecs(s, d, col("vec_id") % 100 === 0), k = 10)
+          // bounded 256-id query set (the q35 rationale; was 68×/decade)
+          queries = boundedQueryVecs(s, d, "q154"), k = 10)
           .select(col("query_id"), col("rank"), col("neighbor_id")),
         labels = Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("label")),
@@ -723,8 +749,9 @@ object PipelineQueries {
       // approximate side is itself oracle-gated, not just sanity-checked.
       // A query the ANN misses entirely (empty probe buckets) surfaces as
       // NULL ann_* columns via the left join — counted, never dropped.
+      // Bounded 256-id query set (the q35 rationale; was 16×/decade)
       val corpus = embVecs(s, d)
-      val queries = embVecs(s, d, col("vec_id") % 100 === 0)
+      val queries = boundedQueryVecs(s, d, "q157")
       val labels = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("label"))
       def score(run: DataFrame, p: String) =
@@ -3463,7 +3490,7 @@ object PipelineQueries {
          WHERE round(${duckCos("a.v", "b.v")}, 4) >= 0.9 ORDER BY a, b""",
     "q35_knn_cosine" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 = 0),
+              q AS (${duckBoundedQ("q35", "c")}),
               scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ${duckCos("c.v", "q.v")} AS cos
@@ -3480,6 +3507,7 @@ object PipelineQueries {
     // same 1-bit multi-probe buckets, same exact-cosine re-rank.
     "q36_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (${duckBoundedQ("q36", "e")}),
          sigs AS (
            SELECT vec_id, v,
              CAST(list_reduce(list_concat([0::BIGINT], list_transform(range(0, 8), j ->
@@ -3493,7 +3521,7 @@ object PipelineQueries {
            SELECT query_id, qv, UNNEST(allsigs) AS sig FROM (
              SELECT vec_id AS query_id, v AS qv,
                     list_concat([sig], list_transform(range(0, 8), b -> xor(sig, 1::BIGINT << b))) AS allsigs
-             FROM sigs WHERE vec_id % 100 = 0)),
+             FROM sigs WHERE vec_id IN (SELECT vec_id FROM q))),
          cand AS (
            SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, ${duckCos("c.v", "p.qv")} AS cos
            FROM sigs c JOIN probes p ON c.sig = p.sig
@@ -3873,8 +3901,7 @@ object PipelineQueries {
                                  ORDER BY ${guarded(cosExpr)} DESC, c.vec_id ASC) AS rank
             FROM c JOIN q ON c.vec_id != q.vec_id"""
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                    WHERE vec_id % 100 = 0),
+              q AS (${duckBoundedQ("q148", "c")}),
               rf AS (${ranked(duckCos("c.v", "q.v"))}),
               rt AS (${ranked(duckCos("c.v[1:16]", "q.v[1:16]"))}),
               f10 AS (SELECT * FROM rf WHERE rank <= 10),
@@ -4037,8 +4064,7 @@ object PipelineQueries {
       val cumCase = Retrieval.idcgWeightsFp(10).zipWithIndex
         .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                 WHERE vec_id % 100 = 0),
+           q AS (${duckBoundedQ("q154", "c")}),
            scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                         ${duckCos("c.v", "q.v")} AS cos
                       FROM c JOIN q ON c.vec_id != q.vec_id),
@@ -4193,7 +4219,7 @@ object PipelineQueries {
                           THEN (1000 * n_rel_topk) // n_rel END AS recall_pm
                       FROM agg_$p)"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+           q AS (${duckBoundedQ("q157", "e")}),
            scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                         ${duckCos("c.v", "q.v")} AS cos
                       FROM e c JOIN q ON c.vec_id != q.vec_id),
@@ -4215,7 +4241,7 @@ object PipelineQueries {
              SELECT query_id, qv, UNNEST(allsigs) AS sig FROM (
                SELECT vec_id AS query_id, v AS qv,
                       list_concat([sig], list_transform(range(0, 8), b -> xor(sig, 1::BIGINT << b))) AS allsigs
-               FROM sigs WHERE vec_id % 100 = 0)),
+               FROM sigs WHERE vec_id IN (SELECT vec_id FROM q))),
            cand AS (
              SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, ${duckCos("c.v", "p.qv")} AS cos
              FROM sigs c JOIN probes p ON c.sig = p.sig
