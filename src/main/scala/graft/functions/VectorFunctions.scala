@@ -48,6 +48,14 @@ object VectorFunctions {
   def hyperplaneSignatureNative(v: Column, dim: Int, nBits: Int): Column =
     call_function("hyperplane_sig", v, lit(dim), lit(nBits))
 
+  /** Array-of-long hyperplane signature ([[graft.plans.HyperplaneSignatureWordsExpr]]):
+   * word t carries planes [t·bitsPerWord, (t+1)·bitsPerWord) of the same
+   * deterministic family — the per-band key form past the 62-bit single-long
+   * ceiling (key-bits-per-band doctrine, VERDICT r14 #6). */
+  def hyperplaneSignatureWordsNative(v: Column, dim: Int, bitsPerWord: Int,
+                                     nWords: Int): Column =
+    call_function("hyperplane_sig_words", v, lit(dim), lit(bitsPerWord), lit(nWords))
+
   /**
    * Random-hyperplane LSH signature (`nBits` sign bits): plane j's i-th weight is
    * ±1 derived from the parity of the md5-based [[TextFunctions.hash60]] of

@@ -484,13 +484,17 @@ object PipelineQueries {
       // snapshot discipline): every %25 vector gains a ×2-SCALED copy.
       // Scaling by 2 is IEEE-exact, so the twin's hyperplane signature is
       // BIT-IDENTICAL to its original (every projection doubles, signs
-      // unchanged) — the twin pair collides in EVERY table and recall is
-      // STRUCTURAL, not probabilistic (a perturbed twin under probabilistic
-      // LSH recall would eventually hash-mismatch the exact oracle at some
-      // corpus size). 7-bit × 8-table keys (the signature packs into one
-      // long, ≤ 62 bits total) hold bucket occupancy at N/128 per table
-      // (the key-bits-per-decade doctrine: +2 bits per decade is this
-      // parameter).
+      // unchanged) — and since r15 nearDupLsh pairs identical-FULL-signature
+      // ids through a dedicated exact channel, the twin pair is enumerated
+      // REGARDLESS of hot-bucket degradation: recall truly is structural,
+      // not fixture-scale luck (the r14 form routed twins through the
+      // guarded star fallback, which could drop the direct twin edge under
+      // signature concentration). 20-bit × 8-table keys on the r15
+      // array-of-long signatures (the single-long form capped 8 tables at
+      // 7 bits = 128 buckets/table, grinding ~10^8 verify pairs / 277 s at
+      // sf10; 2^20 buckets cut the per-table collision rate of the ~0.46-
+      // cos background from 0.652^7 to 0.652^20 ≈ 2e-4) — the key-bits-
+      // per-BAND doctrine made a parameter.
       val base = embVecs(s, d, col("vec_id") % 5 === 0)
       val guardedId = when(col("id") < 1000000000L, col("id"))
         .otherwise(raise_error(concat(
@@ -501,7 +505,7 @@ object PipelineQueries {
           .select((col("id") + 1000000000L).as("id"),
             transform(col("vec"), x => x * 2).as("vec")))
       Similarity.nearDupLsh(corpus, dim = 64, threshold = 0.9,
-          bitsPerTable = 7, nTables = 8)
+          bitsPerTable = 20, nTables = 8)
         .orderBy(col("a"), col("b"))
     }),
 

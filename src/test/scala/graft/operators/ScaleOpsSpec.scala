@@ -76,6 +76,56 @@ class ScaleOpsSpec extends SparkSpec {
     assert(lsh == allPairs)
   }
 
+  test("hyperplane_sig_words equals bit-slices of the single-long signature") {
+    // word t of the array form must reproduce planes [t*bpw, (t+1)*bpw) of
+    // the single-long signature wherever both are defined — banding built on
+    // the words is value-identical to the shiftright slicing it replaced
+    val e = embSubset
+    val bpw = 7; val nw = 8 // 56 planes: the r14 q34 parameters
+    val words = e.select(col("id"),
+        V.hyperplaneSignatureWordsNative(col("vec"), 64, bpw, nw).as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val single = e.select(col("id"),
+        V.hyperplaneSignatureNative(col("vec"), 64, bpw * nw).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(words.nonEmpty)
+    val mask = (1L << bpw) - 1
+    words.foreach { case (id, ws) =>
+      assert(ws.length == nw)
+      ws.zipWithIndex.foreach { case (w, t) =>
+        assert(w == ((single(id) >> (t * bpw)) & mask),
+          s"id $id word $t disagrees with the single-long slice")
+      }
+    }
+    // past the 62-bit ceiling: 20-bit × 8 tables = 160 planes, well-formed
+    // and non-degenerate (some word uses bits above the old per-table width)
+    val wide = e.select(V.hyperplaneSignatureWordsNative(col("vec"), 64, 20, 8))
+      .collect().map(_.getSeq[Long](0))
+    assert(wide.forall(_.length == 8))
+    assert(wide.flatten.exists(_ > mask), "wide keys should exceed 7-bit range")
+  }
+
+  test("identical-signature cliques survive hot-bucket degradation (q34 recall)") {
+    // maxBucket = 2 forces EVERY bucket through the star fallback; the
+    // dedicated identical-full-signature channel must still enumerate the
+    // planted twin pairs — structural recall independent of bucket heat
+    val base = embSubset
+    val corpus = base.unionByName(
+      base.where(col("id") % 25 === 0)
+        .select((col("id") + 1000000000L).as("id"),
+          transform(col("vec"), x => x * 2).as("vec")))
+    val expected = corpus.select(col("id").as("a"), col("vec").as("va"))
+      .join(corpus.select(col("id").as("b"), col("vec").as("vb")), col("a") < col("b"))
+      .select(col("a"), col("b"), round(V.cosineNative(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "planted twins must qualify at 0.9")
+    val got = Similarity.nearDupLsh(corpus, dim = 64, threshold = 0.9,
+        bitsPerTable = 20, nTables = 8, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
   test("topk_by aggregate equals the window row_number formulation") {
     val corpus = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), V.asDouble(col("embedding")).as("vec"))
