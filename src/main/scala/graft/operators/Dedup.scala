@@ -178,6 +178,51 @@ object Dedup {
   }
 
   /**
+   * Block-TRIPLE band keys — the key-bits-per-BAND doctrine's third-decade
+   * form (VERDICT r14 #5/#6: the sf100 measurement REFUTED "more blocks";
+   * `blocks = 16` multiplies bands — C(16,2) = 120 — without widening any
+   * band's key, so candidates grow; what must grow per decade is the key
+   * bits PER BAND). Triples keep the SAME 64-bit hash and the SAME number
+   * of blocks but key each band on THREE clean blocks: C(8,3) = 56 bands ×
+   * 24-bit keys (2^24 buckets per band — 256× the pair form's 2^16), so
+   * the background collision rate per band drops by ~256× while the band
+   * count only doubles.
+   *
+   * RECALL THEOREM (pigeonhole, property-proven in BlockPairBandsSpec): a
+   * pair within Hamming distance `blocks − 3` damages at most `blocks − 3`
+   * blocks, leaving ≥ 3 clean — an identical 24-bit `band_key` in an
+   * identical `band`. Budgets: ham ≤ 5 of 64 at `blocks = 8`, ham ≤ 13 of
+   * 128 at `blocks = 16`. One fewer Hamming unit of guaranteed recall than
+   * [[blockPairBands]] — the price of the decade.
+   *
+   * Output: `(id, band, band_key)` with `band = (i·blocks + j)·blocks + k`
+   * over block triples i < j < k, `band_key = 65536·block_i + 256·block_j
+   * + block_k`, feeding [[bucketedPairs]] exactly like the pair form.
+   */
+  def blockTripleBands(hashes: DataFrame, blocks: Int): DataFrame = {
+    require(blocks == 8 || blocks == 16,
+      s"blockTripleBands supports blocks = 8 (64-bit hash) or 16 (128-bit), got $blocks")
+    val words = blocks / 8
+    val checked = when(size(col("hash")) === words, col("hash"))
+      .otherwise(raise_error(concat(
+        lit(s"blockTripleBands: hash must carry $words long words for " +
+          s"$blocks blocks, got "), size(col("hash")).cast("string"),
+        lit(" (id "), col("id").cast("string"), lit(")")))
+        .cast("array<bigint>"))
+    def blk(v: String) =
+      s"(shiftright(element_at(hash, cast($v div 8 as int) + 1), ($v % 8) * 8) & 255)"
+    hashes.select(col("id"), checked.as("hash"))
+      .select(col("id"), explode(expr(
+        s"""flatten(transform(sequence(0, ${blocks - 3}), i ->
+              flatten(transform(sequence(i + 1, ${blocks - 2}), j ->
+                transform(sequence(j + 1, ${blocks - 1}), k ->
+                  struct((i * $blocks + j) * $blocks + k AS band,
+                    (${blk("i")} * 256 + ${blk("j")}) * 256 + ${blk("k")} AS band_key))))))"""
+      )).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+  }
+
+  /**
    * INCREMENTAL near-dup candidates: pair each NEW doc against the EXISTING
    * corpus only — the daily-crawl posture. Both sides band identically, then
    * ONE equi-join on (band, band_key) with the new side as the (small) probe:

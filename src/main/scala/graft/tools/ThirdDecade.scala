@@ -31,7 +31,13 @@ import graft.operators.Dedup
  * DECADE question is about the banded join, so the phases are reported
  * separately: hash_sec and pair_sec).
  *
- * Usage: runMain graft.tools.ThirdDecade <sfDir> <blocks> [runs]
+ * Banding mode (4th arg, r15): `pairs` (default) bands block PAIRS
+ * (C(blocks,2) bands × 16-bit keys, verify budget blocks − 2); `triples`
+ * bands block TRIPLES via [[Dedup.blockTripleBands]] (C(blocks,3) bands ×
+ * 24-bit keys, budget blocks − 3) — the key-bits-per-BAND doctrine's
+ * third-decade form, measured head-to-head against pairs at every scale.
+ *
+ * Usage: runMain graft.tools.ThirdDecade <sfDir> <blocks> [runs] [pairs|triples]
  */
 object ThirdDecade {
 
@@ -39,8 +45,11 @@ object ThirdDecade {
     val sfDir = args(0)
     val blocks = args(1).toInt
     val runs = if (args.length > 2) args(2).toInt else 2
+    val banding = if (args.length > 3) args(3) else "pairs"
     require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
-    val budget = blocks - 2
+    require(banding == "pairs" || banding == "triples",
+      s"banding must be pairs or triples, got $banding")
+    val budget = if (banding == "triples") blocks - 3 else blocks - 2
     // ≡ 0 mod 3 so a twin of an image doc synthesizes as an image too (the
     // q90 offset rule — the first r14 runs used 1e8 ≡ 1 mod 3 and planted
     // ZERO image twins, reported as twin_recall_pm = -1), and above every
@@ -95,8 +104,9 @@ object ThirdDecade {
       hashSec = math.min(hashSec, (System.nanoTime() - t0) / 1e9)
 
       val t1 = System.nanoTime()
-      val bands = Dedup.blockPairBands(
-        ph.select(col("doc_id").as("id"), col("hash")), blocks)
+      val keyed = ph.select(col("doc_id").as("id"), col("hash"))
+      val bands = if (banding == "triples") Dedup.blockTripleBands(keyed, blocks)
+        else Dedup.blockPairBands(keyed, blocks)
       val pairs = Dedup.bucketedPairs(bands).localCheckpoint()
       nCand = pairs.count()
       val verified = pairs
@@ -123,6 +133,7 @@ object ThirdDecade {
     }
 
     println(s"""{"tool":"third_decade","sf":"$sfDir","blocks":$blocks,""" +
+      s""""banding":"$banding","budget":$budget,""" +
       s""""docs":$nDocs,"hashed":$nHashed,"candidates":$nCand,""" +
       s""""verified":$nVerified,"twin_recall_pm":$recallPm,""" +
       s""""hash_sec":$hashSec,"pair_sec":$pairSec,"runs":$runs}""")

@@ -90,6 +90,67 @@ class BlockPairBandsSpec extends SparkSpec {
     assert(nu == legacy, "parameterized banding diverged from q90's inline formula")
   }
 
+  /** Triple-band twin of [[collide]]: budget blocks − 3, C(blocks,3) bands. */
+  private def collideTriples(blocks: Int): Unit = {
+    import spark.implicits._
+    val words = blocks / 8
+    val bits = blocks * 8
+    val gen = for {
+      ws <- Gen.listOfN(words, Gen.choose(Long.MinValue, Long.MaxValue))
+      h <- Gen.choose(0, blocks - 3) // the triple budget, 0 included
+      flips <- Gen.pick(h, 0 until bits)
+    } yield {
+      val damaged = ws.toArray
+      flips.foreach(p => damaged(p / 64) ^= (1L << (p % 64)))
+      (ws, damaged.toSeq, h)
+    }
+    val cases = samples(gen, 120)
+    val rows = cases.zipWithIndex.flatMap { case ((orig, dam, _), i) =>
+      Seq((i.toLong * 2, orig), (i.toLong * 2 + 1, dam))
+    }.toDF("id", "hash")
+    val keys = Dedup.blockTripleBands(rows, blocks)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet
+      }
+    val nBands = blocks * (blocks - 1) * (blocks - 2) / 6
+    cases.indices.foreach { i =>
+      val a = keys(i.toLong * 2); val b = keys(i.toLong * 2 + 1)
+      assert(a.map(_._1).size == nBands && b.map(_._1).size == nBands,
+        s"case $i: expected C($blocks,3) = $nBands distinct bands per id")
+      assert(b.forall(_._2 < (1L << 24)), "triple keys are 24-bit")
+      val h = cases(i)._3
+      assert((a intersect b).nonEmpty,
+        s"case $i (blocks=$blocks, ham=$h): no shared (band, band_key) — " +
+          "the triple pigeonhole recall theorem is violated")
+    }
+  }
+
+  test("triples, blocks = 8: every pair within ham 5 of 64 shares a 24-bit band bucket") {
+    collideTriples(8)
+  }
+
+  test("triples, blocks = 16: every pair within ham 13 of 128 shares a 24-bit band bucket") {
+    collideTriples(16)
+  }
+
+  test("triple band keys are the exact block triple (spot formula check)") {
+    import spark.implicits._
+    // hash with block b holding value b+1 (blocks 0..7 little-endian):
+    // band (i,j,k) must key (i+1)<<16 | (j+1)<<8 | (k+1)
+    val h = (0 until 8).map(b => (b + 1).toLong << (8 * b)).sum
+    val rows = Seq((1L, Seq(h))).toDF("id", "hash")
+    val got = Dedup.blockTripleBands(rows, 8)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got.size == 56)
+    for (i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8) {
+      val band = (i * 8 + j) * 8 + k
+      val key = ((i + 1).toLong * 256 + (j + 1)) * 256 + (k + 1)
+      assert(got(band) == key, s"band ($i,$j,$k)")
+    }
+  }
+
   test("the in-plan word-count guard raises on a malformed hash array") {
     import spark.implicits._
     val bad = Seq((1L, Seq(1L, 2L))).toDF("id", "hash") // 2 words, blocks = 8
