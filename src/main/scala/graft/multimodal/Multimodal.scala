@@ -362,10 +362,12 @@ object Multimodal {
    * 128-bit perceptual hash — the [[Dedup.blockPairBands]] `blocks = 16`
    * input for the THIRD corpus decade: word 1 is [[imagePhash]]'s 8×8
    * block-average aHash bit-for-bit (so 64-bit results remain comparable
-   * across decades), word 2 a row-wise difference hash over the SAME cell
-   * sums (cell average vs the next cell in its grid row, wrapping — the
-   * classic dHash, capturing gradient structure the global-mean aHash
-   * ignores, so the two words carry largely independent content bits).
+   * across decades), word 2 a COLUMN-wise difference hash over the SAME
+   * cell sums: with the cell layout `cell = gx·8 + gy`, bit c compares
+   * cell c against the next cell DOWN the same image column (gy + 1,
+   * wrapping at the column end) — the dHash idea oriented vertically,
+   * capturing gradient structure the global-mean aHash ignores, so the
+   * two words carry largely independent content bits.
    * Both words use the exact 128-bit cross-multiply compare (no doubles).
    * Output: `(doc_id, phash: array<bigint>)` of 2 little-endian words,
    * exactly the shape `blockPairBands(blocks = 16)` consumes.
@@ -393,7 +395,8 @@ object Multimodal {
           var c = 0
           while (c < 64) {
             if (cn(c) > 0 && mulGt(cs(c), n.toLong, ts, cn(c))) a |= 1L << c
-            // next cell in the same grid row, wrapping at the row end:
+            // next cell DOWN the same image column (cell = gx*8 + gy, so
+            // c%8 is gy), wrapping at the column end:
             // avg(c) > avg(nxt) ⟺ cs(c)·cn(nxt) > cs(nxt)·cn(c)
             val nxt = (c / 8) * 8 + (c % 8 + 1) % 8
             if (cn(c) > 0 && cn(nxt) > 0 && mulGt(cs(c), cn(nxt), cs(nxt), cn(c)))

@@ -43,12 +43,31 @@ private[graft] object Checkpoints {
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
+  /** Drop registry entries whose SparkContext has stopped (their blocks are
+   * already gone with the context; only the heap object graph lingers).
+   * A weak-keyed map cannot do this — every registered DataFrame strongly
+   * references its session, so value→key chains would pin weak keys
+   * forever — and release() must hold the frames strongly to stay able to
+   * unpersist them. Instead every registry access sweeps dead contexts, so
+   * a stopped session's entries are reclaimed at the next reusePoint /
+   * release anywhere in the JVM (the ADVICE r14 multi-session leak).
+   * Sessions ABANDONED on a still-running context keep needing an explicit
+   * [[release]] — their cached blocks are live in the shared block manager
+   * and only a caller can decide to free them. */
+  private def purgeStoppedContexts(): Unit = {
+    val it = registry.keySet.iterator()
+    while (it.hasNext) {
+      if (it.next().sparkContext.isStopped) it.remove()
+    }
+  }
+
   /** Persist `df` as a LAZY plan-keyed reuse point and track it for
    * [[release]]. If the plan is ALREADY cached in this session (a prior
    * call on the same input, or a harness cache seed), returns `df`
    * untouched — no duplicate registration, no CacheManager warning, and
    * the substitution hits the existing entry. */
   def reusePoint(df: DataFrame): DataFrame = {
+    purgeStoppedContexts()
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
     else {
       val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -62,6 +81,7 @@ private[graft] object Checkpoints {
    * returns how many were released. Safe at any time — reuse points keep
    * lineage, so a released frame recomputes instead of aborting. */
   def release(spark: SparkSession): Int = {
+    purgeStoppedContexts()
     val q = registry.remove(spark)
     if (q == null) 0
     else {
@@ -70,6 +90,13 @@ private[graft] object Checkpoints {
       while (it.hasNext) { it.next().unpersist(blocking = false); n += 1 }
       n
     }
+  }
+
+  /** Registered reuse-point count for `spark` — observability for the
+   * lifecycle specs and long-lived callers sizing a release. */
+  def registered(spark: SparkSession): Int = {
+    val q = registry.get(spark)
+    if (q == null) 0 else q.size()
   }
 
   def reliableEnabled(spark: SparkSession): Boolean =

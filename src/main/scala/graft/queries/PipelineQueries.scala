@@ -798,11 +798,12 @@ object PipelineQueries {
       // campaign reads to see how much "near-miss" structure the nominal
       // coefficient was hiding. Labels are ordered severities (0 < 1 < 2
       // by n_chars), so interval/ordinal are the honest coefficients here.
-      // the SHARED-census composition (VERDICT r12 #3): cell/kept/keptCell/
-      // classMass build once and all three metric blocks derive from them —
-      // shared via physical-plan exchange reuse (ReusedExchange), not
-      // persist: the r13 persist variant regressed this query and crashed
-      // the sf1.0 sweep under storage-memory pressure (VERDICT r13 #1/#2)
+      // BOUNDED-SUMMARY fold (the r14 rework, measured against persist-4
+      // and logical-sharing variants — 4.10 → 1.81 s at sf0.1): the corpus
+      // folds ONCE into per-item label-census arrays — never a corpus
+      // self-join — and only the ≤ classes²-row pairMass + classes-row
+      // classMass + 1-row stats summaries persist, as tracked
+      // Checkpoints.reusePoints (Annotations.krippendorffAlphaMetrics)
       val sparse = annotatedDocs(s, d).where(expr(
         "cast(conv(substring(md5(concat('skip', annotator, ':', item)), 1, 4), 16, 10) as int) % 6 != annotator"))
       Annotations.krippendorffAlphaMetrics(sparse, maxRaters = 5,
