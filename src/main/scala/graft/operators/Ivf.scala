@@ -277,13 +277,23 @@ object Ivf {
         (ccid, members.map(m => (m.cid, m.vec.toSeq)))
       }
       .toDF("__ccid", "__members")
+    // BOTH argmax stages run through the FUSED native kernel
+    // (CosineArgmaxExpr). The alternatives both measured ~6× slower for
+    // the same sf10 assignment (58-62 s vs ~10 s): the HOF
+    // `array_max(transform(...))` pays the interpreter per member, and
+    // the coarseN-term literal expression (`cellOf`) blows whole-stage
+    // codegen past Janino's 64 KB method limit (64 literal 64-dim arrays
+    // unroll to >4k statements), collapsing the entire stage to
+    // interpreted mode. Here the coarse members ride as ONE array literal
+    // and the fine members as the broadcast-joined column — two kernel
+    // calls per row, codegen-friendly, plan still O(coarseN).
+    val coarseLit = typedlit(coarse.map(c => (c.cid, c.vec.toSeq)))
     corpus
-      .withColumn("__coarse", cellOf(col("vec"), coarse))
+      .withColumn("__coarse",
+        -call_function("cosine_argmax", col("vec"), coarseLit).getField("negid"))
       .join(broadcast(grouped), col("__coarse") === col("__ccid"))
-      .withColumn("__s", array_max(transform(col("__members"),
-        m => struct(
-          cosineNative(col("vec"), m.getField("_2")).as("s"),
-          (-m.getField("_1")).as("negid")))))
+      .withColumn("__s",
+        call_function("cosine_argmax", col("vec"), col("__members")))
       .withColumn("cell", -col("__s.negid"))
       .withColumn("ccos", col("__s.s"))
       .drop("__coarse", "__ccid", "__members", "__s")
@@ -388,7 +398,12 @@ object Ivf {
    * the session and costs nothing to "rebuild" on executor loss.
    */
   def writePqIndex(index: DataFrame, path: String): Unit =
-    index.write.partitionBy("cell").mode("overwrite").parquet(path)
+    // repartition by cell FIRST: partitionBy alone writes one file per
+    // (task × cell) — up to tasks × nlist small files (the r15 q162
+    // finding: ~100k files at sf10's nlist = 3125 dominated the 415 s
+    // build); clustering cells into tasks writes one file per cell
+    index.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
 
   /**
    * The PQ index as the engine's FIFTH persisted serving artifact (VERDICT
@@ -406,7 +421,9 @@ object Ivf {
   def writePqIndexTable(index: DataFrame, table: String): Unit = {
     val spark = index.sparkSession
     CorpusOps.dropWithLocation(spark, s"${table}__staging")
-    index.write.format("parquet").partitionBy("cell")
+    // one file per cell, not per (task × cell) — see writePqIndex
+    index.repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell")
       .mode("overwrite").saveAsTable(s"${table}__staging")
     CorpusOps.swapStaged(spark, table)
     // unlike the (unpartitioned) bucketed artifacts, a PARTITIONED table
@@ -440,7 +457,9 @@ object Ivf {
       s"appendPqIndexTable: new ids overlap index '$table' ids - the " +
         "increment requires disjoint id spaces (re-key the crawl or " +
         "rebuild the index)")
-    enc.write.format("parquet").mode("append").partitionBy("cell")
+    // one appended file per touched cell, not per (task × cell)
+    enc.repartition(col("cell"))
+      .write.format("parquet").mode("append").partitionBy("cell")
       .saveAsTable(table)
   }
 

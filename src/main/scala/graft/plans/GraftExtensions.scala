@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(TopKByExpr.descriptor)
     extensions.injectFunction(HyperplaneSignatureExpr.descriptor)
     extensions.injectFunction(HyperplaneSignatureWordsExpr.descriptor)
+    extensions.injectFunction(CosineArgmaxExpr.descriptor)
     extensions.injectFunction(SimHash62Expr.descriptor)
     extensions.injectFunction(MinHash60Expr.descriptor)
     extensions.injectFunction(BottomKDistinctExpr.descriptor)

@@ -97,6 +97,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    why = {}
     for name, sql in sorted(oracle.items()):
         try:
             tbl = ds.dataset(f"{out_dir}/{name}").to_table()
@@ -113,25 +114,36 @@ def main():
             type_bad = type_mismatches(tbl.schema, duck_schema)
             if gn != en:
                 print(f"FAIL {name}: columns {gn} != {en}")
-                failed.append(name)
+                failed.append(name); why[name] = "columns"
             elif type_bad:
                 print(f"TYPEFAIL {name}: " + "; ".join(type_bad))
-                failed.append(name)
+                failed.append(name); why[name] = "types"
             elif len(gr) != len(er):
                 print(f"FAIL {name}: rows {len(gr)} != {len(er)}")
-                failed.append(name)
+                failed.append(name); why[name] = "rowcount"
             elif gr != er:
                 bad = next(i for i, (a, b) in enumerate(zip(gr, er)) if a != b)
                 print(f"FAIL {name}: value mismatch at sorted row {bad}:")
                 print(f"  spark : {gr[bad]}")
                 print(f"  duckdb: {er[bad]}")
-                failed.append(name)
+                failed.append(name); why[name] = "values"
             else:
                 print(f"OK   {name} ({len(gr)} rows)")
         except Exception as e:
             print(f"ERROR {name}: {type(e).__name__}: {e}")
-            failed.append(name)
+            failed.append(name); why[name] = f"{type(e).__name__}: {e}"[:200]
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    # optional 3rd arg: write a CORRECTNESS_r{N}-style JSON artifact so the
+    # gate (scripts/closing_counts.sh) can consume a local full-value run
+    if len(sys.argv) > 3:
+        art = {name: {"rows_match": name not in failed,
+                      "schema_match": name not in failed,
+                      "hash_match": name not in failed,
+                      "err": why.get(name)}
+               for name in sorted(oracle)}
+        with open(sys.argv[3], "w") as f:
+            json.dump(art, f)
+        print(f"wrote {sys.argv[3]}")
     sys.exit(1 if failed else 0)
 
 
