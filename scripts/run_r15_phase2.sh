@@ -25,6 +25,18 @@ for sf in sf1.0 sf10; do
     sbt -batch "runMain graft.Bench" 2>&1 | tail -2
 done
 
+# q120's r14 47x decade-2 ratio is unexplained (its query set is ALREADY
+# bounded); VERDICT r14 #1 asks for a solo min-of-2 measurement to separate
+# a real quadratic from the r14 window's 4-6x inflation + min-of-1 noise.
+for sf in sf1.0 sf10; do
+  echo "=== phase2: q120 solo at $sf ==="
+  SPARK_GRAFT_SF_DIR="$PWD/localdata/$sf" \
+  SPARK_GRAFT_BENCH_ONLY=q120 \
+  SPARK_GRAFT_BENCH_RUNS=2 SPARK_GRAFT_BENCH_BUDGET=1200 \
+  SPARK_GRAFT_BENCH_OUT="bench_scaling_r15_q120solo_$sf.json" \
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -2
+done
+
 : > third_decade_r15.jsonl
 for sf in sf1.0 sf10 sf100; do
   for banding in pairs triples; do
