@@ -691,18 +691,24 @@ object Dedup {
    * only generates candidates, the Hamming verify is exact, and pigeonhole
    * guarantees no qualifying pair is missed. Asserted in DedupSpec.
    */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** The 62-bit signature split into `maxHamming + 1` contiguous chunks
+   * (first `62 mod nChunks` chunks one bit wider); offsets are static, so
+   * shiftright/mask stay plain codegen'd literals. Shared by the raw and
+   * guarded candidate paths. */
+  private def sigChunkExprs(maxHamming: Int): Seq[Column] = {
     val nChunks = maxHamming + 1
     val base = 62 / nChunks
     val rem = 62 % nChunks
-    // chunk widths: first `rem` chunks get an extra bit; offsets are static,
-    // so shiftright/mask stay plain codegen'd literals
-    val chunkExprs = (0 until nChunks).map { c =>
+    (0 until nChunks).map { c =>
       val width = base + (if (c < rem) 1 else 0)
       val offset = (0 until c).map(i => base + (if (i < rem) 1 else 0)).sum
       val mask = (1L << width) - 1L
       shiftright(col("sig"), offset).bitwiseAND(lit(mask))
     }
+  }
+
+  def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunkExprs = sigChunkExprs(maxHamming)
     val sigs = simhashSigs(docs)
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array(chunkExprs: _*)))
@@ -718,6 +724,56 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /**
+   * [[simhashCandidates]] hardened for corpus scale — the q34/q90 candidate
+   * discipline applied to the simhash family (the r15 q33 rework: the raw
+   * chunk self-join measured 43× per decade at the second→third decade, the
+   * round's only confirmed quadratic). Same pigeonhole banding
+   * (`maxHamming + 1` chunks ⇒ any qualifying pair shares a chunk), but:
+   *
+   *   - candidates route through the GUARDED [[bucketedPairs]]: natural
+   *     corpora concentrate signatures (templated text signs near-equal
+   *     bit patterns), and a raw chunk equi-join goes quadratic in the hot
+   *     buckets. Over `maxBucket` a bucket degrades to star pairs (id vs
+   *     bucket minimum) — O(bucket) with connectivity preserved, the
+   *     documented dedup-clustering contract shared with q90's image bands
+   *     and q34's hyperplane tables;
+   *   - ids sharing the IDENTICAL full 62-bit signature pair through a
+   *     second, UNGUARDED equi-join channel, so an exact-twin pair inside
+   *     a hot bucket can never survive only as star pairs — ham = 0 recall
+   *     is STRUCTURAL regardless of bucket degradation (the r14 advice
+   *     hole, closed for hyperplane LSH by `nearDupLsh`, closed here for
+   *     simhash). Output-bounded by nature: identical signatures mark
+   *     near-identical documents, whose pairs the caller's threshold keeps
+   *     anyway;
+   *   - the signature table localCheckpoints once — banding, both clique
+   *     sides, and both verify sides read it, and the checkpoint keeps the
+   *     md5 feature hashing from re-running five times.
+   *
+   * Pair-equal to [[simhashPairs]] except above `maxBucket`, where hot
+   * buckets take the star shape (DedupSpec pins equality below the cap).
+   */
+  def simhashCandidatesGuarded(docs: DataFrame, maxHamming: Int,
+                               maxBucket: Int = 10000): DataFrame = {
+    val chunkExprs = sigChunkExprs(maxHamming)
+    val sigs = simhashSigs(docs).localCheckpoint()
+    val banded = sigs.select(col("id"), posexplode(array(chunkExprs: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val sigPairs = sigs.select(col("id").as("a"), col("sig"))
+      .join(sigs.select(col("id").as("b"), col("sig")), "sig")
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val candidates = bucketedPairs(banded, maxBucket)
+      .unionByName(sigPairs).distinct()
+    candidates
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /**

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => T}
+
 /**
  * Generation-evaluation operators — the text-overlap metrics a training
  * pipeline runs over (reference, candidate) pairs before trusting generated
@@ -53,14 +55,27 @@ object TextEval {
   private def toks(c: Column): Column =
     filter(split(c, " "), w => w =!= "")
 
+  /** 60-bit gram fingerprint (`TextFunctions.hash60` — first 15 md5 hex
+   * chars as a long): censuses key and clip-join on 8-byte longs instead of
+   * up-to-`n`-word gram strings, shrinking the census shuffles that dominate
+   * these metrics at sf ≥ 1 (the r15 gram-key compression; the q160-q163
+   * trio was 375 s of the 1629 s sf10 sweep). A fingerprint collision
+   * merges two gram classes IDENTICALLY in both engines — the DuckDB twins
+   * fingerprint with the same md5 idiom — so oracle equality is preserved
+   * by construction; the metric definition is "hash60-fingerprinted grams",
+   * the repo-wide census convention (minhash shingles, DSIR buckets,
+   * sketches). Collision odds over a V-gram vocabulary are ~V²/2⁶¹
+   * (~1e-6 at V = 10⁶). */
+  private def gramKey(g: Column): Column = T.hash60(g)
+
   def rougeN(pairs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
     def grams(c: Column): Column = {
       val w = toks(c)
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
-          i => array_join(slice(w, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
+          i => gramKey(array_join(slice(w, i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<bigint>"))
     }
     val ref = pairs.select(col("id"), explode(grams(col("reference"))).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cr"))
@@ -82,6 +97,53 @@ object TextEval {
         // each side's total is NULL only when that side has no grams at
         // all; a gramless CANDIDATE still leaves recall defined (0 of the
         // reference grams were produced) and vice versa
+        when(col("ref_grams").isNotNull,
+          expr("(1000 * overlap) div ref_grams")).as("recall_pm"),
+        when(col("cand_grams").isNotNull,
+          expr("(1000 * overlap) div cand_grams")).as("precision_pm"))
+      .select(col("id"), col("n"), col("overlap"),
+        col("ref_grams"), col("cand_grams"),
+        col("recall_pm"), col("precision_pm"),
+        when(col("recall_pm").isNotNull && col("precision_pm").isNotNull,
+          when(col("recall_pm") + col("precision_pm") > 0,
+            expr("(2 * precision_pm * recall_pm) div (precision_pm + recall_pm)"))
+            .otherwise(lit(0L))).as("f1_pm"))
+  }
+
+  /**
+   * [[rougeN]] for ALL orders 1..maxN in ONE pass — the [[bleuPrecisions]]
+   * census shape applied to the ROUGE side: both sides explode into one
+   * tagged (id, n, g) census each (one shuffle per side regardless of
+   * maxN), the clip joins equi on (id, n, g), and the per-(pair, order)
+   * rollups read the same censuses. Row-identical to unioning
+   * `rougeN(pairs, n)` for n = 1..maxN (same column contract, NULL
+   * semantics, and fixed-point arithmetic) — q160 runs this instead of two
+   * separate rougeN passes, halving its census shuffles.
+   */
+  def rougeNOrders(pairs: DataFrame, maxN: Int): DataFrame = {
+    require(maxN >= 1, "maxN must be >= 1")
+    val ref = pairs
+      .select(col("id"), explode(gramsAllOrders(col("reference"), maxN)).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("cr"))
+    val cand = pairs
+      .select(col("id"), explode(gramsAllOrders(col("candidate"), maxN)).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("cc"))
+    val overlap = ref.join(cand, Seq("id", "n", "g"))
+      .groupBy(col("id"), col("n"))
+      .agg(sum(least(col("cr"), col("cc"))).as("overlap"))
+    val rTot = ref.groupBy(col("id"), col("n")).agg(sum(col("cr")).as("ref_grams"))
+    val cTot = cand.groupBy(col("id"), col("n")).agg(sum(col("cc")).as("cand_grams"))
+    pairs.select(col("id"), explode(sequence(lit(1), lit(maxN))).as("n"))
+      .join(rTot, Seq("id", "n"), "left")
+      .join(cTot, Seq("id", "n"), "left")
+      .join(overlap, Seq("id", "n"), "left")
+      .select(col("id"), col("n").cast("int").as("n"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("ref_grams"), col("cand_grams"))
+      .select(col("id"), col("n"), col("overlap"),
+        col("ref_grams"), col("cand_grams"),
         when(col("ref_grams").isNotNull,
           expr("(1000 * overlap) div ref_grams")).as("recall_pm"),
         when(col("cand_grams").isNotNull,
@@ -119,12 +181,12 @@ object TextEval {
    * feed shared by [[bleuPrecisions]] and [[corpusGenerationEval]]. */
   private def gramsAllOrders(c: Column, maxN: Int): Column = {
     val w = toks(c)
-    val emptyGrams = s"cast(array() as array<struct<n:int,g:string>>)"
+    val emptyGrams = s"cast(array() as array<struct<n:int,g:bigint>>)"
     flatten(transform(sequence(lit(1), lit(maxN)), nn =>
       when(size(w) >= nn,
         transform(sequence(lit(0), size(w) - nn),
           i => struct(nn.cast("int").as("n"),
-            array_join(slice(w, i + 1, nn), " ").as("g"))))
+            gramKey(array_join(slice(w, i + 1, nn), " ")).as("g"))))
         .otherwise(expr(emptyGrams))))
   }
 

@@ -91,7 +91,10 @@ object CosineArgmaxKernel {
    * considered. Comparison mirrors Spark's struct ordering over
    * (s, negid) with s NULLS-smallest: a null cosine loses to any real
    * one; among equal (or both-null) cosines the higher negid (= lower
-   * cid) wins. */
+   * cid) wins. Real cosines compare via `java.lang.Double.compare` —
+   * Spark's physical double ordering — so NaN ranks above every real
+   * value and −0.0 below +0.0, exactly as `array_max` would rank them
+   * (only reachable with NaN/±Inf vector elements, but exact is exact). */
   def argmax(v: ArrayData, members: ArrayData): InternalRow = {
     val n = members.numElements()
     var found = false
@@ -108,8 +111,10 @@ object CosineArgmaxKernel {
           if (!found) true
           else if (s == null) !bestHas && neg > bestNeg
           else if (!bestHas) true
-          else s.doubleValue() > bestS ||
-            (s.doubleValue() == bestS && neg > bestNeg)
+          else {
+            val c = java.lang.Double.compare(s.doubleValue(), bestS)
+            c > 0 || (c == 0 && neg > bestNeg)
+          }
         if (better) {
           found = true
           bestHas = s != null

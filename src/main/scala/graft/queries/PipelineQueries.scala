@@ -465,8 +465,29 @@ object PipelineQueries {
     }),
 
     "q33_dedup_simhash" -> ((s, d) => {
-      // SimHash-62 signatures; near-dups = pairs within 12 bit flips
-      Dedup.simhashPairs(docShingles(s, d, 2, col("doc_id") % 3 === 0), 12)
+      // SimHash-62 near-dup at the PRODUCTION threshold — the r15 rework of
+      // the round's one confirmed quadratic (the old form was the all-pairs
+      // simhashPairs at ham ≤ 12: 43× per decade in the r15 sf10 sweep, the
+      // exact defect class q34's τ = 0.3 exposed — a threshold so loose no
+      // index prunes, PLANS.md r14 §4). Production ham ≤ 3 makes the
+      // pigeonhole banding real (4 chunks × 15-16 bits = 32k-65k buckets
+      // per band), and — as this corpus has no natural ham ≤ 3 pairs —
+      // detection is non-vacuous by PLANTED twins (the q34/q90 derived-
+      // snapshot discipline): every %15 doc of the %3 slice gains an
+      // IDENTICAL-text copy at id + 1e9. Identical shingles ⇒ identical
+      // signature ⇒ ham 0, and simhashCandidatesGuarded pairs identical
+      // full signatures through its dedicated unguarded channel, so twin
+      // recall is STRUCTURAL under any hot-bucket degradation. The oracle
+      // is the full quadratic scan over the same derived corpus.
+      val base = docShingles(s, d, 2, col("doc_id") % 3 === 0)
+      val guardedId = when(col("id") < 1000000000L, col("id"))
+        .otherwise(raise_error(concat(
+          lit("q33 twin offset 1000000000 collides with real doc_id "),
+          col("id").cast("string"))).cast("long"))
+      val corpus = base.select(guardedId.as("id"), col("shingles"))
+        .unionByName(base.where(col("id") % 15 === 0)
+          .select((col("id") + 1000000000L).as("id"), col("shingles")))
+      Dedup.simhashCandidatesGuarded(corpus, 3)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -823,8 +844,9 @@ object PipelineQueries {
       // n=2 precision < 1000 proves the clip is real (dropout creates
       // bigrams the reference never had). The gramless-side NULL contract
       // is pinned in TextEvalSpec (this corpus has no sub-n docs).
-      val pairs = dropoutPairs(s, d)
-      TextEval.rougeN(pairs, 1).unionByName(TextEval.rougeN(pairs, 2))
+      // both orders in ONE tagged census pass per side (rougeNOrders — the
+      // r15 shuffle halving; row-identical to rougeN(1) ∪ rougeN(2))
+      TextEval.rougeNOrders(dropoutPairs(s, d), maxN = 2)
         .orderBy(col("n"), col("id"))
     }),
 
@@ -3466,18 +3488,25 @@ object PipelineQueries {
          SELECT a.doc_id AS a, b.doc_id AS b, $duckJac AS jac
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE $duckJac >= 0.8 ORDER BY a, b""",
+    // Same derived corpus as the engine (%3 slice + identical-text twins of
+    // the %15 ids at +1e9), full quadratic scan at the production ham ≤ 3 —
+    // twin signatures are bit-identical, so banded recall is structural.
     "q33_dedup_simhash" ->
       s"""${withDocShingles(2, "doc_id % 3 = 0")},
+         shx AS (SELECT doc_id, s FROM sh
+                 UNION ALL
+                 SELECT doc_id + 1000000000 AS doc_id, s FROM sh
+                 WHERE doc_id % 15 = 0),
          sig AS (SELECT doc_id,
            CAST(list_sum(list_transform(range(0, 62), b ->
              CASE WHEN list_sum(list_transform(
                     list_transform(s, x -> ${duckHash60("x")}),
                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sig
-           FROM sh)
+           FROM shx)
          SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sig, b.sig)) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 12 ORDER BY a, b""",
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a, b""",
     // Same derived corpus (%5 slice + ×2-scaled twins of the %25 ids), full
     // quadratic pair scan at τ = 0.9 — the exact oracle the banded engine
     // path must recall completely (twin signatures are bit-identical, so
@@ -4395,11 +4424,11 @@ object PipelineQueries {
     "q160_rouge_eval" -> {
       def block(n: Int) = s"""
            ref_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
-                        SELECT id, array_to_string(wr[i:i+$n-1], ' ') AS g
+                        SELECT id, ${duckHash60(s"array_to_string(wr[i:i+$n-1], ' ')")} AS g
                         FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
                       GROUP BY 1, 2),
            cand_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
-                         SELECT id, array_to_string(wc[i:i+$n-1], ' ') AS g
+                         SELECT id, ${duckHash60(s"array_to_string(wc[i:i+$n-1], ' ')")} AS g
                          FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
                        GROUP BY 1, 2),
            ov_$n AS (SELECT id, CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
@@ -4447,11 +4476,11 @@ object PipelineQueries {
     "q161_bleu_precisions" -> {
       def block(n: Int) = s"""
            rf_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
-                       SELECT id, array_to_string(wr[i:i+$n-1], ' ') AS g
+                       SELECT id, ${duckHash60(s"array_to_string(wr[i:i+$n-1], ' ')")} AS g
                        FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            cn_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
-                       SELECT id, array_to_string(wc[i:i+$n-1], ' ') AS g
+                       SELECT id, ${duckHash60(s"array_to_string(wc[i:i+$n-1], ' ')")} AS g
                        FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            ov_$n AS (SELECT id, CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
@@ -4496,11 +4525,11 @@ object PipelineQueries {
     "q163_corpus_generation_eval" -> {
       def block(n: Int) = s"""
            rf_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
-                       SELECT id, array_to_string(wr[i:i+$n-1], ' ') AS g
+                       SELECT id, ${duckHash60(s"array_to_string(wr[i:i+$n-1], ' ')")} AS g
                        FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            cn_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
-                       SELECT id, array_to_string(wc[i:i+$n-1], ' ') AS g
+                       SELECT id, ${duckHash60(s"array_to_string(wc[i:i+$n-1], ' ')")} AS g
                        FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            s_$n AS (SELECT

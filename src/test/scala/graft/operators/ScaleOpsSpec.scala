@@ -37,6 +37,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(banded == allPairs)
   }
 
+  test("guarded simhash candidates equal all-pairs below the bucket cap") {
+    val allPairs = Dedup.simhashPairs(docShingles, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val guarded = Dedup.simhashCandidatesGuarded(docShingles, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(guarded == allPairs)
+  }
+
+  test("guarded simhash recalls identical-signature twins under all-hot buckets") {
+    // maxBucket = 2 degrades every chunk bucket of this corpus to star
+    // pairs; the identical-full-signature clique channel must still emit
+    // every planted twin pair directly (the q34/q33 structural-recall
+    // contract — a twin edge may never survive only as star fragments)
+    val twins = docShingles.unionByName(
+      docShingles.select((col("id") + 1000000000L).as("id"), col("shingles")))
+    val got = Dedup.simhashCandidatesGuarded(twins, 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docShingles.select(col("id")).collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000000L)).toSet
+    assert(expected.subsetOf(got),
+      s"missing twin pairs: ${expected -- got}")
+  }
+
   test("incremental candidates equal the cross-boundary slice of symmetric LSH") {
     // one-sided (new ⋈ existing) banding must find exactly the verified
     // pairs the symmetric path finds that cross the split — no more

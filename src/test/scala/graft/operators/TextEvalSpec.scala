@@ -93,6 +93,22 @@ class TextEvalSpec extends SparkSpec {
     assert(got(4) == ((0L, None, None, Some(1000L))), s"got $got")
   }
 
+  test("rougeNOrders: row-identical to unioning per-order rougeN passes") {
+    val rows = Seq((1L, "a a b c", "a b b"), (2L, "x y", "x y z w"),
+      (3L, "q", "q q"), (4L, "", "a b"), (5L, "m n o p", ""))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.getAs[Any](3)), Option(r.getAs[Any](4)),
+        Option(r.getAs[Any](5)), Option(r.getAs[Any](6)), Option(r.getAs[Any](7)))
+    val tagged = TextEval.rougeNOrders(pairs(rows: _*), maxN = 2)
+      .collect().map(key).toSet
+    val unioned = (1 to 2).flatMap(n =>
+      TextEval.rougeN(pairs(rows: _*), n).collect().map(key)).toSet
+    assert(tagged == unioned,
+      s"tagged-census divergence:\nonly tagged: ${tagged -- unioned}\n" +
+        s"only unioned: ${unioned -- tagged}")
+  }
+
   test("bleuPrecisions: order-1 precision equals rougeN's on the same pairs (shared clip)") {
     val rows = Seq((1L, "a a b c", "a b b"), (2L, "x y", "x y z w"),
       (3L, "q", "q q"))

@@ -45,6 +45,8 @@ class ConstructionJobsSpec extends SparkSpec {
     // contract: a table read by several join/census branches computes once)
     "q31_dedup_jaccard" -> "eager pair-table checkpoint (six bounded readers)",
     "q32_dedup_minhash_lsh" -> "eager band-table checkpoint (census + pairs + hot split)",
+    "q33_dedup_simhash" ->
+      "eager signature-table checkpoint (banding + clique + verify sides)",
     "q34_embed_neardup" ->
       "eager signature-table checkpoint (banding + both identical-sig clique sides)",
     "q51_fuzzy_pairs" -> "eager band-table checkpoint",
