@@ -322,71 +322,85 @@ object Annotations {
       .groupBy(col("x.l").as("label"))
       .agg(sum(col("x.t")).as("nc")))
 
-    def block(metric: String): DataFrame = {
-      // class-pair distances over OBSERVED classes (c < k): e per metric,
-      // then the ‰-of-max quantization and the square
-      // classMass is classes-row bounded by contract — broadcast the
-      // inequality-join sides EXPLICITLY (the census aggregate carries no
-      // usable size stats, and an unhinted c<k join degrades to a
-      // CartesianProduct)
-      val base = classMass.select(col("label").as("c"), col("nc").as("nc_c"))
-        .join(broadcast(classMass.select(col("label").as("k"), col("nc").as("nc_k"))),
-          col("c") < col("k"))
-      val withE = metric match {
-        case "nominal" =>
-          base.select(col("c"), col("k"), lit(1L).as("e"))
-        case "interval" =>
-          base.select(col("c"), col("k"),
-            abs(col("k").cast("long") - col("c").cast("long")).as("e"))
-        case "ordinal" =>
-          base.join(broadcast(classMass.select(col("label").as("g"), col("nc").as("nc_g"))),
-              col("g") >= col("c") && col("g") <= col("k"))
-            .groupBy(col("c"), col("k"), col("nc_c"), col("nc_k"))
-            .agg(sum(col("nc_g")).as("between"))
-            .select(col("c"), col("k"),
-              (lit(2L) * col("between") - col("nc_c") - col("nc_k")).as("e"))
-      }
-      val emax = withE.agg(coalesce(max(col("e")), lit(0L)).as("e_max"))
-      val dq = withE.crossJoin(broadcast(emax))
-        .select(col("c"), col("k"),
-          when(col("e_max") > 0, expr("(1000 * e) div e_max"))
-            .otherwise(lit(0L)).as("eq"))
-        .select(col("c"), col("k"), (col("eq") * col("eq")).as("d"))
+    // class-pair distances over OBSERVED classes (c < k) for EVERY requested
+    // metric in ONE tagged frame (the r15 single-pass rework: three separate
+    // metric blocks each re-ran the emax/dq/D_o/D_e join chain — ~3× the
+    // stages for byte-identical arithmetic; at sf0.1 the whole query is
+    // orchestration-bound, so stage count IS the cost). classMass is
+    // classes-row bounded by contract — broadcast the inequality-join sides
+    // EXPLICITLY (the census aggregate carries no usable size stats, and an
+    // unhinted c<k join degrades to a CartesianProduct).
+    val base = classMass.select(col("label").as("c"), col("nc").as("nc_c"))
+      .join(broadcast(classMass.select(col("label").as("k"), col("nc").as("nc_k"))),
+        col("c") < col("k"))
+    val withEAll = metrics.map {
+      case "nominal" =>
+        base.select(lit("nominal").as("metric"), col("c"), col("k"),
+          lit(1L).as("e"))
+      case "interval" =>
+        base.select(lit("interval").as("metric"), col("c"), col("k"),
+          abs(col("k").cast("long") - col("c").cast("long")).as("e"))
+      case "ordinal" =>
+        base.join(broadcast(classMass.select(col("label").as("g"), col("nc").as("nc_g"))),
+            col("g") >= col("c") && col("g") <= col("k"))
+          .groupBy(col("c"), col("k"), col("nc_c"), col("nc_k"))
+          .agg(sum(col("nc_g")).as("between"))
+          .select(lit("ordinal").as("metric"), col("c"), col("k"),
+            (lit(2L) * col("between") - col("nc_c") - col("nc_k")).as("e"))
+    }.reduce(_ unionByName _)
+    // per-metric ‰-of-max quantization and the square — one grouped max
+    // instead of a global agg per metric
+    val emaxAll = withEAll.groupBy(col("metric"))
+      .agg(coalesce(max(col("e")), lit(0L)).as("e_max"))
+    val dqAll = withEAll.join(broadcast(emaxAll), Seq("metric"))
+      .select(col("metric"), col("c"), col("k"),
+        when(col("e_max") > 0, expr("(1000 * e) div e_max"))
+          .otherwise(lit(0L)).as("eq"))
+      .select(col("metric"), col("c"), col("k"), (col("eq") * col("eq")).as("d"))
 
-      // D_o: the metric-independent pair mass (classes² cached rows — the
-      // corpus already folded into it) against the broadcast distance table
-      val doNum = pairMass
-        .join(broadcast(dq), Seq("c", "k"))
-        .agg(coalesce(sum(col("s") * col("d")), lit(0L)).as("do_num"))
+    // D_o: the metric-independent pair mass (classes² cached rows — the
+    // corpus already folded into it) against the broadcast tagged distance
+    // table; the join fans each pair row out ×|metrics| (≤ 3·classes² rows)
+    val doNumAll = pairMass.join(broadcast(dqAll), Seq("c", "k"))
+      .groupBy(col("metric"))
+      .agg(coalesce(sum(col("s") * col("d")), lit(0L)).as("do_num"))
 
-      // D_e from ‰ margins with the n(n−1) small-sample denominators
-      val deAgg = classMass.select(col("label").as("c"), col("nc").as("nc_c"))
-        .join(broadcast(classMass.select(col("label").as("k"), col("nc").as("nc_k"))),
-          col("c") < col("k"))
-        .join(broadcast(dq), Seq("c", "k"))
-        .crossJoin(broadcast(stats.select(col("n"))))
-        .select(when(col("n") > 1,
-          (expr("(1000 * nc_c) div n") * expr("(1000 * nc_k) div (n - 1)") +
-            expr("(1000 * nc_k) div n") * expr("(1000 * nc_c) div (n - 1)")) *
-            col("d")).otherwise(lit(0L)).as("term"))
-        .agg(coalesce(sum(col("term")), lit(0L)).as("de_sum"))
-        .select(expr("de_sum div 1000000").as("de_raw"))
+    // D_e from ‰ margins with the n(n−1) small-sample denominators
+    val deAll = base.join(broadcast(dqAll), Seq("c", "k"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("metric"), when(col("n") > 1,
+        (expr("(1000 * nc_c) div n") * expr("(1000 * nc_k) div (n - 1)") +
+          expr("(1000 * nc_k) div n") * expr("(1000 * nc_c) div (n - 1)")) *
+          col("d")).otherwise(lit(0L)).as("term"))
+      .groupBy(col("metric"))
+      .agg(coalesce(sum(col("term")), lit(0L)).as("de_sum"))
+      .select(col("metric"), expr("de_sum div 1000000").as("de_raw"))
 
-      stats
-        .crossJoin(broadcast(doNum)).crossJoin(broadcast(deAgg))
-        .select(lit(metric).as("metric"), col("n_items"), col("n_dropped"),
-          when(col("n") > 0, expr(s"do_num div ($w * n)")).as("d_o_ppm"),
-          col("de_raw").as("d_e_ppm"))
-        .select(col("metric"), col("n_items"), col("n_dropped"),
-          col("d_o_ppm"), col("d_e_ppm"),
-          (lit(1000L) * (col("d_e_ppm") - col("d_o_ppm"))).as("knum"),
-          col("d_e_ppm").as("kden"))
-        .select(col("metric"), col("n_items"), col("n_dropped"),
-          col("d_o_ppm"), col("d_e_ppm"),
-          when(col("kden") > 0,
-            expr("(knum - pmod(knum, kden)) div kden")).as("alpha_pm"))
-    }
-    metrics.map(block).reduce(_ unionByName _)
+    // a literal metric seed keeps one output row per metric even when the
+    // censuses are degenerate (empty grouped aggregates produce NO row —
+    // the per-metric global aggs of the old blocks produced a zero row);
+    // `ord` restores the caller's metric order
+    val session = ann.sparkSession
+    import session.implicits._
+    val seed = metrics.zipWithIndex.toDF("metric", "ord")
+    seed
+      .join(broadcast(doNumAll), Seq("metric"), "left")
+      .join(broadcast(deAll), Seq("metric"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("metric"), col("ord"), col("n_items"), col("n_dropped"),
+        when(col("n") > 0,
+          expr(s"coalesce(do_num, 0L) div ($w * n)")).as("d_o_ppm"),
+        coalesce(col("de_raw"), lit(0L)).as("d_e_ppm"))
+      .select(col("metric"), col("ord"), col("n_items"), col("n_dropped"),
+        col("d_o_ppm"), col("d_e_ppm"),
+        (lit(1000L) * (col("d_e_ppm") - col("d_o_ppm"))).as("knum"),
+        col("d_e_ppm").as("kden"))
+      .select(col("metric"), col("ord"), col("n_items"), col("n_dropped"),
+        col("d_o_ppm"), col("d_e_ppm"),
+        when(col("kden") > 0,
+          expr("(knum - pmod(knum, kden)) div kden")).as("alpha_pm"))
+      .orderBy(col("ord"))
+      .drop("ord")
   }
 
   /**
