@@ -35,6 +35,35 @@ object TextFunctions {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /**
+   * Rolling gram key from PER-WORD hashes — the cheap n-gram fingerprint
+   * for census keys: given `hs` (array of word hash60s) and a 0-based
+   * window start `i`, the key of the n-gram at i is
+   *
+   *   XOR over j in [0, n) of rotl64(hs[i+j], 7·j)
+   *
+   * One md5 per WORD instead of one per GRAM (the q160-q163 censuses run
+   * ~8 grams per token across orders 1..4 — this cuts the hash count 8×),
+   * while the rotation keeps permutations distinct ("a b" ≠ "b a") and
+   * repeated words alive ("a a" = h ^ rotl(h, 7) ≠ 0 for h ≠ 0). Linear
+   * over XOR, so adversarial collisions are constructible — fine for
+   * census keys whose oracle twin runs the SAME arithmetic (a collision
+   * merges gram classes identically in both engines), wrong for security.
+   *
+   * DuckDB twin (64-bit BIGINT shifts and xor wrap identically):
+   *   `xor-fold over j of ((h << r) | ((h >> (64 - r)) & ((1 << r) - 1)))`
+   * with r = 7·j mod 64 — Spark's `shiftrightunsigned` is the `>>` plus
+   * mask above. Not yet wired into TextEval (round-15 measured the
+   * per-gram-md5 form as a local wash; this primitive is the named lever).
+   */
+  def gramKeyAt(hs: Column, i: Column, n: Int): Column =
+    (0 until n).map { j =>
+      val r = (7 * j) % 64
+      val h = element_at(hs, (i + lit(j + 1)).cast("int"))
+      if (r == 0) h
+      else shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
+    }.reduce(_ bitwiseXOR _)
+
+  /**
    * Distinct word n-gram shingles of `text`. Documents shorter than `n` words
    * yield a single shingle (the whole text) so every document has a non-empty
    * feature set.

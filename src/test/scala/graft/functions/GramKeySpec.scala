@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+
+/** The rotate-XOR rolling gram key (the round-15 named lever for the
+ * generation-eval censuses): one md5 per WORD, integer combines per gram. */
+class GramKeySpec extends SparkSpec {
+
+  private def rotl(h: Long, r: Int): Long =
+    if (r == 0) h else (h << r) | (h >>> (64 - r))
+
+  private def replica(hs: Seq[Long], i: Int, n: Int): Long =
+    (0 until n).map(j => rotl(hs(i + j), (7 * j) % 64)).reduce(_ ^ _)
+
+  test("gramKeyAt matches the in-driver replica over random word-hash windows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)(Seq.fill(12)(rnd.nextLong()))
+    val df = rows.zipWithIndex.map { case (hs, id) => (id.toLong, hs) }
+      .toDF("id", "hs")
+    for (n <- 1 to 4) {
+      val got = df.select(col("id"), posexplode(
+          transform(sequence(lit(0), size(col("hs")) - n),
+            i => T.gramKeyAt(col("hs"), i, n))))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      for ((hs, id) <- rows.zipWithIndex; i <- 0 to hs.length - n)
+        assert(got((id.toLong, i)) == replica(hs, i, n),
+          s"divergence at id=$id i=$i n=$n")
+    }
+  }
+
+  test("gramKeyAt separates word order and keeps repeated words alive") {
+    import spark.implicits._
+    val h1 = 0x123456789abcdefL
+    val h2 = 0x0fedcba987654321L
+    val df = Seq(
+      (1L, Seq(h1, h2)), (2L, Seq(h2, h1)), (3L, Seq(h1, h1))
+    ).toDF("id", "hs")
+    val keys = df.select(col("id"), T.gramKeyAt(col("hs"), lit(0), 2).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keys(1L) != keys(2L), "order must change the key")
+    assert(keys(3L) != 0L, "a repeated word must not cancel to zero")
+    assert(keys(1L) == replica(Seq(h1, h2), 0, 2))
+  }
+}
