@@ -36,31 +36,41 @@ object TextFunctions {
 
   /**
    * Rolling gram key from PER-WORD hashes — the cheap n-gram fingerprint
-   * for census keys: given `hs` (array of word hash60s) and a 0-based
-   * window start `i`, the key of the n-gram at i is
+   * for census keys: given `hs` (array of word [[hash60]]s — the DOMAIN
+   * contract: non-negative longs < 2^60) and a 0-based window start `i`,
+   * the key of the n-gram at i is
    *
-   *   XOR over j in [0, n) of rotl64(hs[i+j], 7·j)
+   *   XOR over j in [0, n) of rotl60(hs[i+j], 7·j)
    *
    * One md5 per WORD instead of one per GRAM (the q160-q163 censuses run
    * ~8 grams per token across orders 1..4 — this cuts the hash count 8×),
    * while the rotation keeps permutations distinct ("a b" ≠ "b a") and
-   * repeated words alive ("a a" = h ^ rotl(h, 7) ≠ 0 for h ≠ 0). Linear
-   * over XOR, so adversarial collisions are constructible — fine for
-   * census keys whose oracle twin runs the SAME arithmetic (a collision
-   * merges gram classes identically in both engines), wrong for security.
+   * repeated words alive ("a a" = h ^ rotl60(h, 7) ≠ 0 for h ∉ {0, 2^60−1},
+   * because gcd(7, 60) = 1 makes the rotation a full cycle). Linear over
+   * XOR, so adversarial collisions are constructible — fine for census
+   * keys whose oracle twin runs the SAME arithmetic (a collision merges
+   * gram classes identically in both engines), wrong for security.
    *
-   * DuckDB twin (64-bit BIGINT shifts and xor wrap identically):
-   *   `xor-fold over j of ((h << r) | ((h >> (64 - r)) & ((1 << r) - 1)))`
-   * with r = 7·j mod 64 — Spark's `shiftrightunsigned` is the `>>` plus
-   * mask above. Not yet wired into TextEval (round-15 measured the
-   * per-gram-md5 form as a local wash; this primitive is the named lever).
+   * The rotation is 60-bit, NOT 64-bit, and masks BEFORE shifting:
+   *
+   *   rotl60(h, r) = ((h & (2^(60−r) − 1)) << r) | (h >> (60 − r))
+   *
+   * so every intermediate stays a non-negative BIGINT < 2^60 in BOTH
+   * engines. The naive 64-bit form is NOT DuckDB-expressible: DuckDB
+   * RAISES "Overflow in left shift" whenever `h << r` loses high bits
+   * (measured), it does not wrap like the JVM — the mask-first 60-bit
+   * form needs no wrap semantics at all. DuckDB twin, bit-exact:
+   *   `xor-fold over j of (((h & ((1::BIGINT << (60−r)) − 1)) << r)
+   *                        | (h >> (60 − r)))`,  r = 7·j mod 60
+   * (`>>` on a non-negative BIGINT is the same logical shift in both).
    */
   def gramKeyAt(hs: Column, i: Column, n: Int): Column =
     (0 until n).map { j =>
-      val r = (7 * j) % 64
+      val r = (7 * j) % 60
       val h = element_at(hs, (i + lit(j + 1)).cast("int"))
       if (r == 0) h
-      else shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
+      else shiftleft(h.bitwiseAND(lit((1L << (60 - r)) - 1)), r)
+        .bitwiseOR(shiftright(h, 60 - r))
     }.reduce(_ bitwiseXOR _)
 
   /**

@@ -55,32 +55,40 @@ object TextEval {
   private def toks(c: Column): Column =
     filter(split(c, " "), w => w =!= "")
 
-  /** 60-bit gram fingerprint (`TextFunctions.hash60` — first 15 md5 hex
-   * chars as a long): censuses key and clip-join on 8-byte longs instead of
-   * up-to-`n`-word gram strings, shrinking the census shuffles that dominate
-   * these metrics at sf ≥ 1 (the r15 gram-key compression; the q160-q163
-   * trio was 375 s of the 1629 s sf10 sweep). A fingerprint collision
+  /** Per-WORD 60-bit fingerprints (`TextFunctions.hash60` — first 15 md5
+   * hex chars as a long), ONE md5 per token. Gram census keys then derive
+   * by `TextFunctions.gramKeyAt`'s 60-bit rotate-XOR over the window —
+   * integer shifts/xors only, so the r15 per-GRAM md5 cost (~8 hashes per
+   * token across orders 1..4, measured to cancel the key-compression win
+   * at sf10 where the trio was 375 s of the 1629 s sweep) drops 8× while
+   * censuses still key and clip-join on 8-byte longs. A key collision
    * merges two gram classes IDENTICALLY in both engines — the DuckDB twins
-   * fingerprint with the same md5 idiom — so oracle equality is preserved
-   * by construction; the metric definition is "hash60-fingerprinted grams",
-   * the repo-wide census convention (minhash shingles, DSIR buckets,
-   * sketches). Collision odds over a V-gram vocabulary are ~V²/2⁶¹
-   * (~1e-6 at V = 10⁶). */
-  private def gramKey(g: Column): Column = T.hash60(g)
+   * run the SAME md5 + rotate-XOR arithmetic — so oracle equality is
+   * preserved by construction; the metric definition is
+   * "rotate-XOR-fingerprinted grams". Collision odds over a V-gram
+   * vocabulary are ~V²/2⁶¹ (~1e-6 at V = 10⁶).
+   *
+   * Callers MUST materialize this in its own projection (`.as("hs")`,
+   * then a second select) before feeding [[gramsAllOrders]]/the window
+   * transforms: the downstream expressions reference the array many
+   * times, and Catalyst's CollapseProject keeps a non-cheap
+   * multiply-referenced alias in its own project — the same contract as
+   * `TextFunctions.minhashSignatureFromBases`. */
+  private def wordHashes(c: Column): Column =
+    transform(toks(c), w => T.hash60(w))
 
   def rougeN(pairs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    def grams(c: Column): Column = {
-      val w = toks(c)
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => gramKey(array_join(slice(w, i + 1, lit(n)), " "))))
-        .otherwise(array().cast("array<bigint>"))
-    }
-    val ref = pairs.select(col("id"), explode(grams(col("reference"))).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cr"))
-    val cand = pairs.select(col("id"), explode(grams(col("candidate"))).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cc"))
+    def census(side: String, cnt: String): DataFrame =
+      pairs.select(col("id"), wordHashes(col(side)).as("hs"))
+        .select(col("id"), explode(
+          when(size(col("hs")) >= n,
+            transform(sequence(lit(0), size(col("hs")) - n),
+              i => T.gramKeyAt(col("hs"), i, n)))
+            .otherwise(array().cast("array<bigint>"))).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as(cnt))
+    val ref = census("reference", "cr")
+    val cand = census("candidate", "cc")
     val overlap = ref.join(cand, Seq("id", "g"))
       .groupBy(col("id")).agg(sum(least(col("cr"), col("cc"))).as("overlap"))
     val rTot = ref.groupBy(col("id")).agg(sum(col("cr")).as("ref_grams"))
@@ -120,16 +128,34 @@ object TextEval {
    * semantics, and fixed-point arithmetic) — q160 runs this instead of two
    * separate rougeN passes, halving its census shuffles.
    */
-  def rougeNOrders(pairs: DataFrame, maxN: Int): DataFrame = {
+  /** One side's tagged multiset gram census — (id, n, g, c): the count of
+   * gram key `g` of order `n` in pair `id`'s `side` text, orders 1..maxN
+   * in ONE pass (one shuffle regardless of maxN). The shared input shape
+   * of all three metrics: build each side ONCE (a tracked reuse point /
+   * harness cache seed) and feed the `*FromCensus` variants, so a
+   * ROUGE + BLEU + corpus trio over the same pairs pays one census
+   * derivation per side instead of three (VERDICT r15 #7). */
+  def gramCensus(pairs: DataFrame, side: String, maxN: Int): DataFrame =
+    pairs.select(col("id"), wordHashes(col(side)).as("hs"))
+      .select(col("id"), explode(gramsAllOrders(col("hs"), maxN)).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+
+  def rougeNOrders(pairs: DataFrame, maxN: Int): DataFrame =
+    rougeNOrdersFromCensus(pairs,
+      gramCensus(pairs, "reference", maxN),
+      gramCensus(pairs, "candidate", maxN), maxN)
+
+  /** [[rougeNOrders]] over PREBUILT side censuses (see [[gramCensus]]).
+   * Contract: each census holds exactly orders 1..maxN for the same
+   * `pairs` — a census built at a larger maxN must be pre-filtered
+   * (`where(col("n") <= maxN)`) by the caller; the filter sits above a
+   * cached census subplan, so plan-keyed substitution still hits. */
+  def rougeNOrdersFromCensus(pairs: DataFrame, refCensus: DataFrame,
+      candCensus: DataFrame, maxN: Int): DataFrame = {
     require(maxN >= 1, "maxN must be >= 1")
-    val ref = pairs
-      .select(col("id"), explode(gramsAllOrders(col("reference"), maxN)).as("t"))
-      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cr"))
-    val cand = pairs
-      .select(col("id"), explode(gramsAllOrders(col("candidate"), maxN)).as("t"))
-      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cc"))
+    val ref = refCensus.withColumnRenamed("c", "cr")
+    val cand = candCensus.withColumnRenamed("c", "cc")
     val overlap = ref.join(cand, Seq("id", "n", "g"))
       .groupBy(col("id"), col("n"))
       .agg(sum(least(col("cr"), col("cc"))).as("overlap"))
@@ -178,27 +204,33 @@ object TextEval {
    * rollups. Linear in token volume × maxN.
    */
   /** All gram orders 1..maxN in one tagged array — the single-pass census
-   * feed shared by [[bleuPrecisions]] and [[corpusGenerationEval]]. */
-  private def gramsAllOrders(c: Column, maxN: Int): Column = {
-    val w = toks(c)
+   * feed shared by [[bleuPrecisions]] and [[corpusGenerationEval]] — from
+   * a MATERIALIZED per-word hash array (see [[wordHashes]]). Orders unroll
+   * statically (`gramKeyAt` builds its rotate-XOR per order at plan time),
+   * concat'd in order — the array feeds an explode + groupBy, so element
+   * order is immaterial. */
+  private def gramsAllOrders(hs: Column, maxN: Int): Column = {
     val emptyGrams = s"cast(array() as array<struct<n:int,g:bigint>>)"
-    flatten(transform(sequence(lit(1), lit(maxN)), nn =>
-      when(size(w) >= nn,
-        transform(sequence(lit(0), size(w) - nn),
-          i => struct(nn.cast("int").as("n"),
-            gramKey(array_join(slice(w, i + 1, nn), " ")).as("g"))))
-        .otherwise(expr(emptyGrams))))
+    concat((1 to maxN).map { nn =>
+      when(size(hs) >= nn,
+        transform(sequence(lit(0), size(hs) - nn),
+          i => struct(lit(nn).as("n"), T.gramKeyAt(hs, i, nn).as("g"))))
+        .otherwise(expr(emptyGrams))
+    }: _*)
   }
 
-  def bleuPrecisions(pairs: DataFrame, maxN: Int = 4): DataFrame = {
+  def bleuPrecisions(pairs: DataFrame, maxN: Int = 4): DataFrame =
+    bleuPrecisionsFromCensus(pairs,
+      gramCensus(pairs, "reference", maxN),
+      gramCensus(pairs, "candidate", maxN), maxN)
+
+  /** [[bleuPrecisions]] over PREBUILT side censuses — same census
+   * contract as [[rougeNOrdersFromCensus]]. */
+  def bleuPrecisionsFromCensus(pairs: DataFrame, refCensus: DataFrame,
+      candCensus: DataFrame, maxN: Int): DataFrame = {
     require(maxN >= 1, "maxN must be >= 1")
-    def gramsAll(c: Column): Column = gramsAllOrders(c, maxN)
-    val ref = pairs.select(col("id"), explode(gramsAll(col("reference"))).as("t"))
-      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cr"))
-    val cand = pairs.select(col("id"), explode(gramsAll(col("candidate"))).as("t"))
-      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cc"))
+    val ref = refCensus.withColumnRenamed("c", "cr")
+    val cand = candCensus.withColumnRenamed("c", "cc")
     val clip = ref.join(cand, Seq("id", "n", "g"))
       .groupBy(col("id"), col("n"))
       .agg(sum(least(col("cr"), col("cc"))).as("overlap"))
@@ -270,16 +302,18 @@ object TextEval {
    * rows, then one broadcast combine — output is 1 row, no windows, linear
    * in token volume.
    */
-  def corpusGenerationEval(pairs: DataFrame): DataFrame = {
+  def corpusGenerationEval(pairs: DataFrame): DataFrame =
+    corpusGenerationEvalFromCensus(pairs,
+      gramCensus(pairs, "reference", 4),
+      gramCensus(pairs, "candidate", 4))
+
+  /** [[corpusGenerationEval]] over PREBUILT side censuses (orders 1..4) —
+   * same census contract as [[rougeNOrdersFromCensus]]. */
+  def corpusGenerationEvalFromCensus(pairs: DataFrame, refCensus: DataFrame,
+      candCensus: DataFrame): DataFrame = {
     val maxN = 4
-    val ref = pairs
-      .select(col("id"), explode(gramsAllOrders(col("reference"), maxN)).as("t"))
-      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cr"))
-    val cand = pairs
-      .select(col("id"), explode(gramsAllOrders(col("candidate"), maxN)).as("t"))
-      .groupBy(col("id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cc"))
+    val ref = refCensus.withColumnRenamed("c", "cr")
+    val cand = candCensus.withColumnRenamed("c", "cc")
     // corpus pools: clipped overlap still clips WITHIN each pair (the
     // per-(id, n, g) equi-join), only the SUMS pool corpus-wide
     val clip = ref.join(cand, Seq("id", "n", "g"))

@@ -45,11 +45,18 @@ object PipelineQueries {
     ("shingles_n2", docShingles(s, d, 2)),
     ("shingles_n2_mod3", docShingles(s, d, 2, col("doc_id") % 3 === 0)),
     ("shingles_n5", docShingles(s, d, 5)),
-    // q160/q161 rebuild the identical (reference, candidate) fixture; the
-    // per-word md5 dropout derivation is their dominant cost (VERDICT r12),
-    // and the lazy-persist builder lets the CacheManager substitute this
-    // one seeded copy into both plans
-    ("dropout_pairs", dropoutPairs(s, d)))
+    // q160/q161/q163 rebuild the identical (reference, candidate) fixture;
+    // the per-word md5 dropout derivation is their dominant cost
+    // (VERDICT r12), and the lazy-persist builder lets the CacheManager
+    // substitute this one seeded copy into all three plans
+    ("dropout_pairs", dropoutPairs(s, d)),
+    // the trio-shared orders-1..4 gram censuses (VERDICT r15 #7): the
+    // bench's per-query unpersist sweep would otherwise drop the reuse
+    // point q160 materialized before q161/q163 read it — seeding keeps
+    // the two census RDDs in the shared-id set, so the trio pays ONE
+    // census derivation per side per sweep
+    ("trio_census_ref", trioCensus(s, d, "reference")),
+    ("trio_census_cand", trioCensus(s, d, "candidate")))
 
   /** Deterministic 5-annotator labeling of the documents table (the q59
    * in-query derivation pattern, so the DuckDB oracle rebuilds the SAME
@@ -114,6 +121,19 @@ object PipelineQueries {
              CASE WHEN cast(conv(substring(md5(concat('drop', doc_id, ':', p)), 1, 4), 16, 10) as int) % 5 = 0
                   THEN NULL ELSE w END), x -> x IS NOT NULL), ' ')""")
         .as("candidate")))
+
+  /** The trio-shared tagged gram census of one dropout-pair side, orders
+   * 1..4 — q160/q161/q163 all consume THIS frame (q160 filtered to
+   * n ≤ 2), so a session running the whole trio derives each side's
+   * census once instead of three times (VERDICT r15 #7; the
+   * q31/q92/q112 docShingles-sharing discipline). A tracked lazy
+   * `persist` reuse point like [[dropoutPairs]] itself: plan-keyed, so
+   * the three consumers (and a seeded bench copy) substitute one
+   * materialization; construction runs zero jobs
+   * (ConstructionJobsSpec); releasable via `Checkpoints.release`. */
+  private def trioCensus(s: SparkSession, d: String, side: String): DataFrame =
+    graft.operators.Checkpoints.reusePoint(
+      TextEval.gramCensus(dropoutPairs(s, d), side, maxN = 4))
 
   /** embeddings → (id, vec) in double precision. */
   private def embVecs(s: SparkSession, d: String, pred: Column = lit(true)): DataFrame =
@@ -232,6 +252,20 @@ object PipelineQueries {
   /** DuckDB twin of [[T.hash60]] / [[T.seededHash]]. */
   private def duckHash60(e: String): String =
     s"cast(concat('0x', substr(md5($e), 1, 15)) as bigint)"
+
+  /** DuckDB twin of `TextFunctions.gramKeyAt` — the 60-bit rotate-XOR gram
+   * key over a per-word hash60 LIST column (1-based window start `i`):
+   * XOR over j in [0, n) of rotl60(hs[i+j], 7·j), with the rotation's mask
+   * applied BEFORE the left shift so every intermediate stays < 2^60 —
+   * DuckDB RAISES on an overflowing BIGINT `<<` (it does not wrap), which
+   * is why the key is 60-bit, not 64 (see gramKeyAt's scaladoc). */
+  private def duckGramKey(hs: String, i: String, n: Int): String =
+    (0 until n).map { j =>
+      val r = (7 * j) % 60
+      val h = s"$hs[$i + $j]"
+      if (r == 0) h
+      else s"((($h & ((CAST(1 AS BIGINT) << ${60 - r}) - 1)) << $r) | ($h >> ${60 - r}))"
+    }.reduceLeft((a, b) => s"xor($a, $b)")
 
   /** DuckDB twin of [[boundedQueryVecs]] over a `(vec_id, v)` CTE binding. */
   private def duckBoundedQ(salt: String, from: String): String =
@@ -844,9 +878,14 @@ object PipelineQueries {
       // n=2 precision < 1000 proves the clip is real (dropout creates
       // bigrams the reference never had). The gramless-side NULL contract
       // is pinned in TextEvalSpec (this corpus has no sub-n docs).
-      // both orders in ONE tagged census pass per side (rougeNOrders — the
-      // r15 shuffle halving; row-identical to rougeN(1) ∪ rougeN(2))
-      TextEval.rougeNOrders(dropoutPairs(s, d), maxN = 2)
+      // both orders from the trio-SHARED 1..4 census (filtered to n ≤ 2 —
+      // identical rows to a maxN=2 census by construction), so q160/q161/
+      // q163 in one session pay one census derivation per side; census
+      // keys are the r16 per-word rotate-XOR gram keys (one md5 per WORD,
+      // not per gram — TextFunctions.gramKeyAt)
+      TextEval.rougeNOrdersFromCensus(dropoutPairs(s, d),
+          trioCensus(s, d, "reference").where(col("n") <= 2),
+          trioCensus(s, d, "candidate").where(col("n") <= 2), maxN = 2)
         .orderBy(col("n"), col("id"))
     }),
 
@@ -859,7 +898,9 @@ object PipelineQueries {
       // consumers — the per-order precisions and the length ratio are the
       // engine-exact, auditable parts. Orders above a short candidate's
       // token count exercise the NULL-precision contract corpus-wide.
-      TextEval.bleuPrecisions(dropoutPairs(s, d), maxN = 4)
+      TextEval.bleuPrecisionsFromCensus(dropoutPairs(s, d),
+          trioCensus(s, d, "reference"), trioCensus(s, d, "candidate"),
+          maxN = 4)
         .orderBy(col("n"), col("id"))),
 
     "q163_corpus_generation_eval" -> ((s, d) =>
@@ -874,7 +915,8 @@ object PipelineQueries {
       // q154 transcendental technique). Same one-tagged-census-per-side
       // plan as q161, collapsing to ≤4-row per-order sums + one broadcast
       // combine — no windows, 1-row output.
-      TextEval.corpusGenerationEval(dropoutPairs(s, d))),
+      TextEval.corpusGenerationEvalFromCensus(dropoutPairs(s, d),
+        trioCensus(s, d, "reference"), trioCensus(s, d, "candidate"))),
 
     "q164_sequence_packing" -> ((s, d) =>
       // concat-and-chunk packing — the doc-SPLITTING convention, complement
@@ -4419,17 +4461,19 @@ object PipelineQueries {
     },
 
     // Same md5 word dropout (1-based DuckDB positions shifted to the
-    // 0-based Spark transform index), same clipped-multiset counts, same
-    // ×1e3 floor divisions — n=1 and n=2 blocks union like the Spark side.
+    // 0-based Spark transform index), same per-WORD hash60 + rotate-XOR
+    // gram keys (duckGramKey — one md5 per word, not per gram, the r16
+    // census-key rework), same clipped-multiset counts, same ×1e3 floor
+    // divisions — n=1 and n=2 blocks union like the Spark side.
     "q160_rouge_eval" -> {
       def block(n: Int) = s"""
            ref_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
-                        SELECT id, ${duckHash60(s"array_to_string(wr[i:i+$n-1], ' ')")} AS g
-                        FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
+                        SELECT id, ${duckGramKey("hr", "i", n)} AS g
+                        FROM ph, unnest(range(1, len(hr) - $n + 2)) AS t(i))
                       GROUP BY 1, 2),
            cand_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
-                         SELECT id, ${duckHash60(s"array_to_string(wc[i:i+$n-1], ' ')")} AS g
-                         FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
+                         SELECT id, ${duckGramKey("hc", "i", n)} AS g
+                         FROM ph, unnest(range(1, len(hc) - $n + 2)) AS t(i))
                        GROUP BY 1, 2),
            ov_$n AS (SELECT id, CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
                      FROM ref_$n JOIN cand_$n USING (id, g) GROUP BY 1),
@@ -4465,23 +4509,28 @@ object PipelineQueries {
                     list_filter(string_split(reference, ' '), x -> x <> '') AS wr,
                     list_filter(string_split(candidate, ' '), x -> x <> '') AS wc
                   FROM p),
+           ph AS (SELECT id,
+                    list_transform(wr, x -> ${duckHash60("x")}) AS hr,
+                    list_transform(wc, x -> ${duckHash60("x")}) AS hc
+                  FROM pw),
            ${block(1)},
            ${block(2)}
          SELECT * FROM fin_1 UNION ALL SELECT * FROM fin_2
          ORDER BY n, id"""
     },
 
-    // Same dropout pairs as q160; per order the clipped candidate-side
-    // precision plus the length ratio — all // floor division.
+    // Same dropout pairs as q160, same per-word rotate-XOR gram keys; per
+    // order the clipped candidate-side precision plus the length ratio —
+    // all // floor division.
     "q161_bleu_precisions" -> {
       def block(n: Int) = s"""
            rf_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
-                       SELECT id, ${duckHash60(s"array_to_string(wr[i:i+$n-1], ' ')")} AS g
-                       FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
+                       SELECT id, ${duckGramKey("hr", "i", n)} AS g
+                       FROM ph, unnest(range(1, len(hr) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            cn_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
-                       SELECT id, ${duckHash60(s"array_to_string(wc[i:i+$n-1], ' ')")} AS g
-                       FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
+                       SELECT id, ${duckGramKey("hc", "i", n)} AS g
+                       FROM ph, unnest(range(1, len(hc) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            ov_$n AS (SELECT id, CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
                      FROM rf_$n JOIN cn_$n USING (id, g) GROUP BY 1),
@@ -4507,6 +4556,10 @@ object PipelineQueries {
                     list_filter(string_split(reference, ' '), x -> x <> '') AS wr,
                     list_filter(string_split(candidate, ' '), x -> x <> '') AS wc
                   FROM p),
+           ph AS (SELECT id,
+                    list_transform(wr, x -> ${duckHash60("x")}) AS hr,
+                    list_transform(wc, x -> ${duckHash60("x")}) AS hc
+                  FROM pw),
            lens AS (SELECT id, CAST(len(wr) AS BIGINT) AS ref_len,
                       CAST(len(wc) AS BIGINT) AS cand_len FROM pw),
            ${block(1)},
@@ -4525,12 +4578,12 @@ object PipelineQueries {
     "q163_corpus_generation_eval" -> {
       def block(n: Int) = s"""
            rf_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cr FROM (
-                       SELECT id, ${duckHash60(s"array_to_string(wr[i:i+$n-1], ' ')")} AS g
-                       FROM pw, unnest(range(1, len(wr) - $n + 2)) AS t(i))
+                       SELECT id, ${duckGramKey("hr", "i", n)} AS g
+                       FROM ph, unnest(range(1, len(hr) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            cn_$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM (
-                       SELECT id, ${duckHash60(s"array_to_string(wc[i:i+$n-1], ' ')")} AS g
-                       FROM pw, unnest(range(1, len(wc) - $n + 2)) AS t(i))
+                       SELECT id, ${duckGramKey("hc", "i", n)} AS g
+                       FROM ph, unnest(range(1, len(hc) - $n + 2)) AS t(i))
                      GROUP BY 1, 2),
            s_$n AS (SELECT
                       (SELECT CAST(sum(least(cr, cc)) AS BIGINT)
@@ -4550,6 +4603,10 @@ object PipelineQueries {
                     list_filter(string_split(reference, ' '), x -> x <> '') AS wr,
                     list_filter(string_split(candidate, ' '), x -> x <> '') AS wc
                   FROM p),
+           ph AS (SELECT id,
+                    list_transform(wr, x -> ${duckHash60("x")}) AS hr,
+                    list_transform(wc, x -> ${duckHash60("x")}) AS hc
+                  FROM pw),
            lens AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
                       CAST(coalesce(sum(len(wr)), 0) AS BIGINT) AS ref_tokens,
                       CAST(coalesce(sum(len(wc)), 0) AS BIGINT) AS cand_tokens

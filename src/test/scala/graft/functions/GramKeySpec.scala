@@ -6,19 +6,24 @@ import graft.SparkSpec
 import graft.functions.{TextFunctions => T}
 
 /** The rotate-XOR rolling gram key (the round-15 named lever for the
- * generation-eval censuses): one md5 per WORD, integer combines per gram. */
+ * generation-eval censuses, wired in round 16): one md5 per WORD, integer
+ * combines per gram. The rotation is 60-BIT (the hash60 domain) with the
+ * mask applied BEFORE the left shift — the 64-bit form is not
+ * DuckDB-expressible (DuckDB raises on overflowing `<<`, it doesn't wrap),
+ * so the replica here and the oracle twins share the 60-bit arithmetic. */
 class GramKeySpec extends SparkSpec {
 
-  private def rotl(h: Long, r: Int): Long =
-    if (r == 0) h else (h << r) | (h >>> (64 - r))
+  private def rotl60(h: Long, r: Int): Long =
+    if (r == 0) h else (((h & ((1L << (60 - r)) - 1)) << r) | (h >>> (60 - r)))
 
   private def replica(hs: Seq[Long], i: Int, n: Int): Long =
-    (0 until n).map(j => rotl(hs(i + j), (7 * j) % 64)).reduce(_ ^ _)
+    (0 until n).map(j => rotl60(hs(i + j), (7 * j) % 60)).reduce(_ ^ _)
 
   test("gramKeyAt matches the in-driver replica over random word-hash windows") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
-    val rows = Seq.fill(50)(Seq.fill(12)(rnd.nextLong()))
+    // the domain contract: hash60 values, non-negative < 2^60
+    val rows = Seq.fill(50)(Seq.fill(12)(rnd.nextLong() & ((1L << 60) - 1)))
     val df = rows.zipWithIndex.map { case (hs, id) => (id.toLong, hs) }
       .toDF("id", "hs")
     for (n <- 1 to 4) {
@@ -35,7 +40,7 @@ class GramKeySpec extends SparkSpec {
   test("gramKeyAt separates word order and keeps repeated words alive") {
     import spark.implicits._
     val h1 = 0x123456789abcdefL
-    val h2 = 0x0fedcba987654321L
+    val h2 = 0x0edcba987654321fL
     val df = Seq(
       (1L, Seq(h1, h2)), (2L, Seq(h2, h1)), (3L, Seq(h1, h1))
     ).toDF("id", "hs")

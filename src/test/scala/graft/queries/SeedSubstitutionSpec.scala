@@ -55,4 +55,46 @@ class SeedSubstitutionSpec extends SparkSpec {
       graft.operators.Checkpoints.release(spark)
     }
   }
+
+  test("the trio's plans read the seeded 1..4 gram-census InMemoryRelations") {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    graft.operators.Checkpoints.release(spark)
+
+    val seeds = PipelineQueries.benchCacheSeeds(spark, sf)
+      .filter { case (nm, _) => nm.startsWith("trio_census") }
+    assert(seeds.map(_._1).sorted == Seq("trio_census_cand", "trio_census_ref"),
+      "both trio census seeds must exist in benchCacheSeeds")
+    seeds.foreach { case (_, df) =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+
+    try {
+      for (q <- Seq("q160_rouge_eval", "q161_bleu_precisions",
+        "q163_corpus_generation_eval")) {
+        val opt = graft.SparkEntry.queries(q)(spark, sf)
+          .queryExecution.optimizedPlan
+        // each query consumes BOTH sides' censuses — two substituted
+        // cache reads at minimum (q160's n<=2 filters sit ABOVE them)
+        val ims = opt.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+        }
+        assert(ims.size >= 2,
+          s"$q: both census sides must substitute to seeded " +
+            s"InMemoryRelations, found ${ims.size}")
+        // the census derivation (the per-word hash60 md5) must not
+        // survive above the cache boundary — a plan re-hashing words
+        // would defeat the census seed
+        val outside = opt.collect {
+          case n if n.expressions.exists(_.toString.contains("md5")) => n
+        }
+        assert(outside.isEmpty,
+          s"$q: found md5 derivation outside the cached censuses — " +
+            s"the census seed is not substituting: ${outside.map(_.nodeName)}")
+      }
+    } finally {
+      seeds.foreach(_._2.unpersist(blocking = false))
+      graft.operators.Checkpoints.release(spark)
+    }
+  }
 }
