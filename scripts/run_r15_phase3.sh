@@ -25,7 +25,14 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
 SPARK_GRAFT_BENCH_RUNS=3 SPARK_GRAFT_BENCH_BUDGET=1200 \
 SPARK_GRAFT_BENCH_OUT=bench_scaling_r15_full_sf0.1.json \
   sbt -batch "runMain graft.Bench" 2>&1 | tail -2
-cp bench_scaling_r15_full_sf0.1.json bench_local_r15.json
+# promote ONLY a healthy artifact (ADVICE r15: without -e, a failed bench
+# run would otherwise let this cp promote a stale prior artifact as the
+# round's local benchmark)
+if python3 -c "import json,sys; a=json.load(open('bench_scaling_r15_full_sf0.1.json')); sys.exit(0 if a.get('complete') is True and not a.get('errors') else 1)"; then
+  cp bench_scaling_r15_full_sf0.1.json bench_local_r15.json
+else
+  echo "REFUSING to promote bench_scaling_r15_full_sf0.1.json: incomplete or errored" >&2
+fi
 
 for banding in pairs triples; do
   echo "=== phase3: ThirdDecade sf100 blocks=8 $banding ==="

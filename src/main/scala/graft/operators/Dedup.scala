@@ -223,6 +223,52 @@ object Dedup {
   }
 
   /**
+   * Block-QUADRUPLE band keys — the FOURTH-decade form PLANS.md §10 names
+   * (spec'd before it's needed, VERDICT r15 #6): same 64-bit hash, same 8
+   * blocks, but each band keys on FOUR clean blocks — C(8,4) = 70 bands ×
+   * 32-bit keys (2^32 buckets per band, 256× the triple form's 2^24), so
+   * the per-band background collision rate drops another ~256× while the
+   * band count grows only 70/56 = 1.25×. The doctrine's decade ladder in
+   * one line: 16-bit pairs → 24-bit triples → 32-bit quadruples, one
+   * key-width step per decade, each buying ~256× fewer accidental
+   * collisions for ONE less guaranteed Hamming unit.
+   *
+   * RECALL THEOREM (pigeonhole, property-proven in BlockPairBandsSpec): a
+   * pair within Hamming distance `blocks − 4` damages at most `blocks − 4`
+   * blocks, leaving ≥ 4 clean — an identical 32-bit `band_key` in an
+   * identical `band`. Budgets: ham ≤ 4 of 64 at `blocks = 8`, ham ≤ 12 of
+   * 128 at `blocks = 16`.
+   *
+   * Output: `(id, band, band_key)` with
+   * `band = ((i·blocks + j)·blocks + k)·blocks + l` over block quadruples
+   * i < j < k < l and the 4-byte concatenation as `band_key`, feeding
+   * [[bucketedPairs]] exactly like the pair/triple forms.
+   */
+  def blockQuadBands(hashes: DataFrame, blocks: Int): DataFrame = {
+    require(blocks == 8 || blocks == 16,
+      s"blockQuadBands supports blocks = 8 (64-bit hash) or 16 (128-bit), got $blocks")
+    val words = blocks / 8
+    val checked = when(size(col("hash")) === words, col("hash"))
+      .otherwise(raise_error(concat(
+        lit(s"blockQuadBands: hash must carry $words long words for " +
+          s"$blocks blocks, got "), size(col("hash")).cast("string"),
+        lit(" (id "), col("id").cast("string"), lit(")")))
+        .cast("array<bigint>"))
+    def blk(v: String) =
+      s"(shiftright(element_at(hash, cast($v div 8 as int) + 1), ($v % 8) * 8) & 255)"
+    hashes.select(col("id"), checked.as("hash"))
+      .select(col("id"), explode(expr(
+        s"""flatten(transform(sequence(0, ${blocks - 4}), i ->
+              flatten(transform(sequence(i + 1, ${blocks - 3}), j ->
+                flatten(transform(sequence(j + 1, ${blocks - 2}), k ->
+                  transform(sequence(k + 1, ${blocks - 1}), l ->
+                    struct(((i * $blocks + j) * $blocks + k) * $blocks + l AS band,
+                      ((${blk("i")} * 256 + ${blk("j")}) * 256 + ${blk("k")}) * 256 + ${blk("l")} AS band_key))))))))"""
+      )).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+  }
+
+  /**
    * INCREMENTAL near-dup candidates: pair each NEW doc against the EXISTING
    * corpus only — the daily-crawl posture. Both sides band identically, then
    * ONE equi-join on (band, band_key) with the new side as the (small) probe:
@@ -741,13 +787,21 @@ object Dedup {
    *     documented dedup-clustering contract shared with q90's image bands
    *     and q34's hyperplane tables;
    *   - ids sharing the IDENTICAL full 62-bit signature pair through a
-   *     second, UNGUARDED equi-join channel, so an exact-twin pair inside
-   *     a hot bucket can never survive only as star pairs — ham = 0 recall
-   *     is STRUCTURAL regardless of bucket degradation (the r14 advice
-   *     hole, closed for hyperplane LSH by `nearDupLsh`, closed here for
-   *     simhash). Output-bounded by nature: identical signatures mark
-   *     near-identical documents, whose pairs the caller's threshold keeps
-   *     anyway;
+   *     second equi-join channel, so an exact-twin pair inside a hot
+   *     bucket can never survive only as star pairs — ham = 0 recall is
+   *     STRUCTURAL regardless of bucket degradation (the r14 advice hole,
+   *     closed for hyperplane LSH by `nearDupLsh`, closed here for
+   *     simhash). The channel carries its OWN `maxBucket` guard (ADVICE
+   *     r15): an identical-signature CLASS is itself a hot bucket — a
+   *     mass-duplicated boilerplate document (or an all-empty-shingle
+   *     class) would make the raw self equi-join quadratic in the class
+   *     size, reintroducing exactly the blowup the banding guard exists
+   *     to prevent. Classes over `maxBucket` degrade to the same star
+   *     shape (every member vs the class minimum): ham = 0 TWIN recall
+   *     stays structural (each member still pairs with the rep at ham 0)
+   *     and the class stays one connected component; only the
+   *     intra-class non-star pairs are conceded, mirroring the banding
+   *     concession;
    *   - the signature table localCheckpoints once — banding, both clique
    *     sides, and both verify sides read it, and the checkpoint keeps the
    *     md5 feature hashing from re-running five times.
@@ -762,12 +816,26 @@ object Dedup {
     val banded = sigs.select(col("id"), posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val sigPairs = sigs.select(col("id").as("a"), col("sig"))
-      .join(sigs.select(col("id").as("b"), col("sig")), "sig")
+    // the identical-signature clique channel, guarded like any other
+    // bucket (ADVICE r15): full clique for classes <= maxBucket, star
+    // degradation (member vs class-min rep) above — O(class), never class²
+    val classes = sigs.groupBy(col("sig"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("rep"))
+    val smallSigs = sigs.join(
+      classes.where(col("n") <= maxBucket).select(col("sig")),
+      Seq("sig"), "left_semi")
+    val sigPairs = smallSigs.select(col("id").as("a"), col("sig"))
+      .join(smallSigs.select(col("id").as("b"), col("sig")), "sig")
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
+    val hotSigStars = sigs.join(
+        classes.where(col("n") > maxBucket).select(col("sig"), col("rep")),
+        Seq("sig"))
+      .where(col("id") =!= col("rep"))
+      .select(least(col("rep"), col("id")).as("a"),
+        greatest(col("rep"), col("id")).as("b"))
     val candidates = bucketedPairs(banded, maxBucket)
-      .unionByName(sigPairs).distinct()
+      .unionByName(sigPairs).unionByName(hotSigStars).distinct()
     candidates
       .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), "b")

@@ -209,6 +209,28 @@ object Similarity {
         Ivf.assignTwoLevelData(corpus, cents, coarseN)
       else Ivf.assignTwoLevel(corpus, cents, coarseN))
       .localCheckpoint()
+    semanticDedupTail(assigned, tau, maxCell)
+  }
+
+  /** [[semanticDedup]] with the centroid model CONSUMED AS A TABLE
+   * (`Ivf.centroidTable` — VERDICT r15 #5): the assignment takes
+   * `Ivf.assignTwoLevelDataFromTable`'s no-collect path, everything
+   * downstream is the shared tail. Value-identical to the collected path
+   * on the same centroid set. */
+  def semanticDedupFromTable(corpus: DataFrame, centTable: DataFrame,
+                             tau: Double, maxCell: Int = 10000,
+                             coarseN: Int = 64): DataFrame =
+    semanticDedupTail(
+      Ivf.assignTwoLevelDataFromTable(corpus, centTable, coarseN)
+        .localCheckpoint(),
+      tau, maxCell)
+
+  /** The shared SemDeDup tail over a checkpointed (id, vec, cell, ccos)
+   * assignment: per-cell pairs → components → one row per cluster with
+   * the kept representative (min (ccos, id) struct — SemDeDup keeps the
+   * member FARTHEST from its centroid, ties to the lowest id). */
+  private def semanticDedupTail(assigned: DataFrame, tau: Double,
+                                maxCell: Int): DataFrame =
     Dedup.components(pairsWithinCells(assigned, tau, maxCell))
       .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))
       .groupBy(col("component").as("cluster_id"))
@@ -220,7 +242,6 @@ object Similarity {
           x => x.cast("string")), ",").as("members"))
       .select(col("cluster_id"), col("cell"), col("k.id").as("keep_id"),
         col("n_members"), col("members"))
-  }
 
   /**
    * kNN majority-vote classification — the auto-labeling stage of a training

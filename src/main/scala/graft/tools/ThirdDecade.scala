@@ -31,13 +31,16 @@ import graft.operators.Dedup
  * DECADE question is about the banded join, so the phases are reported
  * separately: hash_sec and pair_sec).
  *
- * Banding mode (4th arg, r15): `pairs` (default) bands block PAIRS
- * (C(blocks,2) bands × 16-bit keys, verify budget blocks − 2); `triples`
- * bands block TRIPLES via [[Dedup.blockTripleBands]] (C(blocks,3) bands ×
- * 24-bit keys, budget blocks − 3) — the key-bits-per-BAND doctrine's
- * third-decade form, measured head-to-head against pairs at every scale.
+ * Banding mode (4th arg, r15; `quads` added r16): `pairs` (default) bands
+ * block PAIRS (C(blocks,2) bands × 16-bit keys, verify budget blocks − 2);
+ * `triples` bands block TRIPLES via [[Dedup.blockTripleBands]]
+ * (C(blocks,3) bands × 24-bit keys, budget blocks − 3) — the third-decade
+ * form; `quads` bands block QUADRUPLES via [[Dedup.blockQuadBands]]
+ * (C(blocks,4) bands × 32-bit keys, budget blocks − 4) — the
+ * FOURTH-decade form, measured head-to-head against triples at sf100
+ * before any corpus needs it.
  *
- * Usage: runMain graft.tools.ThirdDecade <sfDir> <blocks> [runs] [pairs|triples]
+ * Usage: runMain graft.tools.ThirdDecade <sfDir> <blocks> [runs] [pairs|triples|quads]
  */
 object ThirdDecade {
 
@@ -47,9 +50,13 @@ object ThirdDecade {
     val runs = if (args.length > 2) args(2).toInt else 2
     val banding = if (args.length > 3) args(3) else "pairs"
     require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
-    require(banding == "pairs" || banding == "triples",
-      s"banding must be pairs or triples, got $banding")
-    val budget = if (banding == "triples") blocks - 3 else blocks - 2
+    require(Set("pairs", "triples", "quads")(banding),
+      s"banding must be pairs, triples, or quads, got $banding")
+    val budget = banding match {
+      case "quads" => blocks - 4
+      case "triples" => blocks - 3
+      case _ => blocks - 2
+    }
     // ≡ 0 mod 3 so a twin of an image doc synthesizes as an image too (the
     // q90 offset rule — the first r14 runs used 1e8 ≡ 1 mod 3 and planted
     // ZERO image twins, reported as twin_recall_pm = -1), and above every
@@ -105,8 +112,11 @@ object ThirdDecade {
 
       val t1 = System.nanoTime()
       val keyed = ph.select(col("doc_id").as("id"), col("hash"))
-      val bands = if (banding == "triples") Dedup.blockTripleBands(keyed, blocks)
-        else Dedup.blockPairBands(keyed, blocks)
+      val bands = banding match {
+        case "quads" => Dedup.blockQuadBands(keyed, blocks)
+        case "triples" => Dedup.blockTripleBands(keyed, blocks)
+        case _ => Dedup.blockPairBands(keyed, blocks)
+      }
       val pairs = Dedup.bucketedPairs(bands).localCheckpoint()
       nCand = pairs.count()
       val verified = pairs

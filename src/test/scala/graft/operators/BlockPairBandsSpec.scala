@@ -135,6 +135,66 @@ class BlockPairBandsSpec extends SparkSpec {
     collideTriples(16)
   }
 
+  /** Quad-band twin of [[collide]]: budget blocks − 4, C(blocks,4) bands —
+   * the fourth-decade form. */
+  private def collideQuads(blocks: Int): Unit = {
+    import spark.implicits._
+    val words = blocks / 8
+    val bits = blocks * 8
+    val gen = for {
+      ws <- Gen.listOfN(words, Gen.choose(Long.MinValue, Long.MaxValue))
+      h <- Gen.choose(0, blocks - 4) // the quadruple budget, 0 included
+      flips <- Gen.pick(h, 0 until bits)
+    } yield {
+      val damaged = ws.toArray
+      flips.foreach(p => damaged(p / 64) ^= (1L << (p % 64)))
+      (ws, damaged.toSeq, h)
+    }
+    val cases = samples(gen, 120)
+    val rows = cases.zipWithIndex.flatMap { case ((orig, dam, _), i) =>
+      Seq((i.toLong * 2, orig), (i.toLong * 2 + 1, dam))
+    }.toDF("id", "hash")
+    val keys = Dedup.blockQuadBands(rows, blocks)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet
+      }
+    val nBands = blocks * (blocks - 1) * (blocks - 2) * (blocks - 3) / 24
+    cases.indices.foreach { i =>
+      val a = keys(i.toLong * 2); val b = keys(i.toLong * 2 + 1)
+      assert(a.map(_._1).size == nBands && b.map(_._1).size == nBands,
+        s"case $i: expected C($blocks,4) = $nBands distinct bands per id")
+      assert(b.forall(_._2 < (1L << 32)), "quad keys are 32-bit")
+      val h = cases(i)._3
+      assert((a intersect b).nonEmpty,
+        s"case $i (blocks=$blocks, ham=$h): no shared (band, band_key) — " +
+          "the quadruple pigeonhole recall theorem is violated")
+    }
+  }
+
+  test("quads, blocks = 8: every pair within ham 4 of 64 shares a 32-bit band bucket") {
+    collideQuads(8)
+  }
+
+  test("quads, blocks = 16: every pair within ham 12 of 128 shares a 32-bit band bucket") {
+    collideQuads(16)
+  }
+
+  test("quad band keys are the exact block quadruple (spot formula check)") {
+    import spark.implicits._
+    val h = (0 until 8).map(b => (b + 1).toLong << (8 * b)).sum
+    val rows = Seq((1L, Seq(h))).toDF("id", "hash")
+    val got = Dedup.blockQuadBands(rows, 8)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got.size == 70)
+    for (i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8; l <- k + 1 until 8) {
+      val band = ((i * 8 + j) * 8 + k) * 8 + l
+      val key = (((i + 1).toLong * 256 + (j + 1)) * 256 + (k + 1)) * 256 + (l + 1)
+      assert(got(band) == key, s"band ($i,$j,$k,$l)")
+    }
+  }
+
   test("triple band keys are the exact block triple (spot formula check)") {
     import spark.implicits._
     // hash with block b holding value b+1 (blocks 0..7 little-endian):

@@ -161,6 +161,64 @@ class IvfSpec extends SparkSpec {
     assert(degen == flat)
   }
 
+  test("the no-collect table path (centroidTable + *FromTable) equals the " +
+    "collected path exactly, in both hierarchy regimes") {
+    val centTable = Ivf.centroidTable(corpus, col("id") % 64 === 0)
+    // assignment — hierarchical regime (coarseN=2 < nlist)
+    for (cn <- Seq(2, cents.length)) {
+      val collected = Ivf.assignTwoLevelData(corpus, cents, coarseN = cn)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      val tabled = Ivf.assignTwoLevelDataFromTable(corpus, centTable, coarseN = cn)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(tabled.toSeq == collected.toSeq,
+        s"assignment must be bit-identical at coarseN=$cn")
+    }
+    // schema/column parity
+    assert(Ivf.assignTwoLevelDataFromTable(corpus, centTable).columns.toSeq ==
+      Ivf.assignTwoLevelData(corpus, cents).columns.toSeq)
+    // probes: same (query, cell) set as the literal probeCells explode
+    val litProbes = queries.select(col("id"),
+        explode(Ivf.probeCells(col("vec"), cents, 3)).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tblProbes = Ivf.probeCellsFromTable(queries, centTable, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tblProbes == litProbes)
+    // end-to-end search equality
+    val s1 = Ivf.search(corpus, queries, cents, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val s2 = Ivf.searchFromTable(corpus, queries, centTable, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(s2 == s1)
+    // and the whole path runs without any nlist-sized driver collect: the
+    // query plan carries the model through broadcast exchanges only — no
+    // LocalRelation of centroid rows (the literal-model fingerprint)
+    val plan = Ivf.assignTwoLevelDataFromTable(corpus, centTable, coarseN = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation"),
+      s"the table path must not embed a collected model:\n$plan")
+  }
+
+  test("pqIndexFromTable and adcSearchFromCentTable equal the collected PQ path") {
+    val centTable = Ivf.centroidTable(corpus, col("id") % 64 === 0)
+    val cb = corpus.where(col("id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val splits = Seq((1, 32), (33, 32))
+    val i1 = Ivf.pqIndex(corpus, cents, cb, splits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val i2 = Ivf.pqIndexFromTable(corpus, centTable, cb, splits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(i2.toSeq == i1.toSeq)
+    val a1 = Ivf.adcSearch(Ivf.pqIndex(corpus, cents, cb, splits),
+        queries, cents, cb, splits, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val a2 = Ivf.adcSearchFromCentTable(Ivf.pqIndexFromTable(corpus, centTable, cb, splits),
+        queries, centTable, cb, splits, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a2 == a1)
+  }
+
   test("semanticDedup matches driver-side ground truth: cell-internal clusters, " +
     "least-centroid-affine survivors") {
     val tau = 0.3

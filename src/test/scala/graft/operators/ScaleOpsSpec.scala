@@ -46,18 +46,54 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("guarded simhash recalls identical-signature twins under all-hot buckets") {
-    // maxBucket = 2 degrades every chunk bucket of this corpus to star
-    // pairs; the identical-full-signature clique channel must still emit
-    // every planted twin pair directly (the q34/q33 structural-recall
-    // contract — a twin edge may never survive only as star fragments)
+    // maxBucket = 2 degrades every chunk bucket AND every oversize
+    // identical-sig class of this corpus to star pairs. The structural
+    // ham-0 contract under full degradation (post the ADVICE r15 clique
+    // guard): every planted twin is CONNECTED to its original — directly
+    // when its sig class is within the cap, through the class rep's star
+    // when the class itself is hot. Either way the dedup clustering the
+    // channel exists for (components over candidates) can never split a
+    // ham-0 twin from its original.
     val twins = docShingles.unionByName(
       docShingles.select((col("id") + 1000000000L).as("id"), col("shingles")))
     val got = Dedup.simhashCandidatesGuarded(twins, 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find over the candidate edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    got.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val ids = docShingles.select(col("id")).collect().map(_.getLong(0))
+    val split = ids.filter(id => find(id) != find(id + 1000000000L))
+    assert(split.isEmpty,
+      s"twin pairs disconnected under degradation: ${split.take(5).toSeq}")
+    // and at the PRODUCTION cap the pairs are direct (no degradation here)
+    val direct = Dedup.simhashCandidatesGuarded(twins, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = docShingles.select(col("id")).collect().map(_.getLong(0))
-      .map(id => (id, id + 1000000000L)).toSet
-    assert(expected.subsetOf(got),
-      s"missing twin pairs: ${expected -- got}")
+    val expected = ids.map(id => (id, id + 1000000000L)).toSet
+    assert(expected.subsetOf(direct),
+      s"missing direct twin pairs at the default cap: ${expected -- direct}")
+  }
+
+  test("the identical-signature clique channel is itself bucket-guarded " +
+    "(ADVICE r15): a mega class emits stars, never class² pairs") {
+    // 60 byte-identical documents = one identical-sig class of 60 — over
+    // maxBucket = 50 BOTH channels (chunk buckets and the sig clique) must
+    // degrade to the star shape: exactly the 59 (class-min, member) pairs,
+    // not C(60,2) = 1770; connectivity and rep-twin ham-0 recall intact
+    val seed = docShingles.orderBy(col("id")).limit(1)
+    val mega = seed.select(
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("sequence(0, 59)")).as("k"),
+        col("shingles"))
+      .select(col("k").cast("long").as("id"), col("shingles"))
+    val got = Dedup.simhashCandidatesGuarded(mega, 3, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stars = (1L to 59L).map(x => (0L, x)).toSet
+    assert(got == stars,
+      s"expected the 59 star pairs, got ${got.size} pairs")
   }
 
   test("incremental candidates equal the cross-boundary slice of symmetric LSH") {

@@ -53,18 +53,26 @@ class ConstructionJobsSpec extends SparkSpec {
     "q90_image_phash_neardup" -> "eager phash-table checkpoint (bands + both verify joins)",
     "q92_containment_dedup" -> "eager shingle-table checkpoint (df census + both pair sides)",
     "q97_incremental_neardup" -> "eager shingle + corpus band-table checkpoints",
-    "q112_minhash_calibration" -> "eager shingle-table checkpoint (three consumers)",
+    "q112_minhash_calibration" ->
+      "eager shingle + signature table checkpoints (multi-consumer)",
     "q37_multimodal_features" -> "eager synthesized-payload checkpoint",
     "q47_media_decode" -> "eager synthesized-payload checkpoint",
     "q65_frame_sample" -> "eager synthesized-payload checkpoint",
     "q81_cdc_chunks" -> "eager snapshot-chunk checkpoint (both CDC join sides)",
     // driver-held bounded models: collect-loops whose fitted state becomes
-    // plan literals (centroids, codebooks, weights, merge tables, pools)
-    "q39_ivf_ann" -> "IVF coarse centroids collect (bounded, plan literals)",
+    // plan literals (codebooks, weights, merge tables, pools). The IVF
+    // CENTROID collects left this class in r16 — the model is a table end
+    // to end (Ivf.centroidTable + *FromTable, VERDICT r15 #5): q39 builds
+    // lazily now, and the entries below keep only their REMAINING eager
+    // steps. What stays collected is corpus-size-INDEPENDENT by
+    // construction: PQ codebooks are 2^bits entries (16 here), probed-cell
+    // filters are ≤ queries × nprobe.
     "q87_pq_assign" -> "PQ codebook collect (16 centroids x 2 subspaces)",
-    "q98_ivfpq_adc" -> "IVF-PQ codebook collects",
-    "q100_semantic_dedup" -> "IVF centroids + per-cell dedup fixpoint",
-    "q168_semantic_dedup_2level" -> "IVF centroids + per-cell dedup fixpoint (two-level assignment)",
+    "q98_ivfpq_adc" -> "PQ codebook collect (16 entries, 2^bits-bounded)",
+    "q100_semantic_dedup" ->
+      "per-cell dedup fixpoint + eager assignment checkpoint",
+    "q168_semantic_dedup_2level" ->
+      "per-cell dedup fixpoint + eager assignment checkpoint (two-level)",
     "q107_kmeans_lloyd" -> "Lloyd rounds collect the k-row centroid model",
     "q108_centroid_classify" -> "Lloyd-fitted centroids collect",
     "q113_quality_perceptron" -> "per-round weight-delta collects (bounded w)",
@@ -72,7 +80,7 @@ class ConstructionJobsSpec extends SparkSpec {
     "q93_bpe_merges" -> "BPE merge-table fit",
     "q95_bpe_tokenize" -> "BPE merge-table fit",
     "q134_mmr_diversify" -> "query vector + bounded retrieval-pool collect",
-    "q120_ann_recall" -> "centroid model + exact-oracle top-k materialization",
+    "q120_ann_recall" -> "exact-oracle top-k + bounded query-set materialization",
     "q126_tfidf_cosine" -> "df-cap pruning census + checkpointed postings",
     "q141_dedup_savings" -> "checkpointed postings + savings census",
     "q148_truncation_recall" -> "checkpointed scored runs (broadcast-sized top-k)",
@@ -89,7 +97,9 @@ class ConstructionJobsSpec extends SparkSpec {
     // query by design (build-once serve-many)
     "q145_postings_probe" -> "tf-idf postings index write (staged swap)",
     "q162_ivfpq_from_index" ->
-      "PQ index artifact build + incremental append (staged swap) + codebook/probe-cell collects"
+      ("PQ index artifact build + incremental append (staged swap) + " +
+        "codebook collect (2^bits-bounded) + probed-cell collect " +
+        "(<= queries x nprobe, the static partition filter)")
   )
 
   test("plan construction runs zero Spark jobs outside the documented allowlist") {

@@ -6,8 +6,11 @@ Usage: decade_table.py SF01.json SF1.json SF10.json [--flag 12]
 Prints a markdown table of per-query best timings at the three scales with
 decade ratios dec1 = sf1.0/sf0.1 and dec2 = sf10/sf1.0, sorted by dec2
 descending, flagging ratios above the threshold (default 12 — the r14
-adjudication bar). Also prints artifact health (complete/errors/passes) so a
-partial run can't silently feed the table.
+adjudication bar). Artifact health (complete/errors/passes) prints first,
+and an artifact with complete != true or any recorded error EXITS NON-ZERO
+after the report (ADVICE r15: printed-only health let a partial run feed
+the table anyway) — pass --allow-partial to downgrade that to the old
+warning behavior when deliberately tabulating a known-partial run.
 """
 import json
 import sys
@@ -25,10 +28,13 @@ def main():
     if "--flag" in sys.argv:
         flag = float(sys.argv[sys.argv.index("--flag") + 1])
     arts = [load(p) for p in args]
+    unhealthy = []
     for p, a in zip(args, arts):
         print(f"health {p}: measured={a.get('measured')}/{a.get('of')} "
               f"complete={a.get('complete')} passes={a.get('passes_done')} "
               f"errors={len(a.get('errors') or {})} total={a.get('value')}s")
+        if a.get("complete") is not True or (a.get("errors") or {}):
+            unhealthy.append(p)
     qs = [a["queries"] for a in arts]
     names = sorted(set().union(*[set(q) for q in qs]))
     rows = []
@@ -51,6 +57,13 @@ def main():
         print(f"| {n} | {ts} | {d1} | {d2} | {fl} |")
     flagged = [n for _, n, _, _, d2 in rows if (d2 or 0) > flag]
     print(f"\nflagged (dec2 > {flag}): {len(flagged)} -> {', '.join(flagged)}")
+    if unhealthy:
+        print(f"\nUNHEALTHY artifacts (complete!=true or errors): "
+              f"{', '.join(unhealthy)}", file=sys.stderr)
+        if "--allow-partial" not in sys.argv:
+            print("refusing to stand behind this table; rerun the sweep or "
+                  "pass --allow-partial to tabulate anyway", file=sys.stderr)
+            sys.exit(1)
 
 
 if __name__ == "__main__":
