@@ -115,4 +115,36 @@ class PersistLifecycleSpec extends SparkSpec {
     assert(persisted == baseline)
     Checkpoints.release(spark)
   }
+
+  test("Checkpoints.scope releases only reuse points registered inside it") {
+    drainAll()
+    import spark.implicits._
+    // pipeline A registers its reuse point BEFORE the scope opens
+    val a = Checkpoints.reusePoint(
+      Seq(1L, 2L, 3L).toDF("x").select(col("x") * 2))
+    a.collect()
+    val afterA = persisted
+    assert(Checkpoints.registered(spark) == 1)
+
+    val scope = Checkpoints.scope(spark)
+    val b = Checkpoints.reusePoint(
+      Seq(4L, 5L).toDF("y").select(col("y") + 1))
+    b.collect()
+    assert(Checkpoints.registered(spark) == 2)
+
+    // the scoped release frees B only: A's cache entry and registration
+    // both survive — concurrent pipelines sharing the session are safe
+    assert(scope.release() == 1)
+    assert(persisted == afterA,
+      "pipeline A's blocks must survive a scoped release")
+    assert(Checkpoints.registered(spark) == 1)
+    // B still COMPUTES after release (lineage kept), and a second scoped
+    // release is a no-op
+    assert(b.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+    assert(scope.release() == 0)
+
+    // the global release still frees A
+    assert(Checkpoints.release(spark) == 1)
+    Checkpoints.release(spark)
+  }
 }
