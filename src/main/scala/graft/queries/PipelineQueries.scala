@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Mixtures, Packing, Preferences, Retrieval, Similarity, Skew, TextEval}
+import graft.operators.{Annotations, Bpe, CorpusOps, Dedup, Ivf, Mixtures, Packing, Preferences, Retrieval, Rolling, Similarity, Skew, TextEval}
 
 /**
  * Training-data pipeline operators (dedup, similarity search, text analysis)
@@ -57,6 +57,20 @@ object PipelineQueries {
     // census derivation per side per sweep
     ("trio_census_ref", trioCensus(s, d, "reference")),
     ("trio_census_cand", trioCensus(s, d, "candidate")))
+
+  /** The [[benchCacheSeeds]] entries consumed ONLY by the generation-eval
+   * trio (q160/q161/q163). The bench scopes these seeds' LIFETIME to the
+   * trio's region of each pass — seeded right before the first trio query,
+   * released right after the last — because parking them across the whole
+   * sweep costs unrelated queries real time through block-manager pressure
+   * (VERDICT r16 #1: q141 +8 s, q88 +6 s at sf10, measured seeds-on/off).
+   * The shingle seeds stay sweep-global: ~10 queries spread across the
+   * whole name range read them. */
+  val trioSeedNames: Set[String] =
+    Set("dropout_pairs", "trio_census_ref", "trio_census_cand")
+
+  /** Query-name prefixes of the trio that consumes [[trioSeedNames]]. */
+  val trioQueryPrefixes: Seq[String] = Seq("q160", "q161", "q163")
 
   /** Deterministic 5-annotator labeling of the documents table (the q59
    * in-query derivation pattern, so the DuckDB oracle rebuilds the SAME
@@ -2654,17 +2668,20 @@ object PipelineQueries {
       // (n, Σv, Σv²), and |z| > 3 is the integer inequality
       // (n·v − S)²·(n−1) > 9·n·(n·SS − S²) — no stddev doubles to drift
       // between engines (bounds: v_fp ≤ 6e4 keeps every product < 2^63).
-      // One shuffle (the per-type window), row-bounded frame state.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-        .rowsBetween(-100, -1)
-      Tables.events(s, d)
-        .selectExpr("event_type", "event_id", "unix_micros(ts) as us",
-          "cast(round(value * 100) as long) as v_fp")
-        .select(col("event_type"), col("v_fp"),
-          count(lit(1)).over(w).as("n"),
-          sum(col("v_fp")).over(w).as("sv"),
-          sum(col("v_fp") * col("v_fp")).over(w).as("svv"))
+      // The window itself is the CHUNKED exact rewrite (Rolling
+      // .trailingStats — VERDICT r16 #6): a plain per-type window caps
+      // parallelism at the type cardinality (5 here — five single-task
+      // 2M-row sorts at sf10, 64.6 s, each decade growing the sort and
+      // never the task count), so each type's timeline splits into 32 time
+      // buckets with a 100-row carry block, row-level identical by
+      // RollingSpec and the DuckDB oracle (which still states the plain
+      // window semantics).
+      Rolling.trailingStats(
+          Tables.events(s, d)
+            .selectExpr("event_type", "event_id", "unix_micros(ts) as us",
+              "cast(round(value * 100) as long) as v_fp"),
+          "event_type", "us", "event_id", "v_fp", frame = 100)
+        .select(col("event_type"), col("v_fp"), col("n"), col("sv"), col("svv"))
         .where(col("n") >= 30)
         .selectExpr("event_type",
           "case when (n*v_fp - sv)*(n*v_fp - sv)*(n - 1) > 9*n*(n*svv - sv*sv) " +
@@ -2800,6 +2817,54 @@ object PipelineQueries {
         ph.select(col("doc_id").as("id"), array(col("phash")).as("hash")),
         blocks = 8)
       Dedup.bucketedPairs(bands)
+        .join(ph.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
+        .join(ph.select(col("doc_id").as("b"), col("phash").as("pb")), "b")
+        .select(col("a").as("id_a"), col("b").as("id_b"),
+          expr("bit_count(pa ^ pb)").cast("long").as("ham"))
+        .where(col("ham") <= 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q169_collapsed_phash_neardup" -> ((s, d) => {
+      // q90's image near-dup with the CLIQUE-COLLAPSED candidate generator
+      // (Dedup.collapsedBandCandidates — the r17 structural answer to the
+      // sf100 measurement that retired key-widening: candidate volume at
+      // the third decade is genuine duplicate cliques colliding under ANY
+      // banding, PLANS r16 §6). Identical-phash classes collapse to one
+      // representative BEFORE banding; members re-enter as ham-0 STAR
+      // edges, so a clique of m exact-duplicate images costs m−1 rows
+      // instead of C(m,2)·28 band enumerations, and both the band table
+      // and every bucket shrink to distinct-hash size. Output contract is
+      // star ∪ verified rep pairs — by the collapse theorem (members are
+      // bit-identical to reps, so rep distance = member distance and the
+      // pigeonhole recall carries) this is EXACTLY the SQL twin's
+      // group-by-phash stars ∪ brute-force-over-reps pairs. Exact-dup
+      // mass is planted (%21 docs gain a byte-identical copy → identical
+      // pixels → identical phash) on top of q90's edited twins (%15,
+      // ham 0-4), so both channels are non-vacuous at every sf.
+      val base = Tables.documents(s, d)
+      val guardedId = when(col("doc_id") < 999999L, col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("q169 offsets 999999/1999998 collide with real doc_id "),
+          col("doc_id").cast("string"),
+          lit(" at this corpus size - raise the offsets (and their oracle " +
+            "twins) together"))).cast("long"))
+      val corpus = base.select(guardedId.as("doc_id"), col("text"))
+        .unionByName(base
+          .where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0 &&
+            length(col("text")) > 0)
+          .select((col("doc_id") + 999999L).as("doc_id"),
+            concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+        .unionByName(base
+          .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 === 0 &&
+            length(col("text")) > 0)
+          .select((col("doc_id") + 1999998L).as("doc_id"), col("text")))
+      val ph = graft.multimodal.Multimodal.imagePhash(
+        graft.multimodal.Multimodal.synthesizeReal(corpus))
+        .localCheckpoint()
+      Dedup.collapsedBandCandidates(
+          ph.select(col("doc_id").as("id"), array(col("phash")).as("hash")),
+          Dedup.blockPairBands(_, blocks = 8))
         .join(ph.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
         .join(ph.select(col("doc_id").as("b"), col("phash").as("pb")), "b")
         .select(col("a").as("id_a"), col("b").as("id_b"),
@@ -6166,6 +6231,52 @@ object PipelineQueries {
                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+         ORDER BY id_a, id_b""",
+
+    // q90's phash derivation over the extended corpus (edited twins %15 +
+    // byte-identical copies %21), with the collapsed-candidate semantics:
+    // identical-phash classes emit (rep, member) star edges; near-dup
+    // pairs enumerate over the DISTINCT-hash representatives only.
+    "q169_collapsed_phash_neardup" ->
+      """WITH src AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 999999 AS doc_id, 'Z' || substr(text, 2) AS text
+           FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 5 = 0 AND strlen(text) > 0
+           UNION ALL
+           SELECT doc_id + 1999998 AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 7 = 0 AND strlen(text) > 0),
+         im AS (SELECT doc_id, text, strlen(text) AS L,
+                  strlen(text) % 16 + 8 AS w, strlen(text) % 12 + 6 AS h
+                FROM src WHERE doc_id % 3 = 0 AND strlen(text) > 0),
+         px AS (SELECT doc_id, w, h,
+                  ascii(substr(text, ((3*i) % L) + 1, 1)) +
+                  ascii(substr(text, ((3*i + 1) % L) + 1, 1)) +
+                  ascii(substr(text, ((3*i + 2) % L) + 1, 1)) AS g,
+                  (i % w) AS x, (i // w) AS y
+                FROM im CROSS JOIN unnest(range(w * h)) AS t(i)),
+         cells AS (SELECT doc_id, (y * 8) // h AS gy, (x * 8) // w AS gx,
+                     CAST(sum(g) AS BIGINT) AS cs, count(*) AS cn
+                   FROM px GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
+         tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS ts, count(*) AS tn
+                 FROM px GROUP BY doc_id),
+         ph AS (SELECT c.doc_id,
+                  CAST(sum(CASE WHEN c.cs * t.tn <= t.ts * c.cn THEN 0
+                                WHEN c.gx * 8 + c.gy = 63 THEN -9223372036854775808
+                                ELSE 1::BIGINT << (c.gx * 8 + c.gy) END) AS BIGINT) AS phash
+                FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
+         reps AS (SELECT phash, min(doc_id) AS rep FROM ph GROUP BY phash),
+         stars AS (SELECT r.rep AS id_a, p.doc_id AS id_b, 0::BIGINT AS ham
+                   FROM ph p JOIN reps r ON p.phash = r.phash
+                   WHERE p.doc_id <> r.rep),
+         rp AS (SELECT a.rep AS id_a, b.rep AS id_b,
+                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
+                FROM reps a JOIN reps b ON a.rep < b.rep
+                WHERE bit_count(xor(a.phash, b.phash)) <= 6)
+         SELECT id_a, id_b, ham FROM stars
+         UNION ALL
+         SELECT id_a, id_b, ham FROM rp
          ORDER BY id_a, id_b""",
 
     // Same subspace distances (identical left-fold order), same argmin
