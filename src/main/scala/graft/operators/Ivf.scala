@@ -574,33 +574,77 @@ object Ivf {
     index.repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Directory-partition count for the PQ index TABLE layout: partitions
+   * are bounded CELL GROUPS (`cell_group = pmod(hash(cell), 64)`), NOT one
+   * directory per cell. nlist grows with the corpus (∝ N by the IVF sizing
+   * rule), and a one-directory-per-cell layout is a small-files
+   * scale-killer — the r16 q162 phase profile measured ~50 s of the 104 s
+   * sf10 cost as pure write machinery (task commit + partition metadata +
+   * MSCK over 3125 cell directories × 2 artifact builds, ~16 ms/file of
+   * non-data cost), and sf100 would decuple it. A FIXED group count keeps
+   * directories and task commits constant at every corpus size while
+   * `cell` rides as a SORTED data column inside each group file, so probes
+   * prune twice: probed GROUPS at the directory-listing level, then probed
+   * cells by parquet row-group min/max stats on the sorted column. The
+   * group is `hash(cell)` (Spark's murmur3 — the same function bucketed
+   * tables key on, so its stability contract is the catalog's own), not
+   * `cell mod 64`: cell ids are CENTROID ids, whose structure is the
+   * caller's (the train-free selectors emit multiples of 64 — a raw mod
+   * would land every cell in one directory and serialize the write on one
+   * task). Probe-side group sets derive IN PLAN from the same expression —
+   * nothing re-implements the hash on the driver. */
+  val IndexCellGroups = 64
+
+  private def cellGroup(c: Column): Column =
+    pmod(hash(c), lit(IndexCellGroups))
+
   /**
    * The PQ index as the engine's FIFTH persisted serving artifact (VERDICT
    * r12 #2), with the staged-swap discipline of every other artifact writer
    * ([[CorpusOps.writeBucketedStaged]]): the (neighbor_id, code1..M, cell)
    * rows land under `<table>__staging` first — the long, killable write,
    * during which yesterday's index stays served — then swap in via two
-   * catalog operations. Partitioned by `cell`, so a probe's
-   * [[adcSearchFromTable]] scan reads ONLY the probed cells' files
-   * (partition pruning at the listing level — the corpus fraction scanned
-   * is nprobe/nlist by construction), and a day's
-   * [[appendPqIndexTable]] increment lands as new files inside its cells
-   * without rewriting the history.
+   * catalog operations. Partitioned by bounded `cell_group` directories
+   * with `cell` sorted inside each file (see [[IndexCellGroups]] — the r16
+   * small-files fix), so a probe's [[adcSearchFromTable]] scan lists ONLY
+   * the probed groups' directories and row-group-prunes to the probed
+   * cells, and a day's [[appendPqIndexTable]] increment lands as one new
+   * file per touched group without rewriting the history.
    */
   def writePqIndexTable(index: DataFrame, table: String): Unit = {
     val spark = index.sparkSession
     CorpusOps.dropWithLocation(spark, s"${table}__staging")
-    // one file per cell, not per (task × cell) — see writePqIndex
-    index.repartition(col("cell"))
-      .write.format("parquet").partitionBy("cell")
+    // cluster by group and SORT by cell inside each task: one file per
+    // group (not per task × group), with cell runs contiguous so parquet
+    // column stats can prune probes to the probed cells within a group
+    index.withColumn("cell_group", cellGroup(col("cell")))
+      .repartition(col("cell_group"))
+      .sortWithinPartitions(col("cell_group"), col("cell"))
+      .write.format("parquet").partitionBy("cell_group")
       .mode("overwrite").saveAsTable(s"${table}__staging")
     CorpusOps.swapStaged(spark, table)
     // unlike the (unpartitioned) bucketed artifacts, a PARTITIONED table
     // carries per-partition locations in the catalog, and the swap's RENAME
     // moves the directory without rewriting them — readers would silently
     // list the stale staging path (empty) and an append would resurrect it.
-    // Re-sync the partition metadata to the renamed location.
-    spark.sql(s"MSCK REPAIR TABLE `$table`")
+    // Re-point the partition metadata at the renamed location EXPLICITLY
+    // (the partition set is already in the catalog from the staging write;
+    // ≤ IndexCellGroups entries): O(groups) catalog edits with zero
+    // filesystem walking, where the previous MSCK REPAIR re-listed every
+    // directory on disk — measured as part of the r16 q162 write cost.
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(cat.getTableMetadata(ident).location)
+    val parts = cat.listPartitions(ident)
+    require(parts.nonEmpty,
+      s"writePqIndexTable: staging write registered no partitions for " +
+        s"'$table' — the explicit location re-sync has nothing to fix, " +
+        "so reads would silently miss every file")
+    cat.alterPartitions(ident, parts.map { p =>
+      p.copy(storage = p.storage.copy(locationUri = Some(
+        new org.apache.hadoop.fs.Path(loc,
+          s"cell_group=${p.spec("cell_group")}").toUri)))
+    })
   }
 
   /**
@@ -626,9 +670,12 @@ object Ivf {
       s"appendPqIndexTable: new ids overlap index '$table' ids - the " +
         "increment requires disjoint id spaces (re-key the crawl or " +
         "rebuild the index)")
-    // one appended file per touched cell, not per (task × cell)
-    enc.repartition(col("cell"))
-      .write.format("parquet").mode("append").partitionBy("cell")
+    // one appended file per touched GROUP, cells sorted inside — the
+    // grouped layout of writePqIndexTable
+    enc.withColumn("cell_group", cellGroup(col("cell")))
+      .repartition(col("cell_group"))
+      .sortWithinPartitions(col("cell_group"), col("cell"))
+      .write.format("parquet").mode("append").partitionBy("cell_group")
       .saveAsTable(table)
   }
 
@@ -647,10 +694,15 @@ object Ivf {
                          table: String, queries: DataFrame,
                          coarse: Seq[Centroid], cb: Seq[(Long, Seq[Double])],
                          splits: Seq[(Int, Int)], nprobe: Int, k: Int): DataFrame = {
-    val probed = queries
+    val probedRows = queries
       .select(explode(probeCells(col("vec"), coarse, nprobe)).as("cell"))
-      .distinct().collect().map(_.getLong(0))
-    adcSearch(spark.table(table).where(col("cell").isin(probed: _*)),
+      .distinct().select(col("cell"), cellGroup(col("cell")).as("grp"))
+      .collect()
+    val probed = probedRows.map(_.getLong(0))
+    val groups = probedRows.map(_.getInt(1)).distinct
+    adcSearch(
+      spark.table(table).where(col("cell_group").isin(groups: _*) &&
+        col("cell").isin(probed: _*)),
       queries, coarse, cb, splits, nprobe, k)
   }
 
@@ -720,13 +772,24 @@ object Ivf {
   def adcSearchFromCentTable(index: DataFrame, queries: DataFrame,
                              centTable: DataFrame, cb: Seq[(Long, Seq[Double])],
                              splits: Seq[(Int, Int)], nprobe: Int,
-                             k: Int): DataFrame = {
+                             k: Int): DataFrame =
+    adcSearchFromProbes(index, queries,
+      probeCellsFromTable(queries, centTable, nprobe), cb, splits, k)
+
+  /** The shared tail behind both table-model ADC entries: a PRECOMPUTED
+   * (query_id, cell) probe frame joins the bounded per-query LUTs and feeds
+   * [[adcFromProbes]] — so a caller that already derived (and possibly
+   * cached) the probes never re-runs the centroid-vs-query scoring job
+   * (ADVICE r16: adcSearchFromTableCT used to derive them twice). */
+  private def adcSearchFromProbes(index: DataFrame, queries: DataFrame,
+                                  probeCells: DataFrame,
+                                  cb: Seq[(Long, Seq[Double])],
+                                  splits: Seq[(Int, Int)], k: Int): DataFrame = {
     val qluts = queries.select(
       col("id").as("query_id") +:
         splits.indices.map(j => lutFor(cb, splits, j).as(s"lut${j + 1}")): _*)
-    val probes = probeCellsFromTable(queries, centTable, nprobe)
-      .join(broadcast(qluts), "query_id")
-    adcFromProbes(index, probes, splits, k)
+    adcFromProbes(index, probeCells.join(broadcast(qluts), "query_id"),
+      splits, k)
   }
 
   /** [[appendPqIndexTable]] with the coarse model as a table — the frozen
@@ -742,23 +805,36 @@ object Ivf {
       s"appendPqIndexTable: new ids overlap index '$table' ids - the " +
         "increment requires disjoint id spaces (re-key the crawl or " +
         "rebuild the index)")
-    enc.repartition(col("cell"))
-      .write.format("parquet").mode("append").partitionBy("cell")
+    enc.withColumn("cell_group", cellGroup(col("cell")))
+      .repartition(col("cell_group"))
+      .sortWithinPartitions(col("cell_group"), col("cell"))
+      .write.format("parquet").mode("append").partitionBy("cell_group")
       .saveAsTable(table)
   }
 
   /** [[adcSearchFromTable]] with the coarse model as a table. The probed
    * cells still COLLECT — bounded by min(nlist, queries × nprobe), the
    * price of a static partition filter, same boundedness class as the
-   * codebook literals. */
+   * codebook literals. The probe frame is a tracked lazy reuse point
+   * (ADVICE r16): the collect materializes it once and the ADC tail reads
+   * the cached frame instead of re-running the centroid-vs-query scoring
+   * job. Scan pruning is two-level under the grouped layout: probed
+   * GROUPS prune directories, the probed-cell filter prunes row groups
+   * inside them (cells are written sorted — [[IndexCellGroups]]). */
   def adcSearchFromTableCT(spark: org.apache.spark.sql.SparkSession,
                            table: String, queries: DataFrame,
                            centTable: DataFrame, cb: Seq[(Long, Seq[Double])],
                            splits: Seq[(Int, Int)], nprobe: Int,
                            k: Int): DataFrame = {
-    val probed = probeCellsFromTable(queries, centTable, nprobe)
-      .select(col("cell")).distinct().collect().map(_.getLong(0))
-    adcSearchFromCentTable(spark.table(table).where(col("cell").isin(probed: _*)),
-      queries, centTable, cb, splits, nprobe, k)
+    val probes = Checkpoints.reusePoint(
+      probeCellsFromTable(queries, centTable, nprobe))
+    val probedRows = probes.select(col("cell")).distinct()
+      .select(col("cell"), cellGroup(col("cell")).as("grp")).collect()
+    val probed = probedRows.map(_.getLong(0))
+    val groups = probedRows.map(_.getInt(1)).distinct
+    adcSearchFromProbes(
+      spark.table(table).where(col("cell_group").isin(groups: _*) &&
+        col("cell").isin(probed: _*)),
+      queries, probes, cb, splits, k)
   }
 }

@@ -50,4 +50,23 @@ class GramKeySpec extends SparkSpec {
     assert(keys(3L) != 0L, "a repeated word must not cancel to zero")
     assert(keys(1L) == replica(Seq(h1, h2), 0, 2))
   }
+
+  test("hash60 — the only production feeder of gramKeyAt — stays in the " +
+    "60-bit domain on arbitrary strings") {
+    // the documented domain CONTRACT (ADVICE r16): gramKeyAt's rotation
+    // discards bits 60-63, so a caller feeding full-width longs would get
+    // silently degraded keys. hash60 (15 md5 hex chars) is < 16^15 = 2^60
+    // by construction; this pins the producer side of the contract so any
+    // new feeder copies a guarded pattern rather than a bare assumption.
+    import spark.implicits._
+    val strings = Seq("", "a", "word", "ümlaut", "多字节", "x" * 1000,
+      "tab\tand\nnewline", "🙂emoji") ++
+      (0 until 200).map(i => s"tok$i")
+    val vals = strings.toDF("s")
+      .select(T.hash60(col("s")).as("h"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .head()
+    assert(vals.getLong(0) >= 0L, "hash60 must be non-negative")
+    assert(vals.getLong(1) < (1L << 60), "hash60 must stay below 2^60")
+  }
 }

@@ -198,6 +198,21 @@ class IvfSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("LocalRelation"),
       s"the table path must not embed a collected model:\n$plan")
+    // the bounded broadcast crosses ride a constant-key EQUI join whose key
+    // (`pmod(coalesce(size(x), 0), 1)` — Ivf.zeroKey) exists only to keep
+    // the planner on BroadcastHashJoin; an optimizer release that learns to
+    // fold mod-by-1 would silently degrade every *FromTable path to a
+    // nested-loop join, so the physical shape fails LOUDLY here (ADVICE r16)
+    for ((nm, df) <- Seq(
+      ("assignTwoLevelDataFromTable",
+        Ivf.assignTwoLevelDataFromTable(corpus, centTable, coarseN = 2)),
+      ("probeCellsFromTable", Ivf.probeCellsFromTable(queries, centTable, 3)))) {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"),
+        s"$nm: the model cross must plan as BroadcastHashJoin:\n$phys")
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"$nm: the zeroKey equi join folded to a nested loop:\n$phys")
+    }
   }
 
   test("pqIndexFromTable and adcSearchFromCentTable equal the collected PQ path") {

@@ -142,6 +142,38 @@ class PersistedIndexSpec extends SparkSpec {
     assert(served.nonEmpty && served == inSession,
       "append-built artifact diverged from the one-shot in-session index")
 
+    // GROUPED layout (the r16 q162 small-files fix): directories are
+    // bounded cell GROUPS — never one per cell — and a probe's scan reads
+    // only the probed groups' files (directory pruning), with `cell` a
+    // sorted data column inside each file (row-group pruning)
+    val tableDir = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("pqidx_spec")).location)
+    val groupDirs = tableDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_group="))
+      .map(_.getName).toSeq
+    assert(groupDirs.nonEmpty && groupDirs.size <= Ivf.IndexCellGroups,
+      s"grouped layout must bound directories to ${Ivf.IndexCellGroups}, " +
+        s"found ${groupDirs.size}: $groupDirs")
+    // probed groups via the layout's own in-plan expression (pmod(hash(cell),
+    // groups) — the same function the writer used), never a driver re-impl
+    val probedRows = queries
+      .select(explode(Ivf.probeCells(col("vec"), coarse, 3)).as("cell"))
+      .distinct()
+      .select(col("cell"), pmod(hash(col("cell")),
+        lit(Ivf.IndexCellGroups)).as("grp"))
+      .collect()
+    val probed = probedRows.map(_.getLong(0)).toSet
+    val probedGroups = probedRows.map(_.getInt(1)).toSet
+    val readFiles = spark.table("pqidx_spec")
+      .where(col("cell_group").isin(probedGroups.toSeq: _*) &&
+        col("cell").isin(probed.toSeq: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(readFiles.nonEmpty)
+    assert(readFiles.forall(f =>
+        probedGroups.exists(g => f.contains(s"/cell_group=$g/"))),
+      s"scan read unprobed group directories: ${readFiles.mkString(", ")}")
+
     // a recycled id would serve two vectors under one key — refused loudly
     val ex = intercept[IllegalArgumentException] {
       Ivf.appendPqIndexTable(corpus.where(col("id") % 2 === 1), "pqidx_spec",

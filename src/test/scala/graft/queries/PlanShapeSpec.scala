@@ -159,9 +159,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q87_pq_assign") <= 2)
   }
 
-  test("rolling anomaly scoring shuffles once for the per-type window") {
-    assertNever("q88_rolling_anomaly", "Join")
-    assert(exchanges("q88_rolling_anomaly") <= 3)
+  test("rolling anomaly windows are (type, bucket)-partitioned; census frames broadcast") {
+    // the r17 chunked rewrite (Rolling.trailingStats): the corpus-sized
+    // window partitions by (event_type, _b) — parallelism = types × buckets,
+    // not types — and the bounds/density census frames come back ONLY by
+    // broadcast; a sort-merge join or a nested loop would put a corpus
+    // shuffle where a bounded broadcast belongs
+    assertNever("q88_rolling_anomaly", "SortMergeJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+    val p = planOf("q88_rolling_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded census frames must join by broadcast")
+    assert("windowspecdefinition\\(event_type[^,]*, _b".r.findFirstIn(p).nonEmpty,
+      s"the rolling window must partition by (event_type, _b):\n$p")
   }
 
   test("banded/postings/PIT joins always locate on an equi-key") {
@@ -230,8 +240,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("IVF-PQ served from the persisted table: partition-pruned scan, no corpus-side exchange") {
-    // q162 reads the catalog artifact: the probed cells must land as
-    // PartitionFilters on the index scan (pruning at the listing level),
+    // q162 reads the catalog artifact: the probed GROUPS must land as
+    // PartitionFilters on the index scan (directory pruning under the
+    // grouped layout — r16 small-files fix) with the probed CELLS pushed
+    // to the parquet reader (row-group pruning on the sorted data column),
     // the probe join must broadcast the query side, and nothing above the
     // scan may exchange the corpus before the bounded-heap top-k collapse
     assertNever("q162_ivfpq_from_index",
@@ -240,8 +252,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the probe join must broadcast the query side")
     assert(p.contains("q162_idx"), "the scan must read the persisted table")
-    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).nonEmpty,
-      "probed cells must prune partitions at the index scan")
+    assert("PartitionFilters: \\[[^\\]]*cell_group".r.findFirstIn(p).nonEmpty,
+      "probed groups must prune partitions at the index scan")
+    assert("PushedFilters: \\[[^\\]]*[Ii]n\\(cell".r.findFirstIn(p).nonEmpty,
+      "probed cells must push to the parquet reader for row-group pruning")
   }
 
   test("sequence packing: corpus windows are bucket-partitioned, bucket offsets broadcast") {
