@@ -269,6 +269,51 @@ object Dedup {
   }
 
   /**
+   * Clique-collapsed banded candidates — identical full hashes collapse to
+   * ONE representative BEFORE banding (VERDICT r16 #3 / PLANS r16 §6: the
+   * sf100 measurement showed candidate volume is genuine duplicate CLIQUES
+   * that collide under ANY banding — key-widening is exhausted; quads cut
+   * candidates only 1.9× over triples and lost on wall time). An
+   * exact-duplicate class of m members contributes m−1 STAR edges
+   * (member ↔ class-min rep) — O(class), never C(m,2)·bands enumerations —
+   * and only DISTINCT hashes band at all, so both the band table and every
+   * bucket shrink from corpus-sized to distinct-hash-sized.
+   *
+   * The output contract is CONNECTIVITY, not exhaustive pair enumeration
+   * (the dedup-clustering contract shared with [[bucketedPairs]]'s
+   * maxBucket star fallback and the simhash clique guard): for any true
+   * pair (x, y) within the banding's Hamming budget,
+   * `ham(rep_x, rep_y) = ham(x, y)` because members are BIT-IDENTICAL to
+   * their reps, so the rep pair collides in some band by the same
+   * pigeonhole theorem and the path x–rep_x–rep_y–y connects. One-hop
+   * check, no transitive closure needed: (x, y) is connected iff
+   * `rep_x == rep_y` (same class: both star to one rep) or
+   * `(rep_x, rep_y)` is an emitted candidate. ThirdDecadeSpec pins the
+   * contract; the sf100 measurement rides `tools.ThirdDecade`'s
+   * `-collapsed` modes.
+   *
+   * `bandFn` maps (id, hash) → (id, band, band_key) — one of
+   * [[blockPairBands]]/[[blockTripleBands]]/[[blockQuadBands]]. Returns
+   * (a, b) with a < b: star edges ∪ rep-level banded pairs, distinct. The
+   * class table materializes once (localCheckpoint — the
+   * [[minhashCandidates]] trade): the star join and the rep banding both
+   * read it, and construction is EAGER.
+   */
+  def collapsedBandCandidates(hashes: DataFrame,
+                              bandFn: DataFrame => DataFrame,
+                              maxBucket: Int = 10000): DataFrame = {
+    val classes = hashes.groupBy(col("hash")).agg(min(col("id")).as("rep"))
+      .localCheckpoint()
+    val stars = hashes.join(classes, Seq("hash"))
+      .where(col("id") =!= col("rep"))
+      .select(least(col("rep"), col("id")).as("a"),
+        greatest(col("rep"), col("id")).as("b"))
+    val reps = classes.select(col("rep").as("id"), col("hash"))
+    bucketedPairs(bandFn(reps), maxBucket)
+      .unionByName(stars).distinct()
+  }
+
+  /**
    * INCREMENTAL near-dup candidates: pair each NEW doc against the EXISTING
    * corpus only — the daily-crawl posture. Both sides band identically, then
    * ONE equi-join on (band, band_key) with the new side as the (small) probe:

@@ -31,16 +31,33 @@ import graft.operators.Dedup
  * DECADE question is about the banded join, so the phases are reported
  * separately: hash_sec and pair_sec).
  *
- * Banding mode (4th arg, r15; `quads` added r16): `pairs` (default) bands
- * block PAIRS (C(blocks,2) bands × 16-bit keys, verify budget blocks − 2);
- * `triples` bands block TRIPLES via [[Dedup.blockTripleBands]]
- * (C(blocks,3) bands × 24-bit keys, budget blocks − 3) — the third-decade
- * form; `quads` bands block QUADRUPLES via [[Dedup.blockQuadBands]]
- * (C(blocks,4) bands × 32-bit keys, budget blocks − 4) — the
- * FOURTH-decade form, measured head-to-head against triples at sf100
- * before any corpus needs it.
+ * Banding mode (4th arg, r15; `quads` added r16; `*-collapsed` and
+ * `census` added r17): `pairs` (default) bands block PAIRS (C(blocks,2)
+ * bands × 16-bit keys, verify budget blocks − 2); `triples` bands block
+ * TRIPLES via [[Dedup.blockTripleBands]] (C(blocks,3) bands × 24-bit keys,
+ * budget blocks − 3) — the third-decade form; `quads` bands block
+ * QUADRUPLES via [[Dedup.blockQuadBands]] (C(blocks,4) bands × 32-bit
+ * keys, budget blocks − 4) — the fourth-decade form, measured at sf100 and
+ * adjudicated a LOSS (r16: candidates are genuine duplicate cliques, not
+ * background collisions).
  *
- * Usage: runMain graft.tools.ThirdDecade <sfDir> <blocks> [runs] [pairs|triples|quads]
+ * `pairs-collapsed` / `triples-collapsed` / `quads-collapsed` route the
+ * same banding through [[Dedup.collapsedBandCandidates]] — the r17
+ * STRUCTURAL answer to the clique mass: identical-hash classes collapse to
+ * one representative before banding and re-enter as star edges, so a
+ * clique of m bit-identical images costs m−1 rows instead of
+ * C(m,2)·bands. The recall metric becomes one-hop CONNECTIVITY (twin and
+ * its planted source share a verified rep pair or a rep), which the
+ * collapse theorem guarantees at the same Hamming budget; the JSON gains
+ * the class census (classes, max_class, star edges, rep-level candidates)
+ * so the candidate cut is attributable.
+ *
+ * `census` skips pairing entirely and prints the identical-hash class
+ * distribution — the measurement that decides whether clique mass is
+ * exact-duplicate (collapse pays) or merely near-identical (it cannot).
+ *
+ * Usage: runMain graft.tools.ThirdDecade <sfDir> <blocks> [runs]
+ *          [pairs|triples|quads|pairs-collapsed|triples-collapsed|quads-collapsed|census]
  */
 object ThirdDecade {
 
@@ -50,9 +67,12 @@ object ThirdDecade {
     val runs = if (args.length > 2) args(2).toInt else 2
     val banding = if (args.length > 3) args(3) else "pairs"
     require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
-    require(Set("pairs", "triples", "quads")(banding),
-      s"banding must be pairs, triples, or quads, got $banding")
-    val budget = banding match {
+    require(Set("pairs", "triples", "quads", "pairs-collapsed",
+      "triples-collapsed", "quads-collapsed", "census")(banding),
+      s"unknown banding mode $banding")
+    val collapsed = banding.endsWith("-collapsed")
+    val form = banding.stripSuffix("-collapsed")
+    val budget = form match {
       case "quads" => blocks - 4
       case "triples" => blocks - 3
       case _ => blocks - 2
@@ -104,49 +124,112 @@ object ThirdDecade {
     var pairSec = Double.MaxValue
     var nDocs = 0L; var nHashed = 0L; var nCand = 0L; var nVerified = 0L
     var recallPm = -1L
+    var nClasses = -1L; var maxClass = -1L; var intraPairs = -1L
+    var hist = ""
     for (_ <- 1 to runs) {
       val t0 = System.nanoTime()
       val ph = hashes().localCheckpoint()
       nHashed = ph.count()
       hashSec = math.min(hashSec, (System.nanoTime() - t0) / 1e9)
-
-      val t1 = System.nanoTime()
       val keyed = ph.select(col("doc_id").as("id"), col("hash"))
-      val bands = banding match {
-        case "quads" => Dedup.blockQuadBands(keyed, blocks)
-        case "triples" => Dedup.blockTripleBands(keyed, blocks)
-        case _ => Dedup.blockPairBands(keyed, blocks)
-      }
-      val pairs = Dedup.bucketedPairs(bands).localCheckpoint()
-      nCand = pairs.count()
-      val verified = pairs
-        .join(ph.select(col("doc_id").as("a"), col("hash").as("ha")), "a")
-        .join(ph.select(col("doc_id").as("b"), col("hash").as("hb")), "b")
-        .where(ham("ha", "hb") <= budget)
-        .localCheckpoint()
-      nVerified = verified.count()
-      pairSec = math.min(pairSec, (System.nanoTime() - t1) / 1e9)
 
-      // pigeonhole recall over the planted twins: every (id, id+offset)
-      // twin within the budget must be among the verified pairs
-      val planted = ph.select(col("doc_id").as("a"), col("hash").as("ha"))
-        .join(ph.select((col("doc_id") - offset).as("a"), col("hash").as("hb")),
-          "a")
-        .where(ham("ha", "hb") <= budget)
-      val nPlanted = planted.count()
-      val nFound = planted.select(col("a"), (col("a") + offset).as("b"))
-        .join(verified, Seq("a", "b"), "left_semi").count()
-      recallPm = if (nPlanted == 0) -1L else 1000L * nFound / nPlanted
-      nDocs = corpus.count()
+      if (banding == "census") {
+        // identical-hash class distribution — decides whether the clique
+        // mass is exact-duplicate (collapse pays) or near-identical only
+        val t1 = System.nanoTime()
+        val sizes = keyed.groupBy(col("hash")).agg(count(lit(1)).as("m"))
+          .localCheckpoint()
+        val agg = sizes.agg(count(lit(1)).as("classes"),
+          max(col("m")).as("max_m"),
+          sum(expr("m * (m - 1) div 2")).as("intra")).head()
+        nClasses = agg.getLong(0); maxClass = agg.getLong(1)
+        intraPairs = agg.getLong(2)
+        hist = sizes.select(
+            when(col("m") === 1, "1").when(col("m") < 10, "2-9")
+              .when(col("m") < 100, "10-99").when(col("m") < 1000, "100-999")
+              .otherwise("1000+").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+          .sorted.mkString("{", ",", "}")
+        pairSec = math.min(pairSec, (System.nanoTime() - t1) / 1e9)
+        nDocs = corpus.count()
+      } else {
+        val t1 = System.nanoTime()
+        val bandFn: DataFrame => DataFrame = form match {
+          case "quads" => Dedup.blockQuadBands(_, blocks)
+          case "triples" => Dedup.blockTripleBands(_, blocks)
+          case _ => Dedup.blockPairBands(_, blocks)
+        }
+        val pairs = (if (collapsed)
+            Dedup.collapsedBandCandidates(keyed, bandFn)
+          else Dedup.bucketedPairs(bandFn(keyed))).localCheckpoint()
+        nCand = pairs.count()
+        val verified = pairs
+          .join(ph.select(col("doc_id").as("a"), col("hash").as("ha")), "a")
+          .join(ph.select(col("doc_id").as("b"), col("hash").as("hb")), "b")
+          .where(ham("ha", "hb") <= budget)
+          .localCheckpoint()
+        nVerified = verified.count()
+        pairSec = math.min(pairSec, (System.nanoTime() - t1) / 1e9)
+
+        // pigeonhole recall over the planted twins: every (id, id+offset)
+        // twin within the budget must be found. Non-collapsed: the twin
+        // pair itself must be among the verified pairs. Collapsed: the
+        // contract is one-hop CONNECTIVITY — same identical-hash rep, or
+        // the two reps form a verified pair (collapsedBandCandidates'
+        // theorem: rep distance equals member distance).
+        val planted = ph.select(col("doc_id").as("a"), col("hash").as("ha"))
+          .join(ph.select((col("doc_id") - offset).as("a"),
+            col("hash").as("hb")), "a")
+          .where(ham("ha", "hb") <= budget)
+        val nPlanted = planted.count()
+        val nFound = if (!collapsed) {
+          planted.select(col("a"), (col("a") + offset).as("b"))
+            .join(verified, Seq("a", "b"), "left_semi").count()
+        } else {
+          val repOf = keyed
+            .join(keyed.groupBy(col("hash")).agg(min(col("id")).as("rep")),
+              Seq("hash"))
+            .select(col("id"), col("rep"))
+          val withReps = planted
+            .select(col("a"), (col("a") + offset).as("b"))
+            .join(repOf.select(col("id").as("a"), col("rep").as("ra")), "a")
+            .join(repOf.select(col("id").as("b"), col("rep").as("rb")), "b")
+            .localCheckpoint()
+          val same = withReps.where(col("ra") === col("rb")).count()
+          val cross = withReps.where(col("ra") =!= col("rb"))
+            .select(least(col("ra"), col("rb")).as("a"),
+              greatest(col("ra"), col("rb")).as("b"))
+            .join(verified, Seq("a", "b"), "left_semi").count()
+          same + cross
+        }
+        recallPm = if (nPlanted == 0) -1L else 1000L * nFound / nPlanted
+        if (collapsed) {
+          // candidate attribution: each non-rep member is exactly one star
+          // edge (disjoint from rep-level pairs — no member is a rep)
+          nClasses = keyed.groupBy(col("hash")).agg(min(col("id")))
+            .count()
+          intraPairs = nHashed - nClasses // star edges emitted
+        }
+        nDocs = corpus.count()
+      }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
 
+    val extra =
+      if (banding == "census")
+        s""","classes":$nClasses,"max_class":$maxClass,""" +
+          s""""intra_class_pairs":$intraPairs,"class_hist":$hist"""
+      else if (collapsed)
+        s""","classes":$nClasses,"star_edges":$intraPairs,""" +
+          s""""rep_candidates":${nCand - intraPairs}"""
+      else ""
     println(s"""{"tool":"third_decade","sf":"$sfDir","blocks":$blocks,""" +
       s""""banding":"$banding","budget":$budget,""" +
       s""""docs":$nDocs,"hashed":$nHashed,"candidates":$nCand,""" +
       s""""verified":$nVerified,"twin_recall_pm":$recallPm,""" +
-      s""""hash_sec":$hashSec,"pair_sec":$pairSec,"runs":$runs}""")
+      s""""hash_sec":$hashSec,"pair_sec":$pairSec,"runs":$runs$extra}""")
     spark.stop()
   }
 }

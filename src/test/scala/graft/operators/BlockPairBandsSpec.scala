@@ -223,4 +223,50 @@ class BlockPairBandsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("blockPairBands")),
       s"expected the domain message, got: $ex")
   }
+
+  test("collapsedBandCandidates: identical-hash cliques cost star edges, " +
+    "one-hop connectivity holds at the pair budget") {
+    import spark.implicits._
+    // fixture: a 60-member identical-hash class A, a 40-member class B at
+    // ham 3 from A (within the pairs budget 6), one far singleton, one
+    // singleton at ham 2 from A — covers clique-internal, clique-to-clique,
+    // clique-to-singleton, and non-pair structure
+    val h1 = 0x0123456789abcdefL
+    val h2 = h1 ^ 0x0700000000000000L // 3 bits flipped in one block
+    val h3 = h1 ^ 0x0000000000000003L // 2 bits flipped
+    val far = h1 ^ -1L                // every bit flipped
+    val rows: Seq[(Long, Seq[Long])] =
+      (0L until 60L).map(i => (i, Seq(h1))) ++
+        (100L until 140L).map(i => (i, Seq(h2))) ++
+        Seq((200L, Seq(far)), (300L, Seq(h3)))
+    val df = rows.toDF("id", "hash")
+    val cand = Dedup
+      .collapsedBandCandidates(df, Dedup.blockPairBands(_, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the clique CUT: class A contributes exactly its 59 star edges —
+    // never an intra-class non-star pair (the C(m,2)·bands blowup)
+    val aIntra = cand.filter { case (a, b) => a < 60 && b < 60 }
+    assert(aIntra == (1L until 60L).map(i => (0L, i)).toSet,
+      s"class A must collapse to star edges, got ${aIntra.size} intra pairs")
+
+    // one-hop connectivity at the budget: for EVERY true pair within
+    // ham 6, same rep or the rep pair is a candidate (the collapse theorem)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hashOf = rows.map { case (id, h) => id -> h.head }.toMap
+    val repOf = rows.groupBy(_._2.head)
+      .flatMap { case (_, rs) => rs.map(r => r._1 -> rs.map(_._1).min) }
+    val ids = rows.map(_._1)
+    for (x <- ids; y <- ids if x < y && ham(hashOf(x), hashOf(y)) <= 6) {
+      val (ra, rb) = (repOf(x), repOf(y))
+      assert(ra == rb ||
+          cand((math.min(ra, rb), math.max(ra, rb))),
+        s"pair ($x, $y) at ham ${ham(hashOf(x), hashOf(y))} not connected " +
+          s"via reps ($ra, $rb)")
+    }
+
+    // anti-vacuousness: the far singleton pairs with nothing
+    assert(!cand.exists { case (a, b) => a == 200L || b == 200L },
+      "the far singleton must produce no candidates")
+  }
 }

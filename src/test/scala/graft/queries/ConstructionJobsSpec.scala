@@ -51,6 +51,9 @@ class ConstructionJobsSpec extends SparkSpec {
       "eager signature-table checkpoint (banding + both identical-sig clique sides)",
     "q51_fuzzy_pairs" -> "eager band-table checkpoint",
     "q90_image_phash_neardup" -> "eager phash-table checkpoint (bands + both verify joins)",
+    "q169_collapsed_phash_neardup" ->
+      ("eager phash-table checkpoint (collapse, stars, both verify joins) " +
+        "+ the collapse's class-table checkpoint (star join + rep banding)"),
     "q92_containment_dedup" -> "eager shingle-table checkpoint (df census + both pair sides)",
     "q97_incremental_neardup" -> "eager shingle + corpus band-table checkpoints",
     "q112_minhash_calibration" ->
