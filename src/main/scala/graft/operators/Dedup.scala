@@ -313,6 +313,195 @@ object Dedup {
       .unionByName(stars).distinct()
   }
 
+  /** All order-subset band structs of a blocked hash, KEEPING the hash
+   * column — the [[blockPairBands]]/[[blockTripleBands]]/[[blockQuadBands]]
+   * encodings exactly (band = base-`blocks` digits of the block indices,
+   * band_key = the concatenated block bytes), shared by the fused
+   * candidate+verify path below. */
+  private def bandsWithHash(hashes: DataFrame, blocks: Int, order: Int,
+                            carry: Seq[String] = Nil): DataFrame = {
+    require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
+    require(order >= 2 && order <= 4, s"order must be 2..4, got $order")
+    val words = blocks / 8
+    val checked = when(size(col("hash")) === words, col("hash"))
+      .otherwise(raise_error(concat(
+        lit(s"bandsWithHash: hash must carry $words long words for " +
+          s"$blocks blocks, got "), size(col("hash")).cast("string"),
+        lit(" (id "), col("id").cast("string"), lit(")")))
+        .cast("array<bigint>"))
+    def blk(v: String) =
+      s"(shiftright(element_at(hash, cast($v div 8 as int) + 1), ($v % 8) * 8) & 255)"
+    val bands = order match {
+      case 2 =>
+        s"""flatten(transform(sequence(0, ${blocks - 2}), i ->
+              transform(sequence(i + 1, ${blocks - 1}), j ->
+                struct(i * $blocks + j AS band,
+                  ${blk("i")} * 256 + ${blk("j")} AS band_key))))"""
+      case 3 =>
+        s"""flatten(transform(sequence(0, ${blocks - 3}), i ->
+              flatten(transform(sequence(i + 1, ${blocks - 2}), j ->
+                transform(sequence(j + 1, ${blocks - 1}), k ->
+                  struct((i * $blocks + j) * $blocks + k AS band,
+                    (${blk("i")} * 256 + ${blk("j")}) * 256 + ${blk("k")} AS band_key))))))"""
+      case _ =>
+        s"""flatten(transform(sequence(0, ${blocks - 4}), i ->
+              flatten(transform(sequence(i + 1, ${blocks - 3}), j ->
+                flatten(transform(sequence(j + 1, ${blocks - 2}), k ->
+                  transform(sequence(k + 1, ${blocks - 1}), l ->
+                    struct(((i * $blocks + j) * $blocks + k) * $blocks + l AS band,
+                      ((${blk("i")} * 256 + ${blk("j")}) * 256 + ${blk("k")}) * 256 + ${blk("l")} AS band_key))))))))"""
+    }
+    hashes.select(Seq(col("id"), checked.as("hash")) ++ carry.map(col): _*)
+      .select(Seq(col("id"), col("hash"), explode(expr(bands)).as("bb")) ++
+        carry.map(col): _*)
+      .select(Seq(col("id"), col("hash"), col("bb.band").as("band"),
+        col("bb.band_key").as("band_key")) ++ carry.map(col): _*)
+  }
+
+  /**
+   * Banded colliding pairs with CANONICAL-BAND emission and INLINE Hamming —
+   * the fused third-decade enumeration (r17). Pair-set-identical to
+   * `bucketedPairs(block<Order>Bands(hashes))` annotated with each pair's
+   * Hamming distance (BandCanonicalSpec), but the PLAN removes the two
+   * scale-killers the r16 sf100 measurement exposed:
+   *
+   *   - **no candidate-level `distinct`**: a within-budget pair collides in
+   *     MANY bands (a ham-2 pair shares C(6,3) = 20 clean triples), so the
+   *     composite path shuffles billions of pre-distinct rows to keep 208M.
+   *     Here a bucket emits a pair ONLY in its canonical band — the
+   *     lexicographically first `order`-subset of the pair's clean blocks,
+   *     computable locally from `ha XOR hb` — so every colliding pair is
+   *     emitted exactly once with zero dedup shuffle;
+   *   - **no verify joins**: hashes ride the bucket rows, so the Hamming
+   *     distance is a per-row expression at emission instead of two
+   *     candidates×corpus hash joins.
+   *
+   * Hot buckets (> maxBucket) degrade to the same star shape as
+   * [[bucketedPairs]] (member vs bucket-min, O(bucket)), with the star's
+   * ham computed inline from the rep hash the size census already carries;
+   * only the final union dedups (hot stars can duplicate small-bucket
+   * emissions and each other) — a shuffle of the OUTPUT, not of the
+   * enumeration. Returns (a, b, ham), a < b, one row per pair sharing at
+   * least one band bucket. Callers keep pairs at their pigeonhole budget
+   * (`ham <= blocks - order` guarantees presence; larger ham values are
+   * background collisions to filter).
+   */
+  def bandCanonicalPairs(hashes: DataFrame, blocks: Int, order: Int,
+                         maxBucket: Int = 10000): DataFrame = {
+    val banded = bandsWithHash(hashes, blocks, order)
+    val sizes = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("hash"))).as("rep"))
+      .localCheckpoint()
+    val words = blocks / 8
+    def byteOf(arr: String, b: String) =
+      s"(shiftright(element_at($arr, cast($b div 8 as int) + 1), ($b % 8) * 8) & 255)"
+
+    // Per-id HOT-BAND sets, so canonicality can skip hot buckets: a pair
+    // whose first clean band lands in a hot bucket is enumerated by its
+    // first NON-hot clean band instead (for a clean band both members
+    // share the bucket, so a's hotness is the pair's hotness) — without
+    // this the pair would silently vanish from the small path while the
+    // composite `bucketedPairs` emits it from the small bucket. Hot
+    // buckets are few (≤ rows/maxBucket), so the key set broadcasts; ids
+    // never touching a hot bucket carry an empty array via the left join.
+    val hotKeys = sizes.where(col("n") > maxBucket)
+      .select(col("band"), col("band_key"))
+    val hotmap = banded
+      .join(broadcast(hotKeys), Seq("band", "band_key"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("band"))).as("hotbands"))
+    val members = hashes
+      .join(hotmap, Seq("id"), "left")
+      .select(col("id"), col("hash"),
+        coalesce(col("hotbands"), array().cast("array<int>")).as("hotbands"))
+    // re-band with the hot sets carried; a row whose own bucket is hot
+    // (band ∈ hotbands(id)) leaves the small path right here — no second
+    // size join
+    val banded2 = bandsWithHash(members, blocks, order,
+        carry = Seq("hotbands"))
+      .where(!array_contains(col("hotbands"), col("band")))
+
+    // (a, b, ha, hb, hba) for i < j over the id-sorted bucket members
+    val pairStructs = expr(
+      """flatten(transform(m, (x, i) ->
+           transform(slice(m, i + 2, size(m)), y ->
+             struct(x.id AS a, y.id AS b, x.hash AS ha, y.hash AS hb,
+                    x.hotbands AS hba))))""")
+    // all order-subset band ids of the pair's clean blocks, ascending —
+    // the bands this pair collides in (same nesting as bandsWithHash, so
+    // identical encodings)
+    val collideBands = order match {
+      case 2 =>
+        s"""flatten(transform(clean, (i, pi) ->
+              transform(slice(clean, pi + 2, size(clean)), j ->
+                i * $blocks + j)))"""
+      case 3 =>
+        s"""flatten(transform(clean, (i, pi) ->
+              flatten(transform(slice(clean, pi + 2, size(clean)), (j, pj) ->
+                transform(slice(clean, pi + pj + 3, size(clean)), k ->
+                  (i * $blocks + j) * $blocks + k)))))"""
+      case _ =>
+        s"""flatten(transform(clean, (i, pi) ->
+              flatten(transform(slice(clean, pi + 2, size(clean)), (j, pj) ->
+                flatten(transform(slice(clean, pi + pj + 3, size(clean)), (k, pk) ->
+                  transform(slice(clean, pi + pj + pk + 4, size(clean)), l ->
+                    ((i * $blocks + j) * $blocks + k) * $blocks + l)))))))"""
+    }
+    val emitted = banded2
+      .groupBy(col("band"), col("band_key"))
+      .agg(array_sort(collect_list(
+        struct(col("id"), col("hash"), col("hotbands")))).as("m"))
+      .select(col("band"), explode(pairStructs).as("p"))
+      .select(col("band"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.hba").as("hba"),
+        expr("zip_with(p.ha, p.hb, (x, y) -> x ^ y)").as("xw"))
+      .withColumn("clean", expr(
+        s"filter(sequence(0, ${blocks - 1}), b -> ${byteOf("xw", "b")} = 0)"))
+      // canonical = the first colliding band that is not hot; this row's
+      // own band is never hot (filtered above), so eligibility is never
+      // empty when this pair reaches any small bucket
+      .where(col("band") === element_at(
+        expr(s"filter($collideBands, t -> NOT array_contains(hba, t))"), 1))
+      .select(col("a"), col("b"), (0 until words)
+        .map(w => expr(s"bit_count(element_at(xw, ${w + 1}))").cast("long"))
+        .reduce(_ + _).as("ham"))
+    val hot = banded
+      .join(sizes.where(col("n") > maxBucket)
+        .select(col("band"), col("band_key"), col("rep")),
+        Seq("band", "band_key"))
+      .where(col("id") =!= col("rep.id"))
+      .select(col("rep.id").as("a"), col("id").as("b"), (0 until words)
+        .map(w => expr(
+          s"bit_count(element_at(hash, ${w + 1}) ^ element_at(rep.hash, ${w + 1}))")
+          .cast("long"))
+        .reduce(_ + _).as("ham"))
+    emitted.unionByName(hot).distinct()
+  }
+
+  /**
+   * [[collapsedBandCandidates]] FUSED end to end: identical-hash classes
+   * collapse to reps (star edges at ham 0), reps enumerate through
+   * [[bandCanonicalPairs]], and the budget filter keeps the verified
+   * pairs — (a, b, ham) with every true pair within `blocks − order`
+   * present (pigeonhole over reps + the collapse theorem) and nothing
+   * else. The q169 query semantics in one operator, with zero candidate
+   * distinct and zero verify joins.
+   */
+  def collapsedVerifiedPairs(hashes: DataFrame, blocks: Int, order: Int,
+                             budget: Int, maxBucket: Int = 10000): DataFrame = {
+    val classes = hashes.groupBy(col("hash")).agg(min(col("id")).as("rep"))
+      .localCheckpoint()
+    val stars = hashes.join(classes, Seq("hash"))
+      .where(col("id") =!= col("rep"))
+      .select(least(col("rep"), col("id")).as("a"),
+        greatest(col("rep"), col("id")).as("b"), lit(0L).as("ham"))
+    val reps = classes.select(col("rep").as("id"), col("hash"))
+    bandCanonicalPairs(reps, blocks, order, maxBucket)
+      .where(col("ham") <= budget)
+      .unionByName(stars)
+  }
+
   /**
    * INCREMENTAL near-dup candidates: pair each NEW doc against the EXISTING
    * corpus only — the daily-crawl posture. Both sides band identically, then

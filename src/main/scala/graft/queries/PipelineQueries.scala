@@ -2862,14 +2862,15 @@ object PipelineQueries {
       val ph = graft.multimodal.Multimodal.imagePhash(
         graft.multimodal.Multimodal.synthesizeReal(corpus))
         .localCheckpoint()
-      Dedup.collapsedBandCandidates(
+      // the FUSED form (r17): canonical-band emission computes each rep
+      // pair's Hamming inline and emits it exactly once — no candidate
+      // distinct shuffle, no verify joins (Dedup.collapsedVerifiedPairs;
+      // BandCanonicalSpec pins set-equality with the composite
+      // bucketedPairs + verify path)
+      Dedup.collapsedVerifiedPairs(
           ph.select(col("doc_id").as("id"), array(col("phash")).as("hash")),
-          Dedup.blockPairBands(_, blocks = 8))
-        .join(ph.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
-        .join(ph.select(col("doc_id").as("b"), col("phash").as("pb")), "b")
-        .select(col("a").as("id_a"), col("b").as("id_b"),
-          expr("bit_count(pa ^ pb)").cast("long").as("ham"))
-        .where(col("ham") <= 6)
+          blocks = 8, order = 2, budget = 6)
+        .select(col("a").as("id_a"), col("b").as("id_b"), col("ham"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 

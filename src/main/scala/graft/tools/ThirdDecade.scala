@@ -153,6 +153,57 @@ object ThirdDecade {
           .sorted.mkString("{", ",", "}")
         pairSec = math.min(pairSec, (System.nanoTime() - t1) / 1e9)
         nDocs = corpus.count()
+      } else if (collapsed) {
+        // the r17 FUSED path: exact-dup collapse (stars at ham 0) + the
+        // canonical-band enumeration with inline Hamming over the distinct-
+        // hash reps (Dedup.bandCanonicalPairs — no candidate distinct, no
+        // verify joins). "candidates" = canonical rep collisions + stars,
+        // the same distinct-collision semantics the raw modes count.
+        val t1 = System.nanoTime()
+        val order = form match {
+          case "quads" => 4; case "triples" => 3; case _ => 2
+        }
+        val classes = keyed.groupBy(col("hash"))
+          .agg(min(col("id")).as("rep")).localCheckpoint()
+        nClasses = classes.count()
+        val nStars = nHashed - nClasses
+        val stars = keyed.join(classes, Seq("hash"))
+          .where(col("id") =!= col("rep"))
+          .select(least(col("rep"), col("id")).as("a"),
+            greatest(col("rep"), col("id")).as("b"), lit(0L).as("ham"))
+        val reps = classes.select(col("rep").as("id"), col("hash"))
+        val cand = Dedup.bandCanonicalPairs(reps, blocks, order)
+          .localCheckpoint()
+        nCand = cand.count() + nStars
+        intraPairs = nStars
+        val verified = cand.where(col("ham") <= budget).unionByName(stars)
+          .localCheckpoint()
+        nVerified = verified.count()
+        pairSec = math.min(pairSec, (System.nanoTime() - t1) / 1e9)
+
+        // recall contract under collapse: one-hop CONNECTIVITY — twin and
+        // source share an identical-hash rep, or their two reps form a
+        // verified pair (rep distance equals member distance, so the
+        // pigeonhole theorem carries to the rep pair)
+        val planted = ph.select(col("doc_id").as("a"), col("hash").as("ha"))
+          .join(ph.select((col("doc_id") - offset).as("a"),
+            col("hash").as("hb")), "a")
+          .where(ham("ha", "hb") <= budget)
+        val nPlanted = planted.count()
+        val repOf = keyed.join(classes, Seq("hash"))
+          .select(col("id"), col("rep"))
+        val withReps = planted
+          .select(col("a"), (col("a") + offset).as("b"))
+          .join(repOf.select(col("id").as("a"), col("rep").as("ra")), "a")
+          .join(repOf.select(col("id").as("b"), col("rep").as("rb")), "b")
+          .localCheckpoint()
+        val same = withReps.where(col("ra") === col("rb")).count()
+        val cross = withReps.where(col("ra") =!= col("rb"))
+          .select(least(col("ra"), col("rb")).as("a"),
+            greatest(col("ra"), col("rb")).as("b"))
+          .join(verified, Seq("a", "b"), "left_semi").count()
+        recallPm = if (nPlanted == 0) -1L else 1000L * (same + cross) / nPlanted
+        nDocs = corpus.count()
       } else {
         val t1 = System.nanoTime()
         val bandFn: DataFrame => DataFrame = form match {
@@ -160,9 +211,7 @@ object ThirdDecade {
           case "triples" => Dedup.blockTripleBands(_, blocks)
           case _ => Dedup.blockPairBands(_, blocks)
         }
-        val pairs = (if (collapsed)
-            Dedup.collapsedBandCandidates(keyed, bandFn)
-          else Dedup.bucketedPairs(bandFn(keyed))).localCheckpoint()
+        val pairs = Dedup.bucketedPairs(bandFn(keyed)).localCheckpoint()
         nCand = pairs.count()
         val verified = pairs
           .join(ph.select(col("doc_id").as("a"), col("hash").as("ha")), "a")
@@ -173,44 +222,15 @@ object ThirdDecade {
         pairSec = math.min(pairSec, (System.nanoTime() - t1) / 1e9)
 
         // pigeonhole recall over the planted twins: every (id, id+offset)
-        // twin within the budget must be found. Non-collapsed: the twin
-        // pair itself must be among the verified pairs. Collapsed: the
-        // contract is one-hop CONNECTIVITY — same identical-hash rep, or
-        // the two reps form a verified pair (collapsedBandCandidates'
-        // theorem: rep distance equals member distance).
+        // twin within the budget must be among the verified pairs
         val planted = ph.select(col("doc_id").as("a"), col("hash").as("ha"))
           .join(ph.select((col("doc_id") - offset).as("a"),
             col("hash").as("hb")), "a")
           .where(ham("ha", "hb") <= budget)
         val nPlanted = planted.count()
-        val nFound = if (!collapsed) {
-          planted.select(col("a"), (col("a") + offset).as("b"))
-            .join(verified, Seq("a", "b"), "left_semi").count()
-        } else {
-          val repOf = keyed
-            .join(keyed.groupBy(col("hash")).agg(min(col("id")).as("rep")),
-              Seq("hash"))
-            .select(col("id"), col("rep"))
-          val withReps = planted
-            .select(col("a"), (col("a") + offset).as("b"))
-            .join(repOf.select(col("id").as("a"), col("rep").as("ra")), "a")
-            .join(repOf.select(col("id").as("b"), col("rep").as("rb")), "b")
-            .localCheckpoint()
-          val same = withReps.where(col("ra") === col("rb")).count()
-          val cross = withReps.where(col("ra") =!= col("rb"))
-            .select(least(col("ra"), col("rb")).as("a"),
-              greatest(col("ra"), col("rb")).as("b"))
-            .join(verified, Seq("a", "b"), "left_semi").count()
-          same + cross
-        }
+        val nFound = planted.select(col("a"), (col("a") + offset).as("b"))
+          .join(verified, Seq("a", "b"), "left_semi").count()
         recallPm = if (nPlanted == 0) -1L else 1000L * nFound / nPlanted
-        if (collapsed) {
-          // candidate attribution: each non-rep member is exactly one star
-          // edge (disjoint from rep-level pairs — no member is a rep)
-          nClasses = keyed.groupBy(col("hash")).agg(min(col("id")))
-            .count()
-          intraPairs = nHashed - nClasses // star edges emitted
-        }
         nDocs = corpus.count()
       }
       spark.sparkContext.getPersistentRDDs.values
