@@ -313,24 +313,39 @@ object Dedup {
       .unionByName(stars).distinct()
   }
 
-  /** All order-subset band structs of a blocked hash, KEEPING the hash
-   * column — the [[blockPairBands]]/[[blockTripleBands]]/[[blockQuadBands]]
-   * encodings exactly (band = base-`blocks` digits of the block indices,
-   * band_key = the concatenated block bytes), shared by the fused
-   * candidate+verify path below. */
-  private def bandsWithHash(hashes: DataFrame, blocks: Int, order: Int,
-                            carry: Seq[String] = Nil): DataFrame = {
-    require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
-    require(order >= 2 && order <= 4, s"order must be 2..4, got $order")
-    val words = blocks / 8
+  /** (id, h1[, h2]) — the hash array flattened to PLAIN LONG columns, with
+   * the word-count contract enforced in plan. The fused enumeration works
+   * on flat longs throughout: nested-array payloads in pair structs and
+   * higher-order-function expressions in the per-pair hot path are
+   * INTERPRETED by Spark (HOFs are CodegenFallback), and the r17 sf100
+   * first-attempt measurement caught exactly that — executor stacks parked
+   * in SimpleHigherOrderFunction.eval at ~50× the codegen cost per pair. */
+  private def flatHash(hashes: DataFrame, words: Int): DataFrame = {
     val checked = when(size(col("hash")) === words, col("hash"))
       .otherwise(raise_error(concat(
-        lit(s"bandsWithHash: hash must carry $words long words for " +
-          s"$blocks blocks, got "), size(col("hash")).cast("string"),
+        lit(s"bandCanonicalPairs: hash must carry $words long words, got "),
+        size(col("hash")).cast("string"),
         lit(" (id "), col("id").cast("string"), lit(")")))
         .cast("array<bigint>"))
-    def blk(v: String) =
-      s"(shiftright(element_at(hash, cast($v div 8 as int) + 1), ($v % 8) * 8) & 255)"
+    hashes.select(col("id") +:
+      (0 until words).map(w => element_at(checked, w + 1).as(s"h${w + 1}")): _*)
+  }
+
+  /** Byte `v` (a runtime SQL variable) of the flattened hash columns. */
+  private def blkFlat(blocks: Int)(v: String): String =
+    if (blocks == 8) s"(shiftright(h1, ($v) * 8) & 255)"
+    else s"(shiftright(CASE WHEN ($v) < 8 THEN h1 ELSE h2 END, (($v) % 8) * 8) & 255)"
+
+  /** All order-subset band structs over the FLAT hash columns — the
+   * [[blockPairBands]]/[[blockTripleBands]]/[[blockQuadBands]] encodings
+   * exactly (band = base-`blocks` digits of the block indices, band_key =
+   * the concatenated block bytes). Runs once per ID (not per pair), so the
+   * interpreted lambda cost is corpus-linear and small. */
+  private def bandsFlat(flat: DataFrame, blocks: Int, order: Int,
+                        carry: Seq[String] = Nil): DataFrame = {
+    require(blocks == 8 || blocks == 16, s"blocks must be 8 or 16, got $blocks")
+    require(order >= 2 && order <= 4, s"order must be 2..4, got $order")
+    val blk = blkFlat(blocks) _
     val bands = order match {
       case 2 =>
         s"""flatten(transform(sequence(0, ${blocks - 2}), i ->
@@ -351,11 +366,12 @@ object Dedup {
                     struct(((i * $blocks + j) * $blocks + k) * $blocks + l AS band,
                       ((${blk("i")} * 256 + ${blk("j")}) * 256 + ${blk("k")}) * 256 + ${blk("l")} AS band_key))))))))"""
     }
-    hashes.select(Seq(col("id"), checked.as("hash")) ++ carry.map(col): _*)
-      .select(Seq(col("id"), col("hash"), explode(expr(bands)).as("bb")) ++
+    val hcols = (1 to blocks / 8).map(w => s"h$w")
+    flat.select(Seq(col("id")) ++ hcols.map(col) ++
+        Seq(explode(expr(bands)).as("bb")) ++ carry.map(col): _*)
+      .select(Seq(col("id")) ++ hcols.map(col) ++
+        Seq(col("bb.band").as("band"), col("bb.band_key").as("band_key")) ++
         carry.map(col): _*)
-      .select(Seq(col("id"), col("hash"), col("bb.band").as("band"),
-        col("bb.band_key").as("band_key")) ++ carry.map(col): _*)
   }
 
   /**
@@ -388,14 +404,14 @@ object Dedup {
    */
   def bandCanonicalPairs(hashes: DataFrame, blocks: Int, order: Int,
                          maxBucket: Int = 10000): DataFrame = {
-    val banded = bandsWithHash(hashes, blocks, order)
+    val words = blocks / 8
+    val hcols = (1 to words).map(w => s"h$w")
+    val f = flatHash(hashes, words)
+    val banded = bandsFlat(f, blocks, order)
     val sizes = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n"),
-        min(struct(col("id"), col("hash"))).as("rep"))
+        min(struct(col("id") +: hcols.map(col): _*)).as("rep"))
       .localCheckpoint()
-    val words = blocks / 8
-    def byteOf(arr: String, b: String) =
-      s"(shiftright(element_at($arr, cast($b div 8 as int) + 1), ($b % 8) * 8) & 255)"
 
     // Per-id HOT-BAND sets, so canonicality can skip hot buckets: a pair
     // whose first clean band lands in a hot bucket is enumerated by its
@@ -411,73 +427,114 @@ object Dedup {
       .join(broadcast(hotKeys), Seq("band", "band_key"), "left_semi")
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("band"))).as("hotbands"))
-    val members = hashes
+    val members = f
       .join(hotmap, Seq("id"), "left")
-      .select(col("id"), col("hash"),
-        coalesce(col("hotbands"), array().cast("array<int>")).as("hotbands"))
+      .select(Seq(col("id")) ++ hcols.map(col) ++ Seq(
+        coalesce(col("hotbands"), array().cast("array<int>")).as("hotbands")): _*)
     // re-band with the hot sets carried; a row whose own bucket is hot
     // (band ∈ hotbands(id)) leaves the small path right here — no second
     // size join
-    val banded2 = bandsWithHash(members, blocks, order,
-        carry = Seq("hotbands"))
+    val banded2 = bandsFlat(members, blocks, order, carry = Seq("hotbands"))
       .where(!array_contains(col("hotbands"), col("band")))
 
-    // (a, b, ha, hb, hba) for i < j over the id-sorted bucket members
+    // pair enumeration: (a, b, word xors, a's hot set) for i < j over the
+    // id-sorted bucket members — flat longs only; the lambda is
+    // interpreted (HOFs are CodegenFallback) but does nothing beyond
+    // field copies, and EVERYTHING per-pair downstream is codegen'd
+    // integer arithmetic
+    val xorFields = hcols.map(h => s"x.$h ^ y.$h AS x$h").mkString(", ")
     val pairStructs = expr(
-      """flatten(transform(m, (x, i) ->
+      s"""flatten(transform(m, (x, i) ->
            transform(slice(m, i + 2, size(m)), y ->
-             struct(x.id AS a, y.id AS b, x.hash AS ha, y.hash AS hb,
+             struct(x.id AS a, y.id AS b, $xorFields,
                     x.hotbands AS hba))))""")
-    // all order-subset band ids of the pair's clean blocks, ascending —
-    // the bands this pair collides in (same nesting as bandsWithHash, so
-    // identical encodings)
+
+    // the bucket band's block indices, decoded with integer div/mod
+    def idxExpr(t: Int): String = {
+      val div = math.pow(blocks.toDouble, (order - 1 - t).toDouble).toLong
+      s"cast((band div $div) % $blocks as int)"
+    }
+    // clean-block bitmask of the pair's XOR: bit b set iff byte b is zero —
+    // a flat 8/16-term codegen'd sum, no arrays
+    def xByte(b: Int): String = {
+      val wordCol = s"xh${b / 8 + 1}"
+      s"(shiftright($wordCol, ${(b % 8) * 8}) & 255)"
+    }
+    val cleanMask = (0 until blocks)
+      .map(b => when(expr(s"${xByte(b)} = 0"), lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    // canonical-without-hotness test: this band's blocks are the `order`
+    // SMALLEST clean blocks ⟺ no clean block below the band's last block
+    // other than the band's own: cleanMask ∧ (bits below last − own) = 0.
+    // (The band's own blocks are clean by bucket membership, so the
+    // subtraction removes exactly those distinct bits.)
+    val ownLow = (0 until order - 1)
+      .map(t => s"shiftleft(1, ${idxExpr(t)})").mkString(" + ")
+    val maskTest = expr(
+      s"(_cm & ((shiftleft(1, ${idxExpr(order - 1)}) - 1) - ($ownLow))) = 0")
+    // general test for the RARE hot-carrying pairs: first colliding band
+    // not in the hot set — higher-order functions, interpreted, but only
+    // evaluated on rows whose hot set is non-empty (the when() branches
+    // lazily), so the interpreted cost is proportional to hot-adjacent
+    // pairs, not the enumeration
+    val cleanArr =
+      s"filter(sequence(0, ${blocks - 1}), b -> ${blkXorByte(blocks)("b")} = 0)"
     val collideBands = order match {
       case 2 =>
-        s"""flatten(transform(clean, (i, pi) ->
-              transform(slice(clean, pi + 2, size(clean)), j ->
+        s"""flatten(transform($cleanArr, (i, pi) ->
+              transform(slice($cleanArr, pi + 2, $blocks), j ->
                 i * $blocks + j)))"""
       case 3 =>
-        s"""flatten(transform(clean, (i, pi) ->
-              flatten(transform(slice(clean, pi + 2, size(clean)), (j, pj) ->
-                transform(slice(clean, pi + pj + 3, size(clean)), k ->
+        s"""flatten(transform($cleanArr, (i, pi) ->
+              flatten(transform(slice($cleanArr, pi + 2, $blocks), (j, pj) ->
+                transform(slice($cleanArr, pi + pj + 3, $blocks), k ->
                   (i * $blocks + j) * $blocks + k)))))"""
       case _ =>
-        s"""flatten(transform(clean, (i, pi) ->
-              flatten(transform(slice(clean, pi + 2, size(clean)), (j, pj) ->
-                flatten(transform(slice(clean, pi + pj + 3, size(clean)), (k, pk) ->
-                  transform(slice(clean, pi + pj + pk + 4, size(clean)), l ->
+        s"""flatten(transform($cleanArr, (i, pi) ->
+              flatten(transform(slice($cleanArr, pi + 2, $blocks), (j, pj) ->
+                flatten(transform(slice($cleanArr, pi + pj + 3, $blocks), (k, pk) ->
+                  transform(slice($cleanArr, pi + pj + pk + 4, $blocks), l ->
                     ((i * $blocks + j) * $blocks + k) * $blocks + l)))))))"""
     }
+    val hotAwareTest = col("band") === element_at(
+      expr(s"filter($collideBands, t -> NOT array_contains(hba, t))"), 1)
+
     val emitted = banded2
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_list(
-        struct(col("id"), col("hash"), col("hotbands")))).as("m"))
+        struct(Seq(col("id")) ++ hcols.map(col) ++
+          Seq(col("hotbands")): _*))).as("m"))
       .select(col("band"), explode(pairStructs).as("p"))
-      .select(col("band"), col("p.a").as("a"), col("p.b").as("b"),
-        col("p.hba").as("hba"),
-        expr("zip_with(p.ha, p.hb, (x, y) -> x ^ y)").as("xw"))
-      .withColumn("clean", expr(
-        s"filter(sequence(0, ${blocks - 1}), b -> ${byteOf("xw", "b")} = 0)"))
-      // canonical = the first colliding band that is not hot; this row's
-      // own band is never hot (filtered above), so eligibility is never
-      // empty when this pair reaches any small bucket
-      .where(col("band") === element_at(
-        expr(s"filter($collideBands, t -> NOT array_contains(hba, t))"), 1))
-      .select(col("a"), col("b"), (0 until words)
-        .map(w => expr(s"bit_count(element_at(xw, ${w + 1}))").cast("long"))
+      .select(Seq(col("band"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.hba").as("hba")) ++
+        hcols.map(h => col(s"p.x$h").as(s"x$h")): _*)
+      .withColumn("_cm", cleanMask)
+      .where(when(size(col("hba")) === 0, maskTest).otherwise(hotAwareTest))
+      .select(col("a"), col("b"), hcols
+        .map(h => expr(s"bit_count(x$h)").cast("long"))
         .reduce(_ + _).as("ham"))
     val hot = banded
       .join(sizes.where(col("n") > maxBucket)
         .select(col("band"), col("band_key"), col("rep")),
         Seq("band", "band_key"))
       .where(col("id") =!= col("rep.id"))
-      .select(col("rep.id").as("a"), col("id").as("b"), (0 until words)
-        .map(w => expr(
-          s"bit_count(element_at(hash, ${w + 1}) ^ element_at(rep.hash, ${w + 1}))")
-          .cast("long"))
+      .select(col("rep.id").as("a"), col("id").as("b"), hcols
+        .map(h => expr(s"bit_count($h ^ rep.$h)").cast("long"))
         .reduce(_ + _).as("ham"))
-    emitted.unionByName(hot).distinct()
+    // canonical emission is already duplicate-free; the closing distinct
+    // exists ONLY to merge the hot-star channel (stars repeat across hot
+    // bands, and a star pair can also be a small-bucket emission). When no
+    // bucket is hot — the common case, checked with one cheap probe of the
+    // checkpointed census — the output-sized dedup shuffle is skipped
+    // entirely.
+    if (hotKeys.isEmpty) emitted
+    else emitted.unionByName(hot).distinct()
   }
+
+  /** Byte `b` (runtime variable) of the per-pair XOR columns xh1[, xh2]. */
+  private def blkXorByte(blocks: Int)(b: String): String =
+    if (blocks == 8) s"(shiftright(xh1, ($b) * 8) & 255)"
+    else s"(shiftright(CASE WHEN ($b) < 8 THEN xh1 ELSE xh2 END, (($b) % 8) * 8) & 255)"
 
   /**
    * [[collapsedBandCandidates]] FUSED end to end: identical-hash classes
