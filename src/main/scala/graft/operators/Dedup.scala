@@ -421,8 +421,47 @@ object Dedup {
     // composite `bucketedPairs` emits it from the small bucket. Hot
     // buckets are few (≤ rows/maxBucket), so the key set broadcasts; ids
     // never touching a hot bucket carry an empty array via the left join.
-    val hotKeys = sizes.where(col("n") > maxBucket)
+    // a BINDING bucket cap must be loud, not silent (ADVICE r17): pairs
+    // whose every colliding band is hot degrade to star connectivity, so
+    // the exactness claims of [[collapsedVerifiedPairs]]/q169 hold only
+    // while this census stays empty — WARN through the shared audit
+    // listener whenever it doesn't (the loudWhenCapBinds discipline).
+    val hotKeys = Audits.observeLoudly(
+      sizes.where(col("n") > maxBucket), "graft.dedup.hot_buckets",
+      Seq(count(lit(1)).as("n_hot"), max(col("n")).as("max_bucket_seen"),
+        lit(maxBucket).as("max_bucket_cap")),
+      "graft.operators.Dedup",
+      shouldWarn = _.getLong(0) > 0,
+      render = row =>
+        s"hot-bucket cap bound: ${row.getLong(0)} band bucket(s) above " +
+          s"maxBucket=${row.getLong(2)} (max size ${row.getLong(1)}) " +
+          "degraded to star connectivity - a pair whose every colliding " +
+          "band is hot is represented by its bucket star, not an exact pair")
       .select(col("band"), col("band_key"))
+    // probe the CHECKPOINTED census before building any hot machinery
+    // (ADVICE r17): in the common no-hot case the hotmap aggregation and
+    // the second banding below would scan the full band table for nothing
+    // — enumerate straight off the first banding with the maskTest-only
+    // canonical filter instead.
+    val hasHot = !hotKeys.isEmpty
+    if (!hasHot) {
+      return banded
+        .groupBy(col("band"), col("band_key"))
+        .agg(array_sort(collect_list(
+          struct(col("id") +: hcols.map(col): _*))).as("m"))
+        .select(col("band"), explode(expr(
+          s"""flatten(transform(m, (x, i) ->
+               transform(slice(m, i + 2, size(m)), y ->
+                 struct(x.id AS a, y.id AS b, ${hcols
+            .map(h => s"x.$h ^ y.$h AS x$h").mkString(", ")}))))""")).as("p"))
+        .select(Seq(col("band"), col("p.a").as("a"), col("p.b").as("b")) ++
+          hcols.map(h => col(s"p.x$h").as(s"x$h")): _*)
+        .withColumn("_cm", cleanMaskOf(blocks))
+        .where(canonicalMaskTest(blocks, order))
+        .select(col("a"), col("b"), hcols
+          .map(h => expr(s"bit_count(x$h)").cast("long"))
+          .reduce(_ + _).as("ham"))
+    }
     val hotmap = banded
       .join(broadcast(hotKeys), Seq("band", "band_key"), "left_semi")
       .groupBy(col("id"))
@@ -449,29 +488,6 @@ object Dedup {
              struct(x.id AS a, y.id AS b, $xorFields,
                     x.hotbands AS hba))))""")
 
-    // the bucket band's block indices, decoded with integer div/mod
-    def idxExpr(t: Int): String = {
-      val div = math.pow(blocks.toDouble, (order - 1 - t).toDouble).toLong
-      s"cast((band div $div) % $blocks as int)"
-    }
-    // clean-block bitmask of the pair's XOR: bit b set iff byte b is zero —
-    // a flat 8/16-term codegen'd sum, no arrays
-    def xByte(b: Int): String = {
-      val wordCol = s"xh${b / 8 + 1}"
-      s"(shiftright($wordCol, ${(b % 8) * 8}) & 255)"
-    }
-    val cleanMask = (0 until blocks)
-      .map(b => when(expr(s"${xByte(b)} = 0"), lit(1 << b)).otherwise(lit(0)))
-      .reduce(_ + _)
-    // canonical-without-hotness test: this band's blocks are the `order`
-    // SMALLEST clean blocks ⟺ no clean block below the band's last block
-    // other than the band's own: cleanMask ∧ (bits below last − own) = 0.
-    // (The band's own blocks are clean by bucket membership, so the
-    // subtraction removes exactly those distinct bits.)
-    val ownLow = (0 until order - 1)
-      .map(t => s"shiftleft(1, ${idxExpr(t)})").mkString(" + ")
-    val maskTest = expr(
-      s"(_cm & ((shiftleft(1, ${idxExpr(order - 1)}) - 1) - ($ownLow))) = 0")
     // general test for the RARE hot-carrying pairs: first colliding band
     // not in the hot set — higher-order functions, interpreted, but only
     // evaluated on rows whose hot set is non-empty (the when() branches
@@ -508,8 +524,9 @@ object Dedup {
       .select(Seq(col("band"), col("p.a").as("a"), col("p.b").as("b"),
         col("p.hba").as("hba")) ++
         hcols.map(h => col(s"p.x$h").as(s"x$h")): _*)
-      .withColumn("_cm", cleanMask)
-      .where(when(size(col("hba")) === 0, maskTest).otherwise(hotAwareTest))
+      .withColumn("_cm", cleanMaskOf(blocks))
+      .where(when(size(col("hba")) === 0, canonicalMaskTest(blocks, order))
+        .otherwise(hotAwareTest))
       .select(col("a"), col("b"), hcols
         .map(h => expr(s"bit_count(x$h)").cast("long"))
         .reduce(_ + _).as("ham"))
@@ -523,12 +540,39 @@ object Dedup {
         .reduce(_ + _).as("ham"))
     // canonical emission is already duplicate-free; the closing distinct
     // exists ONLY to merge the hot-star channel (stars repeat across hot
-    // bands, and a star pair can also be a small-bucket emission). When no
-    // bucket is hot — the common case, checked with one cheap probe of the
-    // checkpointed census — the output-sized dedup shuffle is skipped
-    // entirely.
-    if (hotKeys.isEmpty) emitted
-    else emitted.unionByName(hot).distinct()
+    // bands, and a star pair can also be a small-bucket emission). The
+    // no-hot case — one cheap probe of the checkpointed census, taken
+    // above BEFORE any hot machinery is built (ADVICE r17) — skipped the
+    // hotmap scan, the re-banding AND this output-sized dedup shuffle.
+    emitted.unionByName(hot).distinct()
+  }
+
+  /** Clean-block bitmask of the per-pair XOR columns xh1[, xh2]: bit b set
+   * iff byte b is zero — a flat 8/16-term codegen'd sum, no arrays. */
+  private def cleanMaskOf(blocks: Int): Column = {
+    def xByte(b: Int): String = {
+      val wordCol = s"xh${b / 8 + 1}"
+      s"(shiftright($wordCol, ${(b % 8) * 8}) & 255)"
+    }
+    (0 until blocks)
+      .map(b => when(expr(s"${xByte(b)} = 0"), lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** Canonical-without-hotness test over `_cm` and the `band` column: this
+   * band's blocks are the `order` SMALLEST clean blocks ⟺ no clean block
+   * below the band's last block other than the band's own:
+   * cleanMask ∧ (bits below last − own) = 0. (The band's own blocks are
+   * clean by bucket membership, so the subtraction removes exactly those
+   * distinct bits.) Band block indices decode with integer div/mod. */
+  private def canonicalMaskTest(blocks: Int, order: Int): Column = {
+    def idxExpr(t: Int): String = {
+      val div = math.pow(blocks.toDouble, (order - 1 - t).toDouble).toLong
+      s"cast((band div $div) % $blocks as int)"
+    }
+    val ownLow = (0 until order - 1)
+      .map(t => s"shiftleft(1, ${idxExpr(t)})").mkString(" + ")
+    expr(s"(_cm & ((shiftleft(1, ${idxExpr(order - 1)}) - 1) - ($ownLow))) = 0")
   }
 
   /** Byte `b` (runtime variable) of the per-pair XOR columns xh1[, xh2]. */
@@ -542,8 +586,15 @@ object Dedup {
    * [[bandCanonicalPairs]], and the budget filter keeps the verified
    * pairs — (a, b, ham) with every true pair within `blocks − order`
    * present (pigeonhole over reps + the collapse theorem) and nothing
-   * else. The q169 query semantics in one operator, with zero candidate
-   * distinct and zero verify joins.
+   * else, PROVIDED the `maxBucket` cap does not bind (ADVICE r17): a
+   * distinct-hash bucket above the cap degrades its pairs to star
+   * connectivity, so a true pair whose EVERY colliding band is hot would
+   * drop from the exact-pair set. A binding cap WARNs through the shared
+   * hot-bucket audit in [[bandCanonicalPairs]]; q169's oracle equality is
+   * claimed only on corpora whose census stays under the cap (true at
+   * every oracle scale by construction, and verified loud at sf100 —
+   * max distinct-hash class 668 ≪ 10000). The q169 query semantics in one
+   * operator, with zero candidate distinct and zero verify joins.
    */
   def collapsedVerifiedPairs(hashes: DataFrame, blocks: Int, order: Int,
                              budget: Int, maxBucket: Int = 10000): DataFrame = {
@@ -833,9 +884,16 @@ object Dedup {
    * enumerated. Audit what a cap collapsed with [[hotShingles]]. Bounded
    * candidate behavior on a planted mega-df shingle is pinned in
    * ScaleOpsSpec; below the cap the plan is the unguarded original.
+   *
+   * r18 STATUS: this counting formulation is now the LARGE-CORPUS FALLBACK
+   * behind [[allPairsJaccard]]'s dispatch (and the value-identity oracle in
+   * PrefixPigeonholeSpec). Its per-pair aggregation STATE — one hash-agg key
+   * per distinct co-occurring pair, ~Σ df²/2 keys — is what filled the disk
+   * at sf100 (VERDICT r17 #1: 4 DNFs from >60 GB of aggregate spill); the
+   * [[pigeonholeJaccard]] rewrite has no corpus-sized state anywhere.
    */
-  def allPairsJaccard(docs: DataFrame, threshold: Double,
-                      maxDf: Long = 10000): DataFrame = {
+  private[graft] def countingJaccard(docs: DataFrame, threshold: Double,
+                                     maxDf: Long = 10000): DataFrame = {
     val (cold, hot) = postingsSplit(docs, maxDf)
     val p1 = cold.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
     val p2 = cold.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
@@ -884,9 +942,13 @@ object Dedup {
    * hot-only clusters re-enter as array-verified star pairs. The ratio is
    * FIXED-POINT — (1e6·shared) div |A| — so the gate is engine-independent
    * integer bits. `thresholdFp` is the ×1e6 cut.
+   *
+   * r18 STATUS: the large-corpus fallback behind [[containmentPairs]]'s
+   * dispatch and the value-identity oracle in PrefixPigeonholeSpec — same
+   * aggregation-state scale wall as [[countingJaccard]] (sf100 disk DNF).
    */
-  def containmentPairs(docs: DataFrame, thresholdFp: Long,
-                       maxDf: Long = 10000): DataFrame = {
+  private[graft] def countingContainment(docs: DataFrame, thresholdFp: Long,
+                                         maxDf: Long = 10000): DataFrame = {
     val (cold, hot) = postingsSplit(docs, maxDf)
     val p1 = cold.select(col("id").as("a"), col("sz").as("sa"), col("sh"))
     val p2 = cold.select(col("id").as("b"), col("sz").as("sb"), col("sh"))
@@ -944,6 +1006,257 @@ object Dedup {
         "(1000000 * r.shared) div r.sa as cont_fp")
       .where(col("cont_fp") >= thresholdFp)
   }
+
+  // ------------------------------------------------------------------
+  // Prefix-pigeonhole exact similarity joins (r18 — VERDICT r17 #1).
+  //
+  // The scale wall of the counting formulations is their AGGREGATION STATE:
+  // one hash-agg key per distinct co-occurring pair. On this corpus family
+  // the vocabulary grows ∝ corpus (df is scale-invariant), so the join ROWS
+  // (Σ df²) grow linearly — but so do the distinct pairs, and at sf100 the
+  // ~4G-key aggregate spilled >60 GB and DNF'd (q141/q31/q92/q112). The
+  // pigeonhole rewrite applies the r17 canonical-band lesson (q169): a
+  // banded equi-join whose rows are verified INLINE by a flat codegen
+  // kernel, with NO corpus-sized aggregation, NO candidate distinct, and NO
+  // verify joins — only the tiny qualifying survivor set is deduplicated.
+  //
+  //  * Candidate generation (Jaccard): the PREFIX-FILTER THEOREM (the
+  //    Bayardo/AllPairs–PPJoin line, Xiao/Wang/Lin WWW'08). Under ANY global
+  //    total order on tokens, a pair with |A∩B| = c has its smallest common
+  //    token within each side's first (sz − c + 1) positions; with
+  //    c ≥ ⌈θ'·sz⌉ per side (θ' = θ − 0.00005, the round(·,4) HALF_UP
+  //    tolerance — the bound an EXACT rewrite may legally use), indexing
+  //    each doc's first (sz − ⌈θ'·sz⌉ + 1) tokens by (df asc, token) makes
+  //    the single-token prefix equi-join complete. A doc small enough to
+  //    qualify through c = 1 has ⌈θ'·sz⌉ = 1, i.e. its "prefix" IS the
+  //    whole doc — tiny docs need no separate channel.
+  //    Measured on this corpus (PostingsProfile, sf10): Σ df_p² = 358M
+  //    join rows at θ=0.5 (vs 822M for counting) and 713M at θ=0.1, halved
+  //    again by the a<b orientation — with zero aggregate state. A k=2
+  //    token-PAIR pigeonhole was measured too and rejected: it shrinks the
+  //    DEDUPED candidate set (49M vs 87M at sf10/θ=0.5) but inflates the
+  //    join-row stream (425M/1.6G) and pays a C(prefix,2)-per-doc posting
+  //    build — the wrong trade when every row is verified inline anyway.
+  //  * Join keys are xxhash64 of the token — 16-byte exchange rows. A hash
+  //    collision can only ADD a false candidate (same tokens always hash
+  //    equal), and the exact inline verify kills it: recall and values are
+  //    collision-proof.
+  //  * Inline verification is TWO-STAGE:
+  //      (i) a RECALL-SAFE hash gate on every join row: both docs' sorted
+  //          xxhash64(shingle) arrays attach via two BROADCAST joins and
+  //          `intersect_count_sorted` — a flat merge-scan codegen kernel
+  //          over plain longs ([[graft.plans.IntersectCountSortedExpr]]):
+  //          no per-row hash set, no allocation, no lambda HOF (the r17
+  //          rule). The hashed count c_h can only OVERCOUNT — for every
+  //          hash value v, min(mult_A(v), mult_B(v)) ≥ |common shingles
+  //          hashing to v|, so Σ_v min ≥ c — hence gating the threshold on
+  //          c_h cannot drop a qualifying pair. (A string-compare kernel
+  //          was measured first: UTF8String materialization per element
+  //          cost 26 µs/row — 50× the long merge.)
+  //     (ii) exact verification of the (tiny, distinct) survivor set from
+  //          the full STRING arrays ([[verifyJaccard]]/[[verifyContainment]])
+  //          — collision flukes die here, emitted values are the exact
+  //          array-formulation values, bit-identical to the counting path.
+  //  * Channels for the edge cases, each exact:
+  //      - HOT-HAVING DOCS (df-cap bound): the cap removes hot tokens from
+  //        ranking, so a pair whose cold overlap alone misses the bound
+  //        could hide — docs holding ≥1 hot token re-join on their FULL
+  //        cold postings (single token). Empty (zero-cost) whenever the cap
+  //        doesn't bind; when it binds this is exactly the cold join the
+  //        counting guard pays. The recall concession is UNCHANGED from the
+  //        counting path: only pairs with ZERO cold overlap degrade to the
+  //        star channel.
+  //      - STARS: [[hotStarPairs]] keeps hot-only clusters connected,
+  //        verified exactly like every other candidate.
+  //    All channels union into ONE verify pipeline; duplicates die in the
+  //    final bounded distinct (survivors only).
+  //  * The ranked/hot/sorted frames materialize ONCE (localCheckpoint —
+  //    the q31/q112 multi-consumer rule): the prefix self-join's two sides,
+  //    the hot-having channel and the star channel all read the same
+  //    blocks; without this every channel re-derives the postings census
+  //    and the ranking window (measured 3x at sf1.0).
+  //
+  // 100 TB posture: every exchange is corpus-linear with ≤24-byte rows; the
+  // only sub-linear assumption is the broadcast verify side (sorted doc
+  // arrays). [[allPairsJaccard]]/[[containmentPairs]] gate on a postings
+  // census — above the broadcast budget they fall back to the counting
+  // twins, whose plan is exchange-optimal for small corpora anyway. At true
+  // 100 TB the exact all-pairs table is a sampled diagnostic by
+  // construction (q141's contract), and the sample fits the broadcast.
+  // ------------------------------------------------------------------
+
+  private def intersectCountSorted(a: Column, b: Column): Column =
+    call_function("intersect_count_sorted", a, b)
+
+  /** Broadcast gate side: (id, hsh) with the doc's xxhash64'd shingles
+   * sorted ascending — the [[intersectCountSorted]] long-kernel input. The
+   * per-ID transform lambda is fine (the r17 rule bans per-PAIR lambdas);
+   * size(hsh) = the doc's true set size (hashing keeps multiplicity). */
+  private def hashedSide(docs: DataFrame): DataFrame =
+    docs.select(col("id"),
+      sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh"))
+
+  /** Stage-(i) RECALL-SAFE Jaccard gate on hashed arrays: keeps every
+   * (a, b) row whose OVERCOUNTING hashed intersection already meets the
+   * round-4 threshold — a superset of the qualifying pairs (header
+   * comment); stage (ii) decides exactly. */
+  private def hashGateJac(pairs: DataFrame, hvarr: DataFrame,
+                          threshold: Double): DataFrame =
+    pairs
+      .join(broadcast(hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
+      .join(broadcast(hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
+      .withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
+      .where(round(col("ch").cast("double") /
+        (size(col("h_a")) + size(col("h_b")) - col("ch")).cast("double"),
+        4) >= threshold)
+      .select(col("a"), col("b"))
+
+  /** Stage-(i) RECALL-SAFE containment gate: the best DIRECTED ratio the
+   * overcounting hashed intersection allows — (1e6·c_h) div min(sa,sb) —
+   * against the fixed-point cut. */
+  private def hashGateContainment(pairs: DataFrame, hvarr: DataFrame,
+                                  thresholdFp: Long): DataFrame =
+    pairs
+      .join(broadcast(hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
+      .join(broadcast(hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
+      .withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
+      .where(expr("(1000000 * ch) div least(size(h_a), size(h_b))")
+        >= thresholdFp)
+      .select(col("a"), col("b"))
+
+  /** Cold postings ranked under the global (df asc, token) total order:
+   * (id, sz, sh, rk, np) with sz the FULL set size, rk the 1-based position
+   * among the doc's COLD tokens, np the doc's cold token count. One
+   * exchange by token (the df census + join-back) and one by id (the
+   * window); both corpus-linear. */
+  private def rankedColdPostings(cold: DataFrame): DataFrame = {
+    val dfreq = cold.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    cold.join(dfreq, "sh")
+      .select(col("id"), col("sz"), col("sh"), col("df"))
+      .withColumn("rk", row_number().over(byId.orderBy(col("df"), col("sh"))))
+      .withColumn("np", count(lit(1)).over(byId))
+  }
+
+  /** Postings-census gate for the inline-verify paths: total shingle
+   * occurrences, compared against the broadcast budget (the verify side is
+   * a corpus-derived broadcast — sub-linear only because these exact pair
+   * tables run on sampled diagnostic corpora; the env knob makes the budget
+   * explicit). */
+  private def fitsInlineVerify(docs: DataFrame): Boolean = {
+    val budget = sys.env.getOrElse(
+      "SPARK_GRAFT_INLINE_VERIFY_MAX_POSTINGS", "150000000").toLong
+    val postings = docs
+      .agg(coalesce(sum(size(col("shingles"))), lit(0L))).head().getLong(0)
+    postings <= budget
+  }
+
+  /**
+   * The prefix-filtered Jaccard join (header comment above): exact,
+   * value-identical to [[countingJaccard]] (PrefixPigeonholeSpec pins
+   * set-equality on natural, planted-small-doc, tied-order and cap-binding
+   * corpora), with no corpus-sized aggregation state. The plan per channel:
+   *
+   *   main: ranked cold prefixes (materialized once) → xxhash64 token-key
+   *         equi-join, a<b oriented → inline verify on every join row
+   *   hot:  full cold postings of hot-having docs (cap-binding corpora
+   *         only — provably empty otherwise)
+   *   star: [[hotStarPairs]] connectivity
+   *
+   * The final distinct sees qualifying rows only (each true pair survives
+   * once per shared prefix token — bounded by the prefix length).
+   */
+  private[graft] def pigeonholeJaccard(docs: DataFrame, threshold: Double,
+                                       maxDf: Long = 10000): DataFrame = {
+    val tp = threshold - 0.00005 // round(·,4) HALF_UP tolerance — exact
+    val nonEmpty = docs.where(size(col("shingles")) > 0)
+    val (cold, hot) = postingsSplit(nonEmpty, maxDf)
+    val hotC = hot.localCheckpoint()
+    val ranked = rankedColdPostings(cold).localCheckpoint()
+    // k=1 prefix: position ≤ np − (⌈θ'·sz⌉ − 1); a doc qualifying through
+    // c=1 has ⌈θ'·sz⌉ = 1, so its prefix is its whole cold set
+    val prefix = ranked.where(col("rk") <=
+      col("np") - ceil(col("sz").cast("double") * tp) + lit(1L))
+      .select(col("id"), xxhash64(col("sh")).as("kh"))
+    val mainPairs = prefix.select(col("id").as("a"), col("kh"))
+      .join(prefix.select(col("id").as("b"), col("kh")), "kh")
+      .where(col("a") < col("b")).select(col("a"), col("b"))
+    // cap-binding corpora: a pair with ≥1 hot common can sit below every
+    // cold bound — both members hold a hot token, so the full cold postings
+    // of hot-having docs recover exactly the counting guard's recall
+    val coldOfHot = ranked.join(hotC.select(col("id")).distinct(),
+      Seq("id"), "left_semi")
+      .select(col("id"), xxhash64(col("sh")).as("kh"))
+    val hotHavingPairs = coldOfHot.select(col("id").as("a"), col("kh"))
+      .join(coldOfHot.select(col("id").as("b"), col("kh")), "kh")
+      .where(col("a") < col("b")).select(col("a"), col("b"))
+    val survivors = hashGateJac(
+      mainPairs.unionByName(hotHavingPairs).unionByName(hotStarPairs(hotC)),
+      hashedSide(nonEmpty).localCheckpoint(), threshold)
+      .distinct()
+    verifyJaccard(survivors, nonEmpty, threshold)
+  }
+
+  /**
+   * The asymmetric k=1 prefix join for CONTAINMENT (header comment above):
+   * a qualifying directed pair needs c ≥ ⌈T·min(sa,sb)/1e6⌉ shared tokens,
+   * so the SMALLER side's prefix of (np − ⌈T·sz/1e6⌉ + 1) rarest cold
+   * tokens must hold a common token that the larger side holds ANYWHERE —
+   * prefix × full postings, size-oriented to generate each pair once.
+   * Exact integer prefix arithmetic (the fixed-point div gate ⟺
+   * c ≥ ⌈T·sz/1e6⌉ exactly); value-identical to [[countingContainment]]
+   * (PrefixPigeonholeSpec). No small channel: k=1 already finds every
+   * co-occurring pair the theorem requires (c ≥ 1 is implied).
+   */
+  private[graft] def pigeonholeContainment(docs: DataFrame, thresholdFp: Long,
+                                           maxDf: Long = 10000): DataFrame = {
+    val nonEmpty = docs.where(size(col("shingles")) > 0)
+    val (cold, hot) = postingsSplit(nonEmpty, maxDf)
+    val hotC = hot.localCheckpoint()
+    val ranked = rankedColdPostings(cold).localCheckpoint()
+    // need = ⌈T·sz/1e6⌉, exact in doubles (T·sz ≤ 1e6·98 ≪ 2^53)
+    val need = floor((lit(thresholdFp) * col("sz") + lit(999999L)) /
+      lit(1000000.0)).cast("long")
+    val prefixSmall = ranked
+      .where(col("rk") <= greatest(col("np") - need + lit(1L), lit(1L)))
+    val aSide = prefixSmall.select(col("id").as("a"), col("sz").as("sza"),
+      xxhash64(col("sh")).as("kh"))
+    val bSide = ranked.select(col("id").as("b"), col("sz").as("szb"),
+      xxhash64(col("sh")).as("kh"))
+    val mainPairs = aSide.join(bSide, "kh")
+      .where(col("sza") < col("szb") ||
+        (col("sza") === col("szb") && col("a") < col("b")))
+      .select(col("a"), col("b"))
+    val coldOfHot = ranked.join(hotC.select(col("id")).distinct(),
+      Seq("id"), "left_semi")
+      .select(col("id"), xxhash64(col("sh")).as("kh"))
+    val hotHavingPairs = coldOfHot.select(col("id").as("a"), col("kh"))
+      .join(coldOfHot.select(col("id").as("b"), col("kh")), "kh")
+      .where(col("a") < col("b")).select(col("a"), col("b"))
+    val survivors = hashGateContainment(
+      mainPairs.unionByName(hotHavingPairs).unionByName(hotStarPairs(hotC)),
+      hashedSide(nonEmpty).localCheckpoint(), thresholdFp)
+      .distinct()
+    verifyContainment(survivors, nonEmpty, thresholdFp)
+  }
+
+  /** Exact all-pairs Jaccard — the public entry. Dispatches on the postings
+   * census: the pigeonhole inline-verify plan (state-free, the sf100-proven
+   * shape) while the sorted verify side fits its broadcast budget, the
+   * counting plan beyond it. Both exact; PrefixPigeonholeSpec pins their
+   * equality. See [[countingJaccard]] and [[pigeonholeJaccard]]. */
+  def allPairsJaccard(docs: DataFrame, threshold: Double,
+                      maxDf: Long = 10000): DataFrame =
+    if (fitsInlineVerify(docs)) pigeonholeJaccard(docs, threshold, maxDf)
+    else countingJaccard(docs, threshold, maxDf)
+
+  /** Asymmetric containment pairs — the public entry; same dispatch
+   * discipline as [[allPairsJaccard]]. See [[countingContainment]] and
+   * [[pigeonholeContainment]]. */
+  def containmentPairs(docs: DataFrame, thresholdFp: Long,
+                       maxDf: Long = 10000): DataFrame =
+    if (fitsInlineVerify(docs)) pigeonholeContainment(docs, thresholdFp, maxDf)
+    else countingContainment(docs, thresholdFp, maxDf)
 
   /**
    * Exact all-pairs Jaccard with PREFIX FILTERING — the candidate-pruned

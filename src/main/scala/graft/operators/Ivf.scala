@@ -421,9 +421,19 @@ object Ivf {
                           nprobe: Int): DataFrame =
     crossBroadcast(centTable, "vec",
         queries.select(col("id").as("query_id"), col("vec").as("qvec")), "qvec")
+      // MODEL-COLUMN-FREE aggregation input (VERDICT r17 #2): `topk_by` is
+      // a typed aggregate, and ObjectHashAggregate falls back to SORT-BASED
+      // aggregation once it sees >128 distinct keys — above 128 queries the
+      // fallback SORTS its remaining input rows. Scoring in a projection
+      // first means the sorted rows are (query_id, score, cid) = 24 bytes;
+      // leaving the projection to the aggregate's children keeps BOTH
+      // vectors on every (centroid × query) row — ~1 KB × nlist × |queries|
+      // (≈1.3 TB at sf100's 31k × 40k), the measured SPILL_OUT_OF_MEMORY
+      // (bench_r17_q162solo_sf100.json).
+      .select(col("query_id"),
+        cosineNative(col("qvec"), col("vec")).as("__score"), col("cid"))
       .groupBy(col("query_id"))
-      .agg(call_function("topk_by",
-        cosineNative(col("qvec"), col("vec")), col("cid"), lit(nprobe))
+      .agg(call_function("topk_by", col("__score"), col("cid"), lit(nprobe))
         .as("__pk"))
       .select(col("query_id"), explode(col("__pk")).as("__e"))
       .select(col("query_id"), col("__e.id").as("cell"))
@@ -598,6 +608,25 @@ object Ivf {
   private def cellGroup(c: Column): Column =
     pmod(hash(c), lit(IndexCellGroups))
 
+  /** The r17 switch from partitionBy("cell") to partitionBy("cell_group")
+   * is a BREAKING on-disk layout change (ADVICE r17): a pre-r17 index
+   * table would make the grouped readers fail on a missing `cell_group`
+   * column and an append fail on a partition-spec mismatch — with errors
+   * that never say "rebuild". Detect the legacy layout at every read/append
+   * entry point and fail with the remedy instead. */
+  private def requireGroupedLayout(spark: org.apache.spark.sql.SparkSession,
+                                   table: String): Unit = {
+    val parts = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames
+    require(parts == Seq("cell_group"),
+      s"PQ index table '$table' uses a pre-grouped-layout partitioning " +
+        s"(${if (parts.isEmpty) "unpartitioned" else parts.mkString(", ")}) " +
+        "- this engine now writes bounded cell_group directories " +
+        "(IndexCellGroups); rebuild the index with writePqIndexTable " +
+        "before reading or appending")
+  }
+
   /**
    * The PQ index as the engine's FIFTH persisted serving artifact (VERDICT
    * r12 #2), with the staged-swap discipline of every other artifact writer
@@ -664,6 +693,7 @@ object Ivf {
                          coarse: Seq[Centroid], cb: Seq[(Long, Seq[Double])],
                          splits: Seq[(Int, Int)]): Unit = {
     val spark = newVecs.sparkSession
+    requireGroupedLayout(spark, table)
     val enc = pqIndex(newVecs, coarse, cb, splits)
     require(enc.select(col("neighbor_id"))
         .join(spark.table(table), Seq("neighbor_id"), "left_semi").isEmpty,
@@ -694,6 +724,7 @@ object Ivf {
                          table: String, queries: DataFrame,
                          coarse: Seq[Centroid], cb: Seq[(Long, Seq[Double])],
                          splits: Seq[(Int, Int)], nprobe: Int, k: Int): DataFrame = {
+    requireGroupedLayout(spark, table)
     val probedRows = queries
       .select(explode(probeCells(col("vec"), coarse, nprobe)).as("cell"))
       .distinct().select(col("cell"), cellGroup(col("cell")).as("grp"))
@@ -799,6 +830,7 @@ object Ivf {
                                   cb: Seq[(Long, Seq[Double])],
                                   splits: Seq[(Int, Int)]): Unit = {
     val spark = newVecs.sparkSession
+    requireGroupedLayout(spark, table)
     val enc = pqIndexFromTable(newVecs, centTable, cb, splits)
     require(enc.select(col("neighbor_id"))
         .join(spark.table(table), Seq("neighbor_id"), "left_semi").isEmpty,
@@ -826,6 +858,7 @@ object Ivf {
                            centTable: DataFrame, cb: Seq[(Long, Seq[Double])],
                            splits: Seq[(Int, Int)], nprobe: Int,
                            k: Int): DataFrame = {
+    requireGroupedLayout(spark, table)
     val probes = Checkpoints.reusePoint(
       probeCellsFromTable(queries, centTable, nprobe))
     val probedRows = probes.select(col("cell")).distinct()

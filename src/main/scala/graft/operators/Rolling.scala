@@ -65,19 +65,23 @@ private[graft] object Rolling {
         min(col("_bn")) >= frame).as("_dense"))
     val marked = bucketed.join(broadcast(census), t === col("_ct"))
       .withColumn("_b", when(col("_dense"), col("_rb")).otherwise(lit(0)))
-      .drop("_ct", "_dense", "_rb")
+      .drop("_ct", "_rb")
 
     // carry: the last `frame` rows of each bucket, re-tagged into the next
-    // bucket (dense types only — sparse types are one partition already);
-    // the per-bucket rank window is itself (type, bucket)-partitioned
+    // bucket — DENSE types only (ADVICE r17): a sparse fallback type sits
+    // entirely in _b = 0, so without the `_dense` guard its every row would
+    // match `_b < buckets - 1`, pay a full rank window, and emit `frame`
+    // phantom (type, 1) carries that the final filter discards — wasted
+    // sort work on exactly the types the census chose not to chunk.
     val rk = Window.partitionBy(t, col("_b")).orderBy(ts.desc, tie.desc)
-    val carries = marked.where(col("_b") < buckets - 1)
+    val carries = marked.where(col("_dense") && col("_b") < buckets - 1)
       .withColumn("_rk", row_number().over(rk))
       .where(col("_rk") <= frame)
       .withColumn("_b", col("_b") + 1)
       .drop("_rk")
       .withColumn("_carry", lit(true))
     val all = marked.withColumn("_carry", lit(false)).unionByName(carries)
+      .drop("_dense")
 
     val w = Window.partitionBy(t, col("_b")).orderBy(ts, tie)
       .rowsBetween(-frame, -1)

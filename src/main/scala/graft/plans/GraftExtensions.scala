@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(CdcBoundsExpr.descriptor)
     extensions.injectFunction(WinnowSelectExpr.descriptor)
     extensions.injectFunction(CharStatsExpr.descriptor)
+    extensions.injectFunction(IntersectCountSortedExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

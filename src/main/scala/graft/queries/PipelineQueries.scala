@@ -3415,29 +3415,38 @@ object PipelineQueries {
         .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
         .unionByName(base.select(col("doc_id"), col("y"),
           lit(-1L).as("b"), lit(1L).as("c")))
-        // materialize ONCE: dc is read twice per training round (scored +
-        // delta) and once more by the final confusion matrix — without the
-        // checkpoint the tokenize→bigram-explode→agg pipeline re-runs from
-        // raw text up to ~17× (the Dedup.incrementalCandidates pattern,
-        // measured 5× at 1M docs). Plan pinned in PlanShapeSpec: the final
-        // plan reads the materialized RDD, never the parquet scan.
-        // Fault-tolerance tradeoff (deliberate): localCheckpoint truncates
-        // lineage with non-replicated blocks — on a real cluster, losing an
-        // executor mid-training fails the query unrecoverably. For this
-        // local-mode tool that is the right trade; a cluster deployment
-        // would persist() (keeping lineage for recompute) or write the
-        // feature table out — and would then re-pin PlanShapeSpec on the
-        // InMemoryRelation/FileScan instead of Scan ExistingRDD.
-        .localCheckpoint()
+        // materialize ONCE, CO-PARTITIONED BY doc_id (r18 — the q113 phase
+        // profile, VERDICT r17 #3): the training loop reads this frame ~17
+        // ways (8× scored aggregate, 8× misclassified join, the final
+        // matrix), and every one hashes on doc_id. The r17 form
+        // localCheckpoint'ed WITHOUT the repartition, so each pass
+        // re-EXCHANGED the full feature table — ~16 corpus-sized shuffles
+        // at sf100 were the measured dec3 ~31×. localCheckpoint cannot
+        // carry the partitioning into its LogicalRDD (PerceptronProfile
+        // measured it: still one exchange per round), so this materializes
+        // via persist(): the InMemoryRelation advertises the cached plan's
+        // hashpartitioning(doc_id) and every per-round aggregate and join
+        // plans EXCHANGE-FREE — PerceptronProfile: rounds 1.0-1.3 s
+        // (legacy) → 0.4-0.5 s (cached) at sf1.0, matrices identical.
+        // persist() also KEEPS lineage (better executor-loss behavior than
+        // the old localCheckpoint); PlanShapeSpec pins the final plan on
+        // the InMemoryTableScan.
+        .repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dc.count() // eager, like the checkpoint it replaces
       var w: Map[Long, Long] = Map.empty
       def weightsDf = {
         val rows = if (w.isEmpty) Seq((0L, 0L)) else w.toSeq // never an empty broadcast
         val sess = s; import sess.implicits._
         rows.toDF("b", "wt")
       }
+      // group by doc_id ALONE (y is functionally dependent — max picks the
+      // one value) so the aggregation's required distribution is satisfied
+      // by dc's doc_id co-partitioning: zero exchanges per training round
       def scored = dc.join(broadcast(weightsDf), Seq("b"), "left")
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("c") * coalesce(col("wt"), lit(0L))).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("y")).as("y"),
+          sum(col("c") * coalesce(col("wt"), lit(0L))).as("s"))
       for (_ <- 1 to 8) {
         val delta = dc.join(
           scored.where(col("y") * col("s") <= 0)
