@@ -420,11 +420,104 @@ object Similarity {
       // one narrow table read several ways (pair sides + norms + hot
       // correction + star verify): materialize once, the q31 pattern
       .localCheckpoint()
-    // norms are over ALL kept postings — the cap changes candidate
-    // generation, never the vector the cosine is taken against
-    val norms = postingsNorms(post)
-    cappedCosineFromPostings(post, norms, minCosPpm, maxDf)
+    // r18 (VERDICT r17 #4): the count-per-pair core accumulates one
+    // hash-agg key per distinct co-occurring pair — ~290M keys at sf100 on
+    // q126's corpus, the measured dec3 ~20× spill — but BELOW that scale it
+    // is the cheaper plan (CosineProfile sf10: counting 23.9 s vs
+    // merge-dot 37.4 s — the state only hurts once it spills). Dispatch on
+    // ONE bounded census over the kept-term dfs: the STATE-FREE merge-dot
+    // path takes over when Σ df² (the proxy for pair state — distinct
+    // pairs ≲ Σ df²/2) crosses the budget AND the vocabulary is
+    // hash-collision-free (distinct terms == distinct hashes — the
+    // exactness precondition the kernel's run-sum semantics needs; on a
+    // colliding vocabulary, never observed, the counting core runs at any
+    // scale, so values are exact either way). MergeDotCosineSpec pins the
+    // two paths value-identical.
+    val cen = post.groupBy(col("term")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * col("d")), lit(0L)).as("s2"),
+        count(lit(1)).as("t"),
+        count_distinct(xxhash64(col("term"))).as("h")).head()
+    val stateBudget = sys.env.getOrElse(
+      "SPARK_GRAFT_COSINE_STATE_FREE_MIN_DF2", "1000000000").toLong
+    if (cen.getLong(0) > stateBudget && cen.getLong(1) == cen.getLong(2))
+      mergeDotCosinePairs(post, minCosPpm, maxDf)
+    else {
+      // norms are over ALL kept postings — the cap changes candidate
+      // generation, never the vector the cosine is taken against
+      val norms = postingsNorms(post)
+      cappedCosineFromPostings(post, norms, minCosPpm, maxDf)
+    }
   }
+
+  /**
+   * The STATE-FREE within-corpus cosine core (r18): cold single-token
+   * equi-join on hashed terms generates (a, b) candidate rows (one per
+   * shared cold term — Σ df² rows, LINEAR on the vocab-∝-corpus family,
+   * zero aggregation state), per-term stars keep hot-only clusters
+   * connected (the unchanged capped-recall contract), and EVERY row scores
+   * inline: both docs' FULL sorted (term-hash, weight) arrays attach via
+   * two broadcast joins, `dot_sorted` (flat merge codegen —
+   * [[graft.plans.DotSortedExpr]]) computes the exact dot over ALL kept
+   * terms (cold + hot — the ride-along correction joins of the counting
+   * core have nothing left to correct), `intersect_count_sorted` the
+   * shared-term count, and the fixed-point gate filters before a bounded
+   * distinct (qualifying rows × shared-term multiplicity only). Caller
+   * guarantees a collision-free hashed vocabulary (the census above), so
+   * values are bit-identical to the counting core — PipelineSpec's
+   * brute-force pin and DedupFuzzSpec's capped/uncapped properties run
+   * through this path at test scale.
+   */
+  private[graft] def mergeDotCosinePairs(post: DataFrame, minCosPpm: Long,
+                                         maxDf: Long): DataFrame = {
+    val hotSet = Dedup.loudWhenCapBinds(
+        post.where(col("df") > maxDf)
+          .groupBy(col("term")).agg(max(col("df")).as("df")), maxDf)
+      .select(col("term"))
+    val cold = post.join(hotSet, Seq("term"), "left_anti")
+    val hot = post.join(hotSet, Seq("term"), "left_semi")
+    // broadcast verify side: per-doc arrays over ALL kept postings, sorted
+    // by term hash (collision-free by the caller's census ⟹ a total
+    // order on terms), plus the exact postingsNorms integer norm
+    val varr = post.groupBy(col("id"))
+      .agg(sort_array(collect_list(
+        struct(xxhash64(col("term")).as("k"), col("wt")))).as("kw"),
+        floor(sqrt(sum(col("wt") * col("wt")).cast("double")))
+          .cast("long").as("nrm"))
+      .select(col("id"), expr("transform(kw, x -> x.k)").as("ks"),
+        expr("transform(kw, x -> x.wt)").as("ws"), col("nrm"))
+      .localCheckpoint()
+    val coldKeyed = cold.select(xxhash64(col("term")).as("kh"), col("id"))
+    val pairs = coldKeyed.select(col("kh"), col("id").as("a"))
+      .join(coldKeyed.select(col("kh"), col("id").as("b")), Seq("kh"))
+      .where(col("a") < col("b")).select(col("a"), col("b"))
+      .unionByName(Dedup.hotStarPairs(
+        hot.select(col("id"), col("term").as("sh"))))
+    pairs
+      .join(broadcast(varr.select(col("id").as("a"), col("ks").as("ka"),
+        col("ws").as("wa"), col("nrm").as("na"))), "a")
+      .join(broadcast(varr.select(col("id").as("b"), col("ks").as("kb"),
+        col("ws").as("wb"), col("nrm").as("nb"))), "b")
+      .select(col("a"), col("b"),
+        call_function("intersect_count_sorted", col("ka"), col("kb"))
+          .cast("long").as("n_shared"),
+        call_function("dot_sorted", col("ka"), col("wa"), col("kb"), col("wb"))
+          .as("dot"),
+        col("na"), col("nb"))
+      .select(col("a"), col("b"), col("n_shared"),
+        expr("1000000 * dot div (na * nb)").as("cos_ppm"))
+      .where(col("cos_ppm") >= minCosPpm)
+      .distinct()
+  }
+
+  /** Test accessors for the dispatch's two exact cores — MergeDotCosineSpec
+   * pins them value-identical on corpora the Σ df² gate would route to the
+   * counting core. */
+  private[graft] def buildPostingsForTest(toks: DataFrame,
+                                          maxDfDenom: Int): DataFrame =
+    buildPostings(toks, maxDfDenom)
+  private[graft] def cappedCosineForTest(post: DataFrame, minCosPpm: Long,
+                                         maxDf: Long): DataFrame =
+    cappedCosineFromPostings(post, postingsNorms(post), minCosPpm, maxDf)
 
   /** The `(id, term, wt, df)` postings construction shared by the in-session
    * pair path and the artifact writer — ONE definition of the weighting

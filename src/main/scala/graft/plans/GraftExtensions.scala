@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(WinnowSelectExpr.descriptor)
     extensions.injectFunction(CharStatsExpr.descriptor)
     extensions.injectFunction(IntersectCountSortedExpr.descriptor)
+    extensions.injectFunction(DotSortedExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }
