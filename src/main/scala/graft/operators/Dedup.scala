@@ -1143,13 +1143,32 @@ object Dedup {
    * a corpus-derived broadcast — sub-linear only because these exact pair
    * tables run on sampled diagnostic corpora; the env knob makes the budget
    * explicit). */
-  private def fitsInlineVerify(docs: DataFrame): Boolean = {
-    val budget = sys.env.getOrElse(
-      "SPARK_GRAFT_INLINE_VERIFY_MAX_POSTINGS", "150000000").toLong
-    val postings = docs
-      .agg(coalesce(sum(size(col("shingles"))), lit(0L))).head().getLong(0)
-    postings <= budget
-  }
+  private def fitsInlineVerify(postings: Long): Boolean =
+    postings <= gateKnob("graft.inline.verify.max.postings",
+      "SPARK_GRAFT_INLINE_VERIFY_MAX_POSTINGS", "150000000")
+
+  /** Dispatch knob: JVM system property (tests pin regimes per-call)
+   * overrides the env (operators set deployment-wide budgets), overrides
+   * the measured default. */
+  private def gateKnob(prop: String, env: String, dflt: String): Long =
+    sys.props.get(prop).orElse(sys.env.get(env)).getOrElse(dflt).toLong
+
+  /** Postings census feeding the dispatch gates: total shingle occurrences,
+   * one map-side-combinable aggregate over the corpus. */
+  private def postingsCensus(docs: DataFrame): Long = docs
+    .agg(coalesce(sum(size(col("shingles"))), lit(0L))).head().getLong(0)
+
+  /** Low-side gate for the SYMMETRIC Jaccard dispatch only: below this
+   * census the counting plan's single equi-join + count beats the prefix
+   * engine's two ranked materializations + hash gate on constant factors
+   * (measured on q141's corpus: ~0.9M postings → counting 5.7 s vs prefix
+   * 10.6 s; ~8.6M → counting 49.1 s vs prefix 22.4 s — crossover between,
+   * default 2M splits it). Containment is NOT gated here: its asymmetric
+   * prefix (small-side prefix × full postings) wins at every measured
+   * scale (q92: 1.82 s vs counting's 2.79 s even at sf0.1). */
+  private def preferCounting(postings: Long): Boolean =
+    postings < gateKnob("graft.prefix.min.postings",
+      "SPARK_GRAFT_PREFIX_MIN_POSTINGS", "2000000")
 
   /**
    * The prefix-filtered Jaccard join (header comment above): exact,
@@ -1241,21 +1260,30 @@ object Dedup {
   }
 
   /** Exact all-pairs Jaccard — the public entry. Dispatches on the postings
-   * census: the pigeonhole inline-verify plan (state-free, the sf100-proven
-   * shape) while the sorted verify side fits its broadcast budget, the
-   * counting plan beyond it. Both exact; PrefixPigeonholeSpec pins their
-   * equality. See [[countingJaccard]] and [[pigeonholeJaccard]]. */
+   * census, BOTH sides: the counting plan below [[preferCounting]]'s floor
+   * (cheaper on constant factors while its pair state is trivially small),
+   * the pigeonhole inline-verify plan (state-free, the sf100-proven shape)
+   * while the sorted verify side fits its broadcast budget, and the
+   * counting plan again beyond that budget (honest spill there — the
+   * broadcast assumption is the one that breaks first). All exact;
+   * PrefixPigeonholeSpec pins path equality. See [[countingJaccard]] and
+   * [[pigeonholeJaccard]]. */
   def allPairsJaccard(docs: DataFrame, threshold: Double,
-                      maxDf: Long = 10000): DataFrame =
-    if (fitsInlineVerify(docs)) pigeonholeJaccard(docs, threshold, maxDf)
+                      maxDf: Long = 10000): DataFrame = {
+    val postings = postingsCensus(docs)
+    if (!preferCounting(postings) && fitsInlineVerify(postings))
+      pigeonholeJaccard(docs, threshold, maxDf)
     else countingJaccard(docs, threshold, maxDf)
+  }
 
-  /** Asymmetric containment pairs — the public entry; same dispatch
-   * discipline as [[allPairsJaccard]]. See [[countingContainment]] and
+  /** Asymmetric containment pairs — the public entry; high-side dispatch
+   * only (the asymmetric prefix wins at every measured scale — see
+   * [[preferCounting]]). See [[countingContainment]] and
    * [[pigeonholeContainment]]. */
   def containmentPairs(docs: DataFrame, thresholdFp: Long,
                        maxDf: Long = 10000): DataFrame =
-    if (fitsInlineVerify(docs)) pigeonholeContainment(docs, thresholdFp, maxDf)
+    if (fitsInlineVerify(postingsCensus(docs)))
+      pigeonholeContainment(docs, thresholdFp, maxDf)
     else countingContainment(docs, thresholdFp, maxDf)
 
   /**

@@ -110,12 +110,30 @@ class PrefixPigeonholeSpec extends SparkSpec {
     }
   }
 
-  test("public entries dispatch to the pigeonhole plan under the budget") {
-    // the census gate must pick the inline-verify plan for test-scale
-    // corpora: its physical plan carries the native kernel, the counting
-    // plan does not
-    val plan = Dedup.allPairsJaccard(docShingles, 0.5)
+  test("public entry dispatches across all three census regimes") {
+    // the Jaccard dispatch is two-sided: counting below the prefix floor
+    // (this corpus's census is test-scale, so the DEFAULT floor routes it
+    // to counting), the inline-verify plan between floor and broadcast
+    // budget (its physical plan carries the native kernel), counting again
+    // above the budget. Pin each regime via the sys-prop knobs.
+    def plan(): String = Dedup.allPairsJaccard(docShingles, 0.5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("intersect_count_sorted"), plan.take(2000))
+    try {
+      assert(!plan().contains("intersect_count_sorted"),
+        "default floor must route a test-scale census to the counting plan")
+      sys.props("graft.prefix.min.postings") = "0"
+      assert(plan().contains("intersect_count_sorted"),
+        "floor 0 must route to the inline-verify (pigeonhole) plan")
+      sys.props("graft.inline.verify.max.postings") = "1"
+      assert(!plan().contains("intersect_count_sorted"),
+        "a census above the broadcast budget must fall back to counting")
+    } finally {
+      sys.props -= "graft.prefix.min.postings"
+      sys.props -= "graft.inline.verify.max.postings"
+    }
+    // containment stays prefix-routed at any sub-budget census (no floor)
+    val cplan = Dedup.containmentPairs(docShingles, 800000L)
+      .queryExecution.executedPlan.toString
+    assert(cplan.contains("intersect_count_sorted"), cplan.take(2000))
   }
 }
