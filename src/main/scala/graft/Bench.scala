@@ -147,16 +147,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case e: Throwable => System.err.println(s"warmup $t: $e") }
     }
-    // Shared-input cache seed (untimed): ~10 queries rebuild byte-identical
-    // shingle frames from documents.parquet; persisting them once lets the
-    // CacheManager substitute the in-memory table into each query's plan, so
-    // per-query times measure the operator, not repeated shingle extraction.
-    // Harness-only — query code is untouched and values are identical.
-    // Disable with SPARK_GRAFT_BENCH_SEED_CACHE=false for an unseeded run.
-    // lenient parse: only an explicit false/0/no/off disables — toBoolean
-    // would crash the whole bench on "0"
-    val seedCache = !Set("false", "0", "no", "off")
-      .contains(sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED_CACHE", "true")
+    // Shared-input cache seed — OFF BY DEFAULT (VERDICT r18 #2): ~13 queries
+    // rebuild byte-identical shingle frames / gram censuses from
+    // documents.parquet; persisting them once outside the timed region lets
+    // the CacheManager substitute the in-memory table into each query's
+    // timed plan, which excludes the shared derivation cost from the
+    // published numbers. The optimization-round rules classify that as
+    // untimed precomputation, so the driver-visible default is now an
+    // UNSEEDED run: every query pays its own derivation inside the timed
+    // region. Seeds-on survives as an explicit internal A/B mode
+    // (SPARK_GRAFT_BENCH_SEED_CACHE=true) for operator-isolation studies;
+    // values are identical either way (query code is untouched).
+    // lenient parse: only an explicit true/1/yes/on enables — toBoolean
+    // would crash the whole bench on "1"
+    val seedCache = Set("true", "1", "yes", "on")
+      .contains(sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED_CACHE", "false")
         .trim.toLowerCase)
     // Seed LIFETIME is scoped to the consumers (VERDICT r16 #1): the
     // generation-eval trio's census seeds cost UNRELATED queries real time
@@ -251,6 +256,12 @@ object Bench {
       }, s"disk-watchdog-$name")
       watchdog.setDaemon(true)
       watchdog.start()
+      // unseeded mode: the BPE merge-table memo is in-JVM precomputation of
+      // exactly the kind the seed cache was — min-of-N passes of q95/q118
+      // would otherwise serve pass 1's learning from the memo (VERDICT r18
+      // #2 names it into the same A/B). Clear it so every timed visit pays
+      // its own derivation.
+      if (!seedCache) graft.operators.Bpe.clearArtifacts()
       val t0 = System.nanoTime()
       try {
         execute(fn(spark, sfDir))
@@ -310,12 +321,15 @@ object Bench {
     }
 
     flush(claimed = true)
-    println(renderJson(claimed = true))
-    // FINAL stdout line: a compact total-only summary. The full per-query line
-    // above is ~3 KB and gets head-truncated by tail-capture harnesses; this
-    // one stays parseable no matter how few trailing bytes survive.
+    // Compact total-only summary FIRST (kept for eyeball greps of sbt logs),
+    // then the full per-query JSON as the FINAL stdout line: the driver
+    // parses the LAST line for its per-query comparison, and the compact
+    // line's empty `"queries":{}` was starving it (VERDICT r18 #1 — PERF's
+    // n_common was 0 for two rounds). The artifact file already survives
+    // truncation, so the full line can safely be last.
     val total = names.flatMap(best.get).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"measured":${best.size},"of":${names.size},"sf":"$sfDir"}""")
+    println(renderJson(claimed = true))
     spark.stop()
   }
 }

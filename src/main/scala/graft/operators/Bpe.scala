@@ -162,4 +162,13 @@ object Bpe {
         .orderBy(col("merge_round")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
   }
+
+  /** Bench/test hook: drop every memoised merge table so the next
+   * [[mergeArtifact]] call re-learns from the corpus. The bench's unseeded
+   * (default) mode calls this before each timed query so a min-of-N pass
+   * can never be served a previous pass's k-round learning from the in-JVM
+   * memo — the same honesty rule as the seed cache (VERDICT r18 #2). The
+   * artifact-reuse semantics of real pipelines (train once, apply anywhere)
+   * are unchanged for library callers. */
+  def clearArtifacts(): Unit = artifacts.clear()
 }

@@ -1076,13 +1076,16 @@ object Dedup {
   //    blocks; without this every channel re-derives the postings census
   //    and the ranking window (measured 3x at sf1.0).
   //
-  // 100 TB posture: every exchange is corpus-linear with ≤24-byte rows; the
-  // only sub-linear assumption is the broadcast verify side (sorted doc
-  // arrays). [[allPairsJaccard]]/[[containmentPairs]] gate on a postings
-  // census — above the broadcast budget they fall back to the counting
-  // twins, whose plan is exchange-optimal for small corpora anyway. At true
-  // 100 TB the exact all-pairs table is a sampled diagnostic by
-  // construction (q141's contract), and the sample fits the broadcast.
+  // 100 TB posture: every exchange is corpus-linear with ≤24-byte rows.
+  // The verify side is BROADCAST while it fits [[fitsInlineVerify]]'s
+  // budget and ships through a REPARTITION join above it (r19 — two
+  // sort-merge joins of the candidate stream against the doc-keyed array
+  // table, both spill-graceful, so the state-free plan no longer has ANY
+  // sub-linear assumption). [[allPairsJaccard]]/[[containmentPairs]] gate
+  // on a postings census; the counting twins survive only below the
+  // low-postings floor (constant factors) and beyond the outer budget
+  // (final resort). At true 100 TB the exact all-pairs table is a sampled
+  // diagnostic by construction (q141's contract).
   // ------------------------------------------------------------------
 
   private def intersectCountSorted(a: Column, b: Column): Column =
@@ -1096,15 +1099,28 @@ object Dedup {
     docs.select(col("id"),
       sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh"))
 
+  /** Verify-side attach strategy for the stage-(i) gates: `broadcast` while
+   * the sorted hash-array side fits [[fitsInlineVerify]]'s budget, identity
+   * (a REPARTITION join — the planner's sort-merge, spill-graceful) above
+   * it (r19, VERDICT r18 #3: the broadcast was the prefix family's last
+   * sub-linear assumption; shipping the arrays through an exchange keeps
+   * the state-free plan alive past the broadcast budget instead of falling
+   * back to the counting plan's pair-keyed aggregation spill). */
+  private def attachSide(bcast: Boolean)(df: DataFrame): DataFrame =
+    if (bcast) broadcast(df) else df
+
   /** Stage-(i) RECALL-SAFE Jaccard gate on hashed arrays: keeps every
    * (a, b) row whose OVERCOUNTING hashed intersection already meets the
    * round-4 threshold — a superset of the qualifying pairs (header
    * comment); stage (ii) decides exactly. */
   private def hashGateJac(pairs: DataFrame, hvarr: DataFrame,
-                          threshold: Double): DataFrame =
+                          threshold: Double,
+                          bcast: Boolean = true): DataFrame =
     pairs
-      .join(broadcast(hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
-      .join(broadcast(hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
+      .join(attachSide(bcast)(
+        hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
+      .join(attachSide(bcast)(
+        hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
       .withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
       .where(round(col("ch").cast("double") /
         (size(col("h_a")) + size(col("h_b")) - col("ch")).cast("double"),
@@ -1115,10 +1131,13 @@ object Dedup {
    * overcounting hashed intersection allows — (1e6·c_h) div min(sa,sb) —
    * against the fixed-point cut. */
   private def hashGateContainment(pairs: DataFrame, hvarr: DataFrame,
-                                  thresholdFp: Long): DataFrame =
+                                  thresholdFp: Long,
+                                  bcast: Boolean = true): DataFrame =
     pairs
-      .join(broadcast(hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
-      .join(broadcast(hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
+      .join(attachSide(bcast)(
+        hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
+      .join(attachSide(bcast)(
+        hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
       .withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
       .where(expr("(1000000 * ch) div least(size(h_a), size(h_b))")
         >= thresholdFp)
@@ -1146,6 +1165,17 @@ object Dedup {
   private def fitsInlineVerify(postings: Long): Boolean =
     postings <= gateKnob("graft.inline.verify.max.postings",
       "SPARK_GRAFT_INLINE_VERIFY_MAX_POSTINGS", "150000000")
+
+  /** Outer budget for the REPARTITION-join verify side (r19): above the
+   * broadcast budget the sorted hash arrays ship through an exchange
+   * instead — structurally corpus-linear (two sort-merge joins of the
+   * candidate stream against the doc-keyed array table, both
+   * spill-graceful), so the default is two decades above the broadcast
+   * budget. The counting plan survives beyond it only as the final resort
+   * (and for tests that pin the regime). */
+  private def fitsShuffleVerify(postings: Long): Boolean =
+    postings <= gateKnob("graft.shuffle.verify.max.postings",
+      "SPARK_GRAFT_SHUFFLE_VERIFY_MAX_POSTINGS", "15000000000")
 
   /** Dispatch knob: JVM system property (tests pin regimes per-call)
    * overrides the env (operators set deployment-wide budgets), overrides
@@ -1186,7 +1216,8 @@ object Dedup {
    * once per shared prefix token — bounded by the prefix length).
    */
   private[graft] def pigeonholeJaccard(docs: DataFrame, threshold: Double,
-                                       maxDf: Long = 10000): DataFrame = {
+                                       maxDf: Long = 10000,
+                                       broadcastVerify: Boolean = true): DataFrame = {
     val tp = threshold - 0.00005 // round(·,4) HALF_UP tolerance — exact
     val nonEmpty = docs.where(size(col("shingles")) > 0)
     val (cold, hot) = postingsSplit(nonEmpty, maxDf)
@@ -1211,7 +1242,7 @@ object Dedup {
       .where(col("a") < col("b")).select(col("a"), col("b"))
     val survivors = hashGateJac(
       mainPairs.unionByName(hotHavingPairs).unionByName(hotStarPairs(hotC)),
-      hashedSide(nonEmpty).localCheckpoint(), threshold)
+      hashedSide(nonEmpty).localCheckpoint(), threshold, broadcastVerify)
       .distinct()
     verifyJaccard(survivors, nonEmpty, threshold)
   }
@@ -1228,7 +1259,8 @@ object Dedup {
    * co-occurring pair the theorem requires (c ≥ 1 is implied).
    */
   private[graft] def pigeonholeContainment(docs: DataFrame, thresholdFp: Long,
-                                           maxDf: Long = 10000): DataFrame = {
+                                           maxDf: Long = 10000,
+                                           broadcastVerify: Boolean = true): DataFrame = {
     val nonEmpty = docs.where(size(col("shingles")) > 0)
     val (cold, hot) = postingsSplit(nonEmpty, maxDf)
     val hotC = hot.localCheckpoint()
@@ -1254,37 +1286,47 @@ object Dedup {
       .where(col("a") < col("b")).select(col("a"), col("b"))
     val survivors = hashGateContainment(
       mainPairs.unionByName(hotHavingPairs).unionByName(hotStarPairs(hotC)),
-      hashedSide(nonEmpty).localCheckpoint(), thresholdFp)
+      hashedSide(nonEmpty).localCheckpoint(), thresholdFp, broadcastVerify)
       .distinct()
     verifyContainment(survivors, nonEmpty, thresholdFp)
   }
 
   /** Exact all-pairs Jaccard — the public entry. Dispatches on the postings
-   * census, BOTH sides: the counting plan below [[preferCounting]]'s floor
-   * (cheaper on constant factors while its pair state is trivially small),
-   * the pigeonhole inline-verify plan (state-free, the sf100-proven shape)
-   * while the sorted verify side fits its broadcast budget, and the
-   * counting plan again beyond that budget (honest spill there — the
-   * broadcast assumption is the one that breaks first). All exact;
-   * PrefixPigeonholeSpec pins path equality. See [[countingJaccard]] and
+   * census, FOUR tiers (r19 adds the third): the counting plan below
+   * [[preferCounting]]'s floor (cheaper on constant factors while its pair
+   * state is trivially small), the pigeonhole plan with a BROADCAST verify
+   * side while it fits the broadcast budget, the pigeonhole plan with a
+   * REPARTITION-join verify side up to [[fitsShuffleVerify]]'s outer budget
+   * (state-free at any measured scale — the broadcast was the last
+   * sub-linear assumption, VERDICT r18 #3), and the counting plan as the
+   * final resort beyond that. All exact; PrefixPigeonholeSpec pins path
+   * equality across every tier. See [[countingJaccard]] and
    * [[pigeonholeJaccard]]. */
   def allPairsJaccard(docs: DataFrame, threshold: Double,
                       maxDf: Long = 10000): DataFrame = {
     val postings = postingsCensus(docs)
-    if (!preferCounting(postings) && fitsInlineVerify(postings))
+    if (preferCounting(postings)) countingJaccard(docs, threshold, maxDf)
+    else if (fitsInlineVerify(postings))
       pigeonholeJaccard(docs, threshold, maxDf)
+    else if (fitsShuffleVerify(postings))
+      pigeonholeJaccard(docs, threshold, maxDf, broadcastVerify = false)
     else countingJaccard(docs, threshold, maxDf)
   }
 
   /** Asymmetric containment pairs — the public entry; high-side dispatch
    * only (the asymmetric prefix wins at every measured scale — see
-   * [[preferCounting]]). See [[countingContainment]] and
-   * [[pigeonholeContainment]]. */
+   * [[preferCounting]]), with the same r19 repartition-verify tier between
+   * the broadcast budget and the outer budget. See [[countingContainment]]
+   * and [[pigeonholeContainment]]. */
   def containmentPairs(docs: DataFrame, thresholdFp: Long,
-                       maxDf: Long = 10000): DataFrame =
-    if (fitsInlineVerify(postingsCensus(docs)))
+                       maxDf: Long = 10000): DataFrame = {
+    val postings = postingsCensus(docs)
+    if (fitsInlineVerify(postings))
       pigeonholeContainment(docs, thresholdFp, maxDf)
+    else if (fitsShuffleVerify(postings))
+      pigeonholeContainment(docs, thresholdFp, maxDf, broadcastVerify = false)
     else countingContainment(docs, thresholdFp, maxDf)
+  }
 
   /**
    * Exact all-pairs Jaccard with PREFIX FILTERING — the candidate-pruned
