@@ -794,6 +794,34 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /**
+   * [[verifyJaccard]] behind the r18 RECALL-SAFE hash gate — the two-stage
+   * verify for LSH-candidate callers (r19, guide §1.2 per-task work +
+   * §2.3 lightweight proxies). The q116 phase profile measured the exact
+   * string-array verify at 23–26 µs/candidate with a 1.9% pass rate at
+   * θ=0.8 (sf10: 31.3 s over 1.34M candidates → 25,600 survivors), so 98%
+   * of the work scored pairs that were about to be dropped. Stage (i) gates
+   * EVERY candidate with `intersect_count_sorted` over the docs' sorted
+   * xxhash64 arrays (~50 ns/row, whole-stage codegen, no broadcast — the
+   * planner picks the join; at corpus scale both sides ship ≤16-byte keys
+   * plus the hashed arrays, strictly smaller than the string arrays the
+   * exact join ships); stage (ii) is the unchanged exact [[verifyJaccard]]
+   * over the survivors only. Values are IDENTICAL: the hashed intersection
+   * can only OVERCOUNT (Σ_v min(mult) ≥ |common|, and c ↦ c/(sa+sb−c) is
+   * monotone), so the gate passes a superset of qualifying pairs and the
+   * exact stage decides — collision flukes die there (the r18
+   * pigeonhole argument, pinned in GatedVerifySpec).
+   *
+   * NOT used by [[countingJaccard]]'s star channel (usually empty — the
+   * gate's two extra corpus scans would be pure overhead) or by the
+   * pigeonhole paths (their candidates are already gated).
+   */
+  def verifyJaccardGated(candidates: DataFrame, docs: DataFrame,
+                         threshold: Double): DataFrame =
+    verifyJaccard(
+      hashGateJac(candidates, hashedSide(docs), threshold, bcast = false),
+      docs, threshold)
+
   /** Postings (id, sz, sh) split at the df cap: (cold, hot). The census
    * reduces to the HOT SHINGLE SET only — ≤ total-postings/maxDf rows by
    * pigeonhole, usually a handful of boilerplate strings, so AQE broadcasts

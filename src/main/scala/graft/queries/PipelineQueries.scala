@@ -506,9 +506,13 @@ object PipelineQueries {
       // while the false-candidate rate at the word-salad background sim (~0.2)
       // stays ~10x lower than 2-row bands. The oracle is the full quadratic
       // scan — a hash match PROVES the LSH recall on this corpus.
-      val docs = docShingles(s, d, 2)
+      // materialize the shingle frame ONCE (the q112/q97 multi-consumer
+      // rule): candidates, the hash gate's two sides and the exact verify's
+      // two sides all read it — without the checkpoint the extraction runs
+      // up to 5x per visit now that the bench no longer seeds it
+      val docs = docShingles(s, d, 2).localCheckpoint()
       val candidates = Dedup.minhashCandidates(docs, k = 36, bands = 12)
-      Dedup.verifyJaccard(candidates, docs, 0.8)
+      Dedup.verifyJaccardGated(candidates, docs, 0.8)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -629,8 +633,8 @@ object PipelineQueries {
       // the full dedup pipeline end-to-end: MinHash-LSH candidates → exact
       // Jaccard verify (the q32 pairs) → connected components → one cluster
       // row per survivor (= min id), with the member list
-      val docs = docShingles(s, d, 2)
-      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      val docs = docShingles(s, d, 2).localCheckpoint() // multi-consumer rule
+      val pairs = Dedup.verifyJaccardGated(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       Dedup.components(pairs)
         .groupBy(col("component").as("keep_id"))
         .agg(count(lit(1)).as("n_members"),
@@ -1090,8 +1094,8 @@ object PipelineQueries {
       // cluster, and the split draw hashes the cluster REPRESENTATIVE — so a
       // doc and its paraphrase can never straddle the split. The oracle
       // recomputes components by recursive transitive closure.
-      val docs = docShingles(s, d, 2)
-      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      val docs = docShingles(s, d, 2).localCheckpoint() // multi-consumer rule
+      val pairs = Dedup.verifyJaccardGated(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       CorpusOps.leakageSafeSplit(Tables.documents(s, d), col("doc_id"),
           pairs, "lss", trainPct = 80, valPct = 10)
         .select(col("id").as("doc_id"), col("cluster"), col("split"))
@@ -1173,8 +1177,8 @@ object PipelineQueries {
       // corpus-side equi-join + a per-cluster aggregation + a constant
       // |buckets|-row rollup. The keeper is the min-id doc (q41's
       // convention); its tokens survive, the rest are "removed".
-      val docs = docShingles(s, d, 2)
-      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      val docs = docShingles(s, d, 2).localCheckpoint() // multi-consumer rule
+      val pairs = Dedup.verifyJaccardGated(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       val comp = Dedup.componentsStar(pairs)
         .select(col("id").as("cid"), col("component"))
       val toks = Tables.documents(s, d).select(col("doc_id"),
@@ -1556,12 +1560,12 @@ object PipelineQueries {
       // incremental path equals the full recompute (label takeover and
       // cluster bridging included — even/odd interleaving makes new minima
       // routine, not edge cases).
-      val docs = docShingles(s, d, 2)
+      val docs = docShingles(s, d, 2).localCheckpoint() // multi-consumer rule
       val old = docs.where(col("id") % 2 === 0)
       val nw = docs.where(col("id") % 2 === 1)
-      val oldPairs = Dedup.verifyJaccard(
+      val oldPairs = Dedup.verifyJaccardGated(
         Dedup.minhashCandidates(old, 36, 12), docs, 0.8)
-      val delta = Dedup.verifyJaccard(
+      val delta = Dedup.verifyJaccardGated(
         Dedup.incrementalCandidates(nw, old, 36, 12)
           .unionByName(Dedup.minhashCandidates(nw, 36, 12))
           .distinct(),
@@ -1759,8 +1763,8 @@ object PipelineQueries {
       // scale-safe formulation; a hub vertex of degree 10⁶ contributes
       // wedges only toward HIGHER-degree vertices, never d² pairs. All
       // equi-joins; ties in the orientation order break by id.
-      val docs = docShingles(s, d, 2)
-      val pairs = Dedup.verifyJaccard(
+      val docs = docShingles(s, d, 2).localCheckpoint() // multi-consumer rule
+      val pairs = Dedup.verifyJaccardGated(
         Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       graft.operators.Graph.triangles(
           pairs.select(col("a").as("u"), col("b").as("v")))
@@ -2007,8 +2011,8 @@ object PipelineQueries {
       // over the same verified near-dup pairs — same (survivor, members)
       // contract, same recursive-CTE oracle shape as q41, so the two
       // formulations are independently oracle-proven equivalent
-      val docs = docShingles(s, d, 2)
-      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      val docs = docShingles(s, d, 2).localCheckpoint() // multi-consumer rule
+      val pairs = Dedup.verifyJaccardGated(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       Dedup.componentsStar(pairs)
         .groupBy(col("component").as("keep_id"))
         .agg(count(lit(1)).as("n_members"),
@@ -2196,8 +2200,8 @@ object PipelineQueries {
       // the q32-vs-quadratic-oracle gate, which shares the candidate path) —
       // a testdata refresh that defeats banding would flip this red, not
       // silently degrade.
-      val docs = docShingles(s, d, 2)
-      val pairs = Dedup.verifyJaccard(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
+      val docs = docShingles(s, d, 2).localCheckpoint() // multi-consumer rule
+      val pairs = Dedup.verifyJaccardGated(Dedup.minhashCandidates(docs, 36, 12), docs, 0.8)
       val w = T.tokens(col("text"))
       val nTok = size(w).cast("double")
       val stopRatio = size(filter(w, x => x.isin("the", "a"))).cast("double") / nTok
@@ -3039,7 +3043,7 @@ object PipelineQueries {
       val halfSq = "(select (max(id) + 1) div 2 from q97_shingles)"
       val newDocs = all.where(expr(s"id >= $halfSq"))
       val oldDocs = all.where(expr(s"id < $halfSq"))
-      Dedup.verifyJaccard(
+      Dedup.verifyJaccardGated(
           Dedup.incrementalCandidates(newDocs, oldDocs, k = 36, bands = 12), all, 0.8)
         .orderBy(col("a"), col("b"))
     }),
