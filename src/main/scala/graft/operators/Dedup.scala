@@ -802,10 +802,10 @@ object Dedup {
    * θ=0.8 (sf10: 31.3 s over 1.34M candidates → 25,600 survivors), so 98%
    * of the work scored pairs that were about to be dropped. Stage (i) gates
    * EVERY candidate with `intersect_count_sorted` over the docs' sorted
-   * xxhash64 arrays (~50 ns/row, whole-stage codegen, no broadcast — the
-   * planner picks the join; at corpus scale both sides ship ≤16-byte keys
-   * plus the hashed arrays, strictly smaller than the string arrays the
-   * exact join ships); stage (ii) is the unchanged exact [[verifyJaccard]]
+   * xxhash64 arrays (~50 ns/row, whole-stage codegen, attached map-side via
+   * [[chunkedGate]] — one broadcast while the corpus census fits the
+   * budget, broadcast-sized slices above it, the candidate stream never
+   * shuffled with arrays attached); stage (ii) is the unchanged exact [[verifyJaccard]]
    * over the survivors only. Values are IDENTICAL: the hashed intersection
    * can only OVERCOUNT (Σ_v min(mult) ≥ |common|, and c ↦ c/(sa+sb−c) is
    * monotone), so the gate passes a superset of qualifying pairs and the
@@ -817,10 +817,16 @@ object Dedup {
    * pigeonhole paths (their candidates are already gated).
    */
   def verifyJaccardGated(candidates: DataFrame, docs: DataFrame,
-                         threshold: Double): DataFrame =
-    verifyJaccard(
-      hashGateJac(candidates, hashedSide(docs), threshold, bcast = false),
+                         threshold: Double): DataFrame = {
+    val k = gateChunks(postingsCensus(docs))
+    // past the chunk cap the gate's slice union stops paying — the plain
+    // exact verify is the honest fallback (the gate is an optimization,
+    // never a requirement)
+    if (k > maxGateChunks) verifyJaccard(candidates, docs, threshold)
+    else verifyJaccard(
+      hashGateJac(candidates, hashedSide(docs), threshold, chunks = k),
       docs, threshold)
+  }
 
   /** Postings (id, sz, sh) split at the df cap: (cold, hot). The census
    * reduces to the HOT SHINGLE SET only — ≤ total-postings/maxDf rows by
@@ -1105,12 +1111,12 @@ object Dedup {
   //    and the ranking window (measured 3x at sf1.0).
   //
   // 100 TB posture: every exchange is corpus-linear with ≤24-byte rows.
-  // The verify side is BROADCAST while it fits [[fitsInlineVerify]]'s
-  // budget and ships through a REPARTITION join above it (r19 — two
-  // sort-merge joins of the candidate stream against the doc-keyed array
-  // table, both spill-graceful, so the state-free plan no longer has ANY
-  // sub-linear assumption). [[allPairsJaccard]]/[[containmentPairs]] gate
-  // on a postings census; the counting twins survive only below the
+  // The verify side is ONE broadcast while it fits [[fitsInlineVerify]]'s
+  // budget and K broadcast-sized map-side slices above it (r19
+  // [[chunkedGate]] — the candidate stream is NEVER shuffled carrying
+  // attached arrays; the naive repartition-join alternative measurably
+  // filled the disk at sf100). [[allPairsJaccard]]/[[containmentPairs]]
+  // gate on a postings census; the counting twins survive only below the
   // low-postings floor (constant factors) and beyond the outer budget
   // (final resort). At true 100 TB the exact all-pairs table is a sampled
   // diagnostic by construction (q141's contract).
@@ -1127,49 +1133,64 @@ object Dedup {
     docs.select(col("id"),
       sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh"))
 
-  /** Verify-side attach strategy for the stage-(i) gates: `broadcast` while
-   * the sorted hash-array side fits [[fitsInlineVerify]]'s budget, identity
-   * (a REPARTITION join — the planner's sort-merge, spill-graceful) above
-   * it (r19, VERDICT r18 #3: the broadcast was the prefix family's last
-   * sub-linear assumption; shipping the arrays through an exchange keeps
-   * the state-free plan alive past the broadcast budget instead of falling
-   * back to the counting plan's pair-keyed aggregation spill). */
-  private def attachSide(bcast: Boolean)(df: DataFrame): DataFrame =
-    if (bcast) broadcast(df) else df
+  /**
+   * Attach both gate sides and evaluate `cond` over them, in `chunks²`
+   * MAP-SIDE-ONLY branches (r19, VERDICT r18 #3). chunks = 1 is the r18
+   * shape: both sides broadcast whole. chunks = K ≥ 2 is the
+   * past-the-broadcast-budget tier: the verify side is sliced
+   * deterministically by `pmod(xxhash64(id), K)` into K broadcast-sized
+   * pieces and the candidate stream joins each (i, j) slice pair map-side,
+   * the branches unioned. The candidate stream is NEVER shuffled carrying
+   * an attached array — the naive repartition-join alternative was
+   * MEASURED fatal at sf100 (join 2 re-exchanges the stream widened by the
+   * a-side arrays: ~400 B × billions of rows; the run drove 80 GB of disk
+   * to the 8 GB floor and was cancelled — `bench_r19_shuffleverify_sf100`'s
+   * first attempt). The stream subplan is identical across branches, so
+   * its exchange is planned once and reused (K² scans of the reused
+   * shuffle, sequential disk reads); each slice build scans the
+   * checkpointed hvarr once. Work and output are branch-disjoint by
+   * construction (every (a, b) row lands in exactly one (i, j) slice
+   * pair), so the union is a disjoint partition of the r18 plan's rows —
+   * values identical, no corpus-sized state, no oversized broadcast.
+   */
+  private def chunkedGate(pairs: DataFrame, hvarr: DataFrame, chunks: Int)
+                         (cond: DataFrame => DataFrame): DataFrame = {
+    def side(role: String, i: Int): DataFrame = {
+      val base =
+        if (chunks <= 1) hvarr
+        else hvarr.where(pmod(xxhash64(col("id")), lit(chunks)) === i)
+      broadcast(base.select(col("id").as(role), col("hsh").as(s"h_$role")))
+    }
+    val branches = for (i <- 0 until math.max(1, chunks);
+                        j <- 0 until math.max(1, chunks)) yield
+      cond(pairs.join(side("a", i), "a").join(side("b", j), "b"))
+        .select(col("a"), col("b"))
+    branches.reduce(_ unionByName _)
+  }
 
   /** Stage-(i) RECALL-SAFE Jaccard gate on hashed arrays: keeps every
    * (a, b) row whose OVERCOUNTING hashed intersection already meets the
    * round-4 threshold — a superset of the qualifying pairs (header
-   * comment); stage (ii) decides exactly. */
+   * comment); stage (ii) decides exactly. `chunks` per [[chunkedGate]]. */
   private def hashGateJac(pairs: DataFrame, hvarr: DataFrame,
                           threshold: Double,
-                          bcast: Boolean = true): DataFrame =
-    pairs
-      .join(attachSide(bcast)(
-        hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
-      .join(attachSide(bcast)(
-        hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
-      .withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
-      .where(round(col("ch").cast("double") /
-        (size(col("h_a")) + size(col("h_b")) - col("ch")).cast("double"),
-        4) >= threshold)
-      .select(col("a"), col("b"))
+                          chunks: Int = 1): DataFrame =
+    chunkedGate(pairs, hvarr, chunks)(
+      _.withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
+        .where(round(col("ch").cast("double") /
+          (size(col("h_a")) + size(col("h_b")) - col("ch")).cast("double"),
+          4) >= threshold))
 
   /** Stage-(i) RECALL-SAFE containment gate: the best DIRECTED ratio the
    * overcounting hashed intersection allows — (1e6·c_h) div min(sa,sb) —
-   * against the fixed-point cut. */
+   * against the fixed-point cut. `chunks` per [[chunkedGate]]. */
   private def hashGateContainment(pairs: DataFrame, hvarr: DataFrame,
                                   thresholdFp: Long,
-                                  bcast: Boolean = true): DataFrame =
-    pairs
-      .join(attachSide(bcast)(
-        hvarr.select(col("id").as("a"), col("hsh").as("h_a"))), "a")
-      .join(attachSide(bcast)(
-        hvarr.select(col("id").as("b"), col("hsh").as("h_b"))), "b")
-      .withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
-      .where(expr("(1000000 * ch) div least(size(h_a), size(h_b))")
-        >= thresholdFp)
-      .select(col("a"), col("b"))
+                                  chunks: Int = 1): DataFrame =
+    chunkedGate(pairs, hvarr, chunks)(
+      _.withColumn("ch", intersectCountSorted(col("h_a"), col("h_b")).cast("long"))
+        .where(expr("(1000000 * ch) div least(size(h_a), size(h_b))")
+          >= thresholdFp))
 
   /** Cold postings ranked under the global (df asc, token) total order:
    * (id, sz, sh, rk, np) with sz the FULL set size, rk the 1-based position
@@ -1194,16 +1215,23 @@ object Dedup {
     postings <= gateKnob("graft.inline.verify.max.postings",
       "SPARK_GRAFT_INLINE_VERIFY_MAX_POSTINGS", "150000000")
 
-  /** Outer budget for the REPARTITION-join verify side (r19): above the
-   * broadcast budget the sorted hash arrays ship through an exchange
-   * instead — structurally corpus-linear (two sort-merge joins of the
-   * candidate stream against the doc-keyed array table, both
-   * spill-graceful), so the default is two decades above the broadcast
-   * budget. The counting plan survives beyond it only as the final resort
-   * (and for tests that pin the regime). */
-  private def fitsShuffleVerify(postings: Long): Boolean =
-    postings <= gateKnob("graft.shuffle.verify.max.postings",
-      "SPARK_GRAFT_SHUFFLE_VERIFY_MAX_POSTINGS", "15000000000")
+  /** Chunk count for [[chunkedGate]]: 1 while the whole verify side fits
+   * the broadcast budget, else ⌈census / budget⌉ broadcast-sized slices. */
+  private def gateChunks(postings: Long): Int = {
+    val budget = gateKnob("graft.inline.verify.max.postings",
+      "SPARK_GRAFT_INLINE_VERIFY_MAX_POSTINGS", "150000000")
+    math.max(1, ((postings + budget - 1) / budget).toInt)
+  }
+
+  /** Ceiling on [[chunkedGate]]'s slice count (r19): the branch count is
+   * K², each branch re-scans the candidate stream's reused exchange, so the
+   * tier stops paying past a few slices — beyond the cap the dispatch
+   * falls back to the counting plan (final resort). Default 3 extends the
+   * state-free family to 3× the broadcast budget (450M postings) at ≤9
+   * branches. */
+  private def maxGateChunks: Int =
+    gateKnob("graft.verify.max.chunks", "SPARK_GRAFT_VERIFY_MAX_CHUNKS",
+      "3").toInt
 
   /** Dispatch knob: JVM system property (tests pin regimes per-call)
    * overrides the env (operators set deployment-wide budgets), overrides
@@ -1245,7 +1273,7 @@ object Dedup {
    */
   private[graft] def pigeonholeJaccard(docs: DataFrame, threshold: Double,
                                        maxDf: Long = 10000,
-                                       broadcastVerify: Boolean = true): DataFrame = {
+                                       verifyChunks: Int = 1): DataFrame = {
     val tp = threshold - 0.00005 // round(·,4) HALF_UP tolerance — exact
     val nonEmpty = docs.where(size(col("shingles")) > 0)
     val (cold, hot) = postingsSplit(nonEmpty, maxDf)
@@ -1270,7 +1298,7 @@ object Dedup {
       .where(col("a") < col("b")).select(col("a"), col("b"))
     val survivors = hashGateJac(
       mainPairs.unionByName(hotHavingPairs).unionByName(hotStarPairs(hotC)),
-      hashedSide(nonEmpty).localCheckpoint(), threshold, broadcastVerify)
+      hashedSide(nonEmpty).localCheckpoint(), threshold, verifyChunks)
       .distinct()
     verifyJaccard(survivors, nonEmpty, threshold)
   }
@@ -1288,7 +1316,7 @@ object Dedup {
    */
   private[graft] def pigeonholeContainment(docs: DataFrame, thresholdFp: Long,
                                            maxDf: Long = 10000,
-                                           broadcastVerify: Boolean = true): DataFrame = {
+                                           verifyChunks: Int = 1): DataFrame = {
     val nonEmpty = docs.where(size(col("shingles")) > 0)
     val (cold, hot) = postingsSplit(nonEmpty, maxDf)
     val hotC = hot.localCheckpoint()
@@ -1314,7 +1342,7 @@ object Dedup {
       .where(col("a") < col("b")).select(col("a"), col("b"))
     val survivors = hashGateContainment(
       mainPairs.unionByName(hotHavingPairs).unionByName(hotStarPairs(hotC)),
-      hashedSide(nonEmpty).localCheckpoint(), thresholdFp, broadcastVerify)
+      hashedSide(nonEmpty).localCheckpoint(), thresholdFp, verifyChunks)
       .distinct()
     verifyContainment(survivors, nonEmpty, thresholdFp)
   }
@@ -1322,37 +1350,34 @@ object Dedup {
   /** Exact all-pairs Jaccard — the public entry. Dispatches on the postings
    * census, FOUR tiers (r19 adds the third): the counting plan below
    * [[preferCounting]]'s floor (cheaper on constant factors while its pair
-   * state is trivially small), the pigeonhole plan with a BROADCAST verify
-   * side while it fits the broadcast budget, the pigeonhole plan with a
-   * REPARTITION-join verify side up to [[fitsShuffleVerify]]'s outer budget
-   * (state-free at any measured scale — the broadcast was the last
-   * sub-linear assumption, VERDICT r18 #3), and the counting plan as the
-   * final resort beyond that. All exact; PrefixPigeonholeSpec pins path
-   * equality across every tier. See [[countingJaccard]] and
-   * [[pigeonholeJaccard]]. */
+   * state is trivially small), the pigeonhole plan with a single BROADCAST
+   * verify side while it fits the broadcast budget, the pigeonhole plan
+   * with a CHUNKED map-side verify ([[chunkedGate]] — K broadcast-sized
+   * slices, K² unioned branches, the candidate stream never shuffled with
+   * arrays attached) while K ≤ [[maxGateChunks]], and the counting plan as
+   * the final resort beyond that. All exact;
+   * PrefixPigeonholeSpec pins path equality across every tier. See
+   * [[countingJaccard]] and [[pigeonholeJaccard]]. */
   def allPairsJaccard(docs: DataFrame, threshold: Double,
                       maxDf: Long = 10000): DataFrame = {
     val postings = postingsCensus(docs)
+    val k = gateChunks(postings)
     if (preferCounting(postings)) countingJaccard(docs, threshold, maxDf)
-    else if (fitsInlineVerify(postings))
-      pigeonholeJaccard(docs, threshold, maxDf)
-    else if (fitsShuffleVerify(postings))
-      pigeonholeJaccard(docs, threshold, maxDf, broadcastVerify = false)
+    else if (k <= maxGateChunks)
+      pigeonholeJaccard(docs, threshold, maxDf, k)
     else countingJaccard(docs, threshold, maxDf)
   }
 
   /** Asymmetric containment pairs — the public entry; high-side dispatch
    * only (the asymmetric prefix wins at every measured scale — see
-   * [[preferCounting]]), with the same r19 repartition-verify tier between
-   * the broadcast budget and the outer budget. See [[countingContainment]]
-   * and [[pigeonholeContainment]]. */
+   * [[preferCounting]]), with the same r19 chunked-verify tier between the
+   * broadcast budget and the chunk cap. See [[countingContainment]] and
+   * [[pigeonholeContainment]]. */
   def containmentPairs(docs: DataFrame, thresholdFp: Long,
                        maxDf: Long = 10000): DataFrame = {
-    val postings = postingsCensus(docs)
-    if (fitsInlineVerify(postings))
-      pigeonholeContainment(docs, thresholdFp, maxDf)
-    else if (fitsShuffleVerify(postings))
-      pigeonholeContainment(docs, thresholdFp, maxDf, broadcastVerify = false)
+    val k = gateChunks(postingsCensus(docs))
+    if (k <= maxGateChunks)
+      pigeonholeContainment(docs, thresholdFp, maxDf, k)
     else countingContainment(docs, thresholdFp, maxDf)
   }
 

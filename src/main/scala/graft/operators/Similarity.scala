@@ -436,11 +436,15 @@ object Similarity {
     val cen = post.groupBy(col("term")).agg(count(lit(1)).as("d"))
       .agg(coalesce(sum(col("d") * col("d")), lit(0L)).as("s2"),
         count(lit(1)).as("t"),
-        count_distinct(xxhash64(col("term"))).as("h")).head()
+        count_distinct(xxhash64(col("term"))).as("h"),
+        coalesce(max(col("d")), lit(0L)).as("m")).head()
     val stateBudget = sys.env.getOrElse(
       "SPARK_GRAFT_COSINE_STATE_FREE_MIN_DF2", "1000000000").toLong
     if (cen.getLong(0) > stateBudget && cen.getLong(1) == cen.getLong(2))
-      mergeDotCosinePairs(post, minCosPpm, maxDf)
+      // hotFree rides the same census (max kept df ≤ cap ⟹ the hot set is
+      // empty ⟹ the exactly-once emission below is recall-safe)
+      mergeDotCosinePairs(post, minCosPpm, maxDf,
+        hotFree = cen.getLong(3) <= maxDf)
     else {
       // norms are over ALL kept postings — the cap changes candidate
       // generation, never the vector the cosine is taken against
@@ -467,8 +471,23 @@ object Similarity {
    * brute-force pin and DedupFuzzSpec's capped/uncapped properties run
    * through this path at test scale.
    */
+  /** @param hotFree caller-proven "the df cap does not bind on this postings
+   * frame" (max kept df ≤ maxDf — ridden on the dispatch census). When true,
+   * the candidate join emits each pair EXACTLY ONCE: a row survives only if
+   * its join hash equals `min_common_sorted(ka, kb)` — recall-safe because
+   * with no hot terms every common hash of the two arrays is a join key the
+   * cold equi-join produced, so the minimal one is always represented
+   * (collision rows included: equal hashes join regardless of the term
+   * strings, and duplicate emissions die in the retained distinct). The
+   * r19 probe measured multiplicity 19.6 on q126's corpus at sf10 with the
+   * distinct at 35.2 s of the 46.9 s pipeline — this filter shrinks that
+   * exchange by the multiplicity factor for one early-exit merge per row.
+   * When false (a binding cap — hot terms exist and a pair's minimal common
+   * hash may be hot, i.e. never a join key), the full-multiplicity emission
+   * stands: correctness first. */
   private[graft] def mergeDotCosinePairs(post: DataFrame, minCosPpm: Long,
-                                         maxDf: Long): DataFrame = {
+                                         maxDf: Long,
+                                         hotFree: Boolean = false): DataFrame = {
     val hotSet = Dedup.loudWhenCapBinds(
         post.where(col("df") > maxDf)
           .groupBy(col("term")).agg(max(col("df")).as("df")), maxDf)
@@ -487,16 +506,26 @@ object Similarity {
         expr("transform(kw, x -> x.wt)").as("ws"), col("nrm"))
       .localCheckpoint()
     val coldKeyed = cold.select(xxhash64(col("term")).as("kh"), col("id"))
+    // the join key rides along (kh) so the hotFree exactly-once filter can
+    // compare it against the pair's minimal common hash; star rows carry a
+    // null kh and always pass (they only exist when the cap binds, i.e.
+    // when hotFree is false and the filter is off anyway)
     val pairs = coldKeyed.select(col("kh"), col("id").as("a"))
       .join(coldKeyed.select(col("kh"), col("id").as("b")), Seq("kh"))
-      .where(col("a") < col("b")).select(col("a"), col("b"))
+      .where(col("a") < col("b")).select(col("a"), col("b"), col("kh"))
       .unionByName(Dedup.hotStarPairs(
-        hot.select(col("id"), col("term").as("sh"))))
-    pairs
+          hot.select(col("id"), col("term").as("sh")))
+        .withColumn("kh", lit(null).cast("long")))
+    val attached = pairs
       .join(broadcast(varr.select(col("id").as("a"), col("ks").as("ka"),
         col("ws").as("wa"), col("nrm").as("na"))), "a")
       .join(broadcast(varr.select(col("id").as("b"), col("ks").as("kb"),
         col("ws").as("wb"), col("nrm").as("nb"))), "b")
+    val once =
+      if (hotFree) attached.where(col("kh").isNull ||
+        col("kh") === call_function("min_common_sorted", col("ka"), col("kb")))
+      else attached
+    once
       .select(col("a"), col("b"),
         call_function("intersect_count_sorted", col("ka"), col("kb"))
           .cast("long").as("n_shared"),

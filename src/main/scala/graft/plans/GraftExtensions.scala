@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(CharStatsExpr.descriptor)
     extensions.injectFunction(IntersectCountSortedExpr.descriptor)
     extensions.injectFunction(DotSortedExpr.descriptor)
+    extensions.injectFunction(MinCommonSortedExpr.descriptor)
     extensions.injectOptimizerRule(_ => CosineRewriteRule)
   }
 }

@@ -53,4 +53,20 @@ class MergeDotCosineSpec extends SparkSpec {
     assert(counting.nonEmpty)
     assert(merged == counting)
   }
+
+  test("exactly-once emission (hotFree) equals full-multiplicity emission") {
+    // the r19 min_common_sorted filter: on a cap-free postings frame every
+    // pair must survive exactly once through its minimal common hash — the
+    // OUTPUT must be identical to both the unfiltered merge-dot and the
+    // counting core, at a permissive threshold (multiplicity > 1 pairs) and
+    // at q126's production threshold
+    for (minCos <- Seq(0L, 500000L)) {
+      val post = Similarity.buildPostingsForTest(toks, 2).localCheckpoint()
+      val counting = rows(Similarity.cappedCosineForTest(post, minCos, Long.MaxValue))
+      val oncePath = rows(Similarity.mergeDotCosinePairs(post, minCos,
+        Long.MaxValue, hotFree = true))
+      assert(counting.nonEmpty, s"vacuous at minCos=$minCos")
+      assert(oncePath == counting, s"minCosPpm $minCos")
+    }
+  }
 }

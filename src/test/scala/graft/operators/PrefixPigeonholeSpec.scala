@@ -38,11 +38,11 @@ class PrefixPigeonholeSpec extends SparkSpec {
       val pigeon = jacSet(Dedup.pigeonholeJaccard(docShingles, t))
       assert(counting.nonEmpty, s"vacuous at t=$t")
       assert(pigeon == counting, s"threshold $t")
-      // r19 repartition-verify tier: same values with the gate's array side
-      // shipped through an exchange instead of a broadcast
-      val shuffled = jacSet(
-        Dedup.pigeonholeJaccard(docShingles, t, broadcastVerify = false))
-      assert(shuffled == counting, s"shuffle-verify threshold $t")
+      // r19 chunked-verify tier: same values with the gate's array side
+      // sliced into 3 map-side broadcast pieces (9 unioned branches)
+      val chunked = jacSet(
+        Dedup.pigeonholeJaccard(docShingles, t, verifyChunks = 3))
+      assert(chunked == counting, s"chunked-verify threshold $t")
     }
   }
 
@@ -52,9 +52,9 @@ class PrefixPigeonholeSpec extends SparkSpec {
       val pigeon = contSet(Dedup.pigeonholeContainment(docShingles, tfp))
       assert(counting.nonEmpty, s"vacuous at tfp=$tfp")
       assert(pigeon == counting, s"thresholdFp $tfp")
-      val shuffled = contSet(
-        Dedup.pigeonholeContainment(docShingles, tfp, broadcastVerify = false))
-      assert(shuffled == counting, s"shuffle-verify thresholdFp $tfp")
+      val chunked = contSet(
+        Dedup.pigeonholeContainment(docShingles, tfp, verifyChunks = 3))
+      assert(chunked == counting, s"chunked-verify thresholdFp $tfp")
     }
   }
 
@@ -121,19 +121,15 @@ class PrefixPigeonholeSpec extends SparkSpec {
   test("public entry dispatches across all four census regimes") {
     // the Jaccard dispatch is four-tier (r19): counting below the prefix
     // floor (this corpus's census is test-scale, so the DEFAULT floor
-    // routes it to counting), the BROADCAST-verify pigeonhole plan between
-    // floor and broadcast budget, the REPARTITION-verify pigeonhole plan
-    // between broadcast budget and the outer budget (kernel present, no
-    // broadcast gate join in the static plan), counting again above the
-    // outer budget. Pin each regime via the sys-prop knobs.
+    // routes it to counting), the one-broadcast pigeonhole plan between
+    // floor and broadcast budget, the CHUNKED-verify pigeonhole plan while
+    // ⌈census/budget⌉ ≤ the chunk cap (K² unioned map-side branches —
+    // pinned by the Union + slice filters in the plan), counting again
+    // beyond the cap. Pin each regime via the sys-prop knobs.
     def plan(): String = Dedup.allPairsJaccard(docShingles, 0.5)
       .queryExecution.executedPlan.toString
-    // at test scale the checkpointed array side is tiny, so the planner
-    // auto-broadcasts EVERY join and the tiers would be indistinguishable;
-    // disabling auto-broadcast leaves only the explicit broadcast() hints —
-    // exactly the distinction the repartition-verify tier is about
-    val abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val postings = docShingles
+      .agg(sum(size(col("shingles")))).head().getLong(0)
     try {
       assert(!plan().contains("intersect_count_sorted"),
         "default floor must route a test-scale census to the counting plan")
@@ -141,24 +137,28 @@ class PrefixPigeonholeSpec extends SparkSpec {
       val bc = plan()
       assert(bc.contains("intersect_count_sorted"),
         "floor 0 must route to the inline-verify (pigeonhole) plan")
-      assert(bc.contains("BroadcastHashJoin"),
-        "below the broadcast budget the gate side must be broadcast")
-      sys.props("graft.inline.verify.max.postings") = "1"
-      val sh = plan()
-      assert(sh.contains("intersect_count_sorted"),
+      assert(!bc.contains("pmod(xxhash64(id"),
+        "below the broadcast budget the gate side must be ONE broadcast " +
+          "(no slice filters)")
+      // budget = half the census ⟹ exactly K = 2 slices, 4 branches
+      sys.props("graft.inline.verify.max.postings") =
+        ((postings + 1) / 2).toString
+      val ch = plan()
+      assert(ch.contains("intersect_count_sorted"),
         "above the broadcast budget the pigeonhole plan must survive " +
-          "with a repartition-join verify side")
-      assert(!sh.contains("BroadcastHashJoin"),
-        "the repartition-verify tier must not broadcast the array side:\n" +
-          sh.take(2000))
-      sys.props("graft.shuffle.verify.max.postings") = "1"
+          "with the chunked map-side verify")
+      assert(ch.contains("Union"), "the chunked tier unions K² branches")
+      assert(ch.contains("pmod(xxhash64(id"),
+        "the chunked tier slices the verify side deterministically:\n" +
+          ch.take(2000))
+      // chunk cap 1 with a census above the budget ⟹ K = 2 > cap ⟹ counting
+      sys.props("graft.verify.max.chunks") = "1"
       assert(!plan().contains("intersect_count_sorted"),
-        "a census above the outer budget must fall back to counting")
+        "a census needing more chunks than the cap must fall back to counting")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abjt)
       sys.props -= "graft.prefix.min.postings"
       sys.props -= "graft.inline.verify.max.postings"
-      sys.props -= "graft.shuffle.verify.max.postings"
+      sys.props -= "graft.verify.max.chunks"
     }
     // containment stays prefix-routed at any sub-budget census (no floor)
     val cplan = Dedup.containmentPairs(docShingles, 800000L)
